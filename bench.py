@@ -1,0 +1,60 @@
+"""Benchmark runner: times every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed to full materialization (count of a cached-free
+plan) — no collect of payload to the driver beyond the count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from facebook_ad_library_data_pipeline_spark.registry import load_all
+from facebook_ad_library_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    registry = load_all()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(registry):
+        q = registry[name]
+        t0 = time.perf_counter()
+        try:
+            df = q.fn(spark, sf_dir)
+            df.count()
+            dt = time.perf_counter() - t0
+        except Exception as e:  # a failing query must not kill the bench
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+            dt = float("nan")
+        timings[name] = round(dt, 4)
+        if dt == dt:
+            total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

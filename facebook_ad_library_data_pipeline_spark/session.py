@@ -1,0 +1,47 @@
+"""SparkSession factory.
+
+Reference behavior being replaced: a single-process pandas pipeline
+(``/root/reference/main.py:13-25``) with UTC-pinned datetimes
+(``transform_raw_data.py:53``, ``generate_report.py:14,24``). We pin the
+Spark session timezone to UTC so timestamp semantics match both the
+reference and the DuckDB oracle (UTC-naive timestamps).
+
+Scale posture: AQE on (runtime coalesce + skew-join splitting),
+shuffle partitions sized to local cores (on a real cluster this is
+``2-3 × total executor cores`` — set via SPARK_GRAFT_SHUFFLE_PARTITIONS).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "facebook_ad_library_data_pipeline_spark") -> SparkSession:
+    """Build (or fetch) the tuned local session.
+
+    All knobs are configuration, not custom Catalyst code (SURVEY.md §4):
+    UTC session tz, AQE + partition coalescing + skew-join handling,
+    Arrow for pandas interchange, shuffle partitions ≈ cores for local.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", DEFAULT_CPUS)
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
