@@ -88,10 +88,14 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
+    # events.ts is parquet TIMESTAMP(NANOS): unreadable as Spark
+    # TimestampType; declared long (nanos since epoch, via
+    # spark.sql.legacy.parquet.nanosAsLong) and converted to a
+    # microsecond TimestampType in load_table (truncating, = DuckDB).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -119,7 +123,18 @@ SCHEMAS: dict[str, T.StructType] = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan with declared schema — pushdown/pruning friendly."""
-    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    # Defensive against a driver-built session: timestamp semantics
+    # must be UTC (DuckDB oracle is UTC-naive), and events needs the
+    # nanos-as-long reader conf. Both runtime-settable (verified).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -41,6 +41,10 @@ def get_spark(app_name: str = "facebook_ad_library_data_pipeline_spark") -> Spar
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read as long nanos and convert in the catalog loader
+        # (truncating to micros, matching DuckDB's ns→µs behavior).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
