@@ -1,0 +1,237 @@
+"""Aggregation family — absent from the reference (only ``len()`` row
+counts, ``transform_raw_data.py:201``); north-star mandated.
+
+Every aggregate is a hash aggregation with map-side partial combine
+(Spark's default for algebraic aggs) — the shape that scales: the
+shuffle carries one partial state per (partition, group), not rows.
+Monetary sums are rounded to 2 decimals on BOTH engine and oracle so
+float summation order can't flip the compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from ..registry import query
+
+_Q1_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2)                                       AS sum_qty,
+       round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                       AS avg_qty,
+       round(avg(l_extendedprice), 4)                                  AS avg_price,
+       round(avg(l_discount), 4)                                       AS avg_disc,
+       count(*)                                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q_tpch_q1", oracle=_Q1_ORACLE, tags=("agg", "tpch"))
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pushed-down date filter + 8 aggregates over two
+    low-cardinality keys — the canonical partial-agg benchmark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_STATS_ORACLE = """
+SELECT c_mktsegment,
+       count(*)                       AS n_customers,
+       count(DISTINCT c_nationkey)    AS n_nations,
+       round(sum(c_acctbal), 2)       AS sum_bal,
+       round(avg(c_acctbal), 4)       AS avg_bal,
+       round(min(c_acctbal), 2)       AS min_bal,
+       round(max(c_acctbal), 2)       AS max_bal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@query("q_agg_stats", oracle=_STATS_ORACLE, tags=("agg",))
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count / countDistinct / sum / avg / min / max in one pass.
+    countDistinct expands to a two-phase aggregate (expand + merge) —
+    still a single logical pass, no driver involvement."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("q_rollup", oracle=_ROLLUP_ORACLE, tags=("agg", "rollup"))
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (status, status×priority, grand
+    total) — Catalyst Expand node, one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("q_cube", oracle=_CUBE_ORACLE, tags=("agg", "cube"))
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_GSETS_ORACLE = """
+SELECT o_orderstatus,
+       c_mktsegment,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), ())
+"""
+
+
+@query("q_grouping_sets", oracle=_GSETS_ORACLE, tags=("agg",))
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst plan as the
+    DataFrame rollup/cube path)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               c_mktsegment,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), ())
+        """
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_pivot", oracle=_PIVOT_ORACLE, tags=("agg", "pivot"))
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let pivot scan for
+    distinct values at scale — that's an extra job)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+_HAVING_ORACLE = """
+SELECT o_custkey,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 12
+"""
+
+
+@query("q_having", oracle=_HAVING_ORACLE, tags=("agg",))
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — a plain filter above the agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT DISTINCT c_mktsegment, c_nationkey
+FROM customer
+"""
+
+
+@query("q_distinct", oracle=_DISTINCT_ORACLE, tags=("agg",))
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = group-by-all-columns hash aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query("q_approx_distinct", oracle=None, tags=("agg", "approx"))
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd=0.01) — sketch values are
+    implementation-specific, so no SQL oracle (rows-only check);
+    accuracy asserted vs exact counts in tests/test_relational.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("q_percentiles", oracle=None, tags=("agg", "approx"))
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — the scalable quantile sketch (exact
+    percentile needs a full sort; the sketch shuffles O(1) state).
+    Sketch-dependent values → rows-only; bounds asserted in tests."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles"),
+        F.count(F.lit(1)).alias("n"),
+    )

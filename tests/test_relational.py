@@ -1,0 +1,67 @@
+"""Semantics tests for relational ops that can't be fully oracle-checked:
+approx sketches (accuracy bounds) and the as-of join on a constructed
+fixture with known answers."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from facebook_ad_library_data_pipeline_spark.catalog import load_table
+from facebook_ad_library_data_pipeline_spark.operators.asof import asof_join
+from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in REGISTRY["q_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.exact
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("exact")).collect()
+    }
+    for flag, e in exact.items():
+        assert abs(approx[flag] - e) <= max(0.05 * e, 2), (flag, approx[flag], e)
+
+
+def test_percentiles_ordered_and_bounded(spark, sf_dir):
+    rows = REGISTRY["q_percentiles"].fn(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    for r in rows:
+        q25, q50, q75 = r.price_quartiles
+        assert bounds[0] <= q25 <= q50 <= q75 <= bounds[1]
+
+
+def test_asof_join_fixture(spark):
+    orders = spark.createDataFrame(
+        [
+            (7, datetime(2024, 1, 10), 100),
+            (7, datetime(2024, 1, 20), 101),
+            (7, datetime(2024, 1, 20), 102),  # same-date tie → max key wins
+            (8, datetime(2024, 2, 1), 200),
+        ],
+        "user_id long, o_orderdate timestamp, o_orderkey long",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, 7, datetime(2024, 1, 5)),   # before any order → null
+            (2, 7, datetime(2024, 1, 10)),  # exactly at order date → inclusive
+            (3, 7, datetime(2024, 1, 25)),  # after the tie pair → key 102
+            (4, 8, datetime(2024, 3, 1)),
+            (5, 9, datetime(2024, 3, 1)),   # user with no orders → null
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = asof_join(
+        probe=events, build=orders, key="user_id",
+        probe_time="ts", build_time="o_orderdate",
+        build_payload=["o_orderdate", "o_orderkey"],
+    )
+    got = {r.event_id: r.asof_o_orderkey for r in out.collect()}
+    assert got == {1: None, 2: 100, 3: 102, 4: 200, 5: None}
