@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (north-star surface).
+
+Three tiers, by scale:
+
+* **q_embedding_topk** — query-vs-corpus brute force: O(n), one scan,
+  TakeOrderedAndProject top-k. THE baseline; correct at any scale.
+* **q_embedding_neardup_sampled** — exact all-pairs cosine on a
+  deterministic key sample (vec_id % 20 == 0): the audit pattern — at
+  sf0.1 the sample keeps the pair count ~n²/400.
+* **q_ann_lsh_topk** — random-hyperplane LSH: bucket vectors by the
+  sign pattern of dot products with 8 deterministic hyperplanes
+  (integer LCG — no RNG at runtime), search only the query's bucket.
+  The 100 TB path: bucket join instead of cross join.
+
+Dot products run in double precision via ``F.aggregate`` fold (JVM,
+sequential) so the DuckDB oracle (``list_cosine_similarity`` on
+DOUBLE[]) reproduces values bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+QUERY_VEC_ID = 0
+NEARDUP_COS_THRESHOLD = 0.4
+SAMPLE_MOD = 20
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label")
+
+
+_TOPK_ORACLE = f"""
+SELECT e.vec_id,
+       e.label,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings e
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@query("q_embedding_topk", oracle=_TOPK_ORACLE, tags=("llm", "similarity", "topk"))
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for one query vector: broadcast the
+    single-row query side, scan the corpus once, heap top-k. Never
+    collects the corpus."""
+    emb = _emb_double(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("q_emb"))
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_NEARDUP_ORACLE = f"""
+SELECT a.vec_id AS v1,
+       b.vec_id AS v2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a
+JOIN embeddings b
+  ON a.vec_id < b.vec_id
+ AND a.vec_id % {SAMPLE_MOD} = 0 AND b.vec_id % {SAMPLE_MOD} = 0
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= {NEARDUP_COS_THRESHOLD}
+"""
+
+
+@query("q_embedding_neardup_sampled", oracle=_NEARDUP_ORACLE, tags=("llm", "similarity", "dedup"))
+def q_embedding_neardup_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs on a deterministic 5% key sample
+    (the quadratic audit stays bounded as data grows; the full-corpus
+    path is q_ann_lsh_topk's bucketed join)."""
+    emb = _emb_double(spark, sf_dir).filter(F.col("vec_id") % SAMPLE_MOD == 0)
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"))
+    cos = cosine(F.col("e1"), F.col("e2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select("v1", "v2", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= NEARDUP_COS_THRESHOLD)
+        .select("v1", "v2", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------------------- LSH ANN
+
+N_PLANES = 8
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483648  # 2^31
+
+
+def _plane_component(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5)
+    from an integer LCG — reproducible anywhere, incl. plain SQL."""
+    return ((_LCG_A * (p * 64 + d) + _LCG_C) % _LCG_M) / _LCG_M - 0.5
+
+
+def bucket_col(emb: Column, n_planes: int = N_PLANES) -> Column:
+    """LSH bucket id: sign bits of dot(v, plane_p) packed into an int."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(_plane_component(p, d)) for d in range(64)]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+@query("q_ann_lsh_topk", oracle=None, tags=("llm", "similarity", "topk"))
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for the query vector searching ONLY its LSH bucket
+    (256 buckets from 8 hyperplanes). Rows-only check; recall vs brute
+    force asserted in tests/test_similarity.py. At 100 TB: the bucket
+    join touches ~1/256 of the corpus per query batch."""
+    emb = _emb_double(spark, sf_dir).withColumn("bucket", bucket_col(F.col("emb")))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_BUCKET_STATS_ORACLE_NOTE = None  # bucket ids depend on float sign edges; rows-only
+
+
+@query("q_ann_bucket_stats", oracle=None, tags=("llm", "similarity"))
+def q_ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket occupancy histogram — the skew diagnostic you run
+    before trusting a bucketed ANN at scale."""
+    emb = _emb_double(spark, sf_dir).withColumn("bucket", bucket_col(F.col("emb")))
+    return emb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))

@@ -1,0 +1,242 @@
+"""Text-analysis operators for the LLM-data pipeline (north-star
+surface; the reference's only text ops are the ad_text extraction P6
+and langdetect P7, ``transform_raw_data.py:121-134``).
+
+All operators are native column expressions (codegen'd, zero Python):
+language-ID is a stopword-overlap heuristic with the reference's
+"undetected" fallback; quality scoring and token counting are pure
+arithmetic; fingerprints are md5-based so the DuckDB oracle can compute
+identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# Tiny per-language stopword sets (public common words). On synthetic
+# testdata most docs resolve to 'en' or 'undetected' — the operator's
+# semantics, not the corpus, are under test.
+STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "es": ["el", "los", "las", "y", "es", "una"],
+    "fr": ["le", "les", "et", "est", "une", "dans"],
+}
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    return F.split(text if isinstance(text, Column) else F.col(text), " ")
+
+
+def shingles_col(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; empty array when the doc is shorter than n.
+    (Guard matters: Spark's sequence(1, 0) steps DOWNWARD, producing
+    [1, 0] instead of an empty array.)"""
+    gen = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, gen).otherwise(F.array().cast("array<string>"))
+
+
+def _overlap(toks: Column, words: list[str]) -> Column:
+    """# distinct tokens that appear in the word list (set semantics,
+    = DuckDB list_intersect length)."""
+    return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+
+
+_LANG_SQL_SCORES = ",\n       ".join(
+    f"len(list_intersect(list_distinct(string_split(text, ' ')), "
+    f"{[w for w in ws]!r})) AS s_{lang}".replace("'", "'")
+    for lang, ws in sorted(STOPWORDS.items())
+)
+
+_LANG_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id,
+       {_LANG_SQL_SCORES}
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'undetected'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS detected_lang,
+       greatest(s_de, s_en, s_es, s_fr) AS lang_score
+FROM scored
+"""
+
+
+@query("q_lang_id", oracle=_LANG_ORACLE, tags=("llm", "text"))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (P7 re-expressed without per-row
+    Python): argmax over per-language distinct-token overlap, all-zero →
+    'undetected' (reference fallback, transform_raw_data.py:132-134),
+    ties broken alphabetically."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    scores = {lang: _overlap(toks, ws) for lang, ws in sorted(STOPWORDS.items())}
+    best = F.greatest(*scores.values())
+    detected = F.when(best == 0, "undetected")
+    for lang in sorted(scores):
+        detected = detected.when(scores[lang] == best, lang)
+    return docs.select(
+        "doc_id",
+        detected.alias("detected_lang"),
+        best.alias("lang_score"),
+    )
+
+
+_EN = STOPWORDS["en"]
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           length(text) AS n_char,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           len(list_filter(string_split(text, ' '),
+                           x -> list_contains({_EN!r}, x))) AS n_stop
+    FROM documents
+)
+SELECT doc_id,
+       n_char,
+       n_tokens,
+       round(n_distinct * 1.0 / n_tokens, 6) AS type_token_ratio,
+       round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+       round((n_char - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS mean_token_len,
+       round(0.4 * least(n_tokens / 100.0, 1.0)
+           + 0.4 * (n_distinct * 1.0 / n_tokens)
+           + 0.2 * (1.0 - n_stop * 1.0 / n_tokens), 6) AS quality_score
+FROM t
+"""
+
+
+@query("q_text_quality", oracle=_QUALITY_ORACLE, tags=("llm", "text"))
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, type-token ratio, stopword ratio, mean
+    token length folded into a [0,1] score — the standard pre-training
+    quality-filter features, as pure vectorized arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    en = F.array(*[F.lit(w) for w in _EN])
+    d = docs.select(
+        "doc_id",
+        F.length("text").alias("n_char"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(en, x))).alias("n_stop"),
+    )
+    ttr = F.col("n_distinct") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "n_char",
+        "n_tokens",
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round((F.col("n_char") - (F.col("n_tokens") - 1)) / F.col("n_tokens"), 6).alias(
+            "mean_token_len"
+        ),
+        F.round(
+            0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+            + 0.4 * ttr
+            + 0.2 * (1.0 - stop_ratio),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+_TOKENIZE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+_TOKEN_ORACLE = rf"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{_TOKENIZE_PATTERN}')) AS bpe_ish_tokens,
+       length(text) AS n_char,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
+FROM documents
+"""
+
+
+@query("q_token_count", oracle=_TOKEN_ORACLE, tags=("llm", "text"))
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, a BPE-ish regex segmentation
+    (letters / digits / single punctuation), and the chars/4 LLM-token
+    estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKENIZE_PATTERN), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").alias("n_char"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("approx_llm_tokens"),
+    )
+
+
+_FP_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+           string_split(text, ' ') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS content_fingerprint,
+       CASE WHEN len(toks) >= 3
+            THEN list_aggregate(
+                     list_transform(generate_series(1, len(toks) - 2),
+                                    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+                     'min')
+            ELSE NULL END AS min_shingle_fingerprint
+FROM t
+"""
+
+
+@query("q_doc_fingerprint", oracle=_FP_ORACLE, tags=("llm", "text", "dedup"))
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized text plus a
+    min-shingle-hash (a 1-permutation MinHash with a portable hash so
+    the oracle reproduces it bit-for-bit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    toks = tokens_col()
+    sh = shingles_col(toks, 3)
+    min_shingle = F.when(
+        F.size(toks) >= 3, F.array_min(F.transform(sh, lambda s: F.md5(s.cast("binary"))))
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("content_fingerprint"),
+        min_shingle.alias("min_shingle_fingerprint"),
+    )
+
+
+_LANG_STATS_ORACLE = """
+SELECT lang,
+       source,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@query("q_doc_stats", oracle=_LANG_STATS_ORACLE, tags=("llm", "text", "agg"))
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus census by (lang, source) — the first query any data-mix
+    dashboard runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(tokens_col())), 4).alias("avg_tokens"),
+    )

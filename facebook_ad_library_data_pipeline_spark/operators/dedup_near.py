@@ -1,0 +1,284 @@
+"""Near-duplicate detection & dedup — the upgrade the reference's own
+README wishes for (``/root/reference/README.md:57`` "Similar ad text
+detection"); a first-class LLM-data-pipeline component here.
+
+Four algorithms, each with its scale story:
+
+* **Exact n-gram Jaccard** (oracle-checked): shingle inverted index →
+  candidate pairs share ≥1 shingle → exact |A∩B| by counting shared
+  shingles. Two shuffles (shingle, then pair). At 100 TB you'd add a
+  document-frequency cap on shingles (drop shingles appearing in > d
+  docs) to bound the quadratic blowup of hot shingles; with word-3-gram
+  shingles on natural text the index is already highly selective.
+* **MinHash + LSH** (rows-only; xxhash64 seeds are engine-specific):
+  K=32 minhash components per doc (one shuffle), banded into 8 bands of
+  4 → band-bucket join yields candidates; est. Jaccard = matching
+  signature fraction. P(candidate | J=0.8) ≈ 1-(1-0.8⁴)⁸ ≈ 0.99.
+* **SimHash** (rows-only): 64-bit fingerprint from sign-aggregated
+  token hashes; near-dup = Hamming distance ≤ 6, candidates via
+  4×16-bit band equality (pigeonhole guarantees recall at dist ≤ 3 and
+  probabilistic above).
+* **Near-dup DROP** (oracle-checked): keep the min-id representative of
+  every near-dup pair (anti-join against the d2 side).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import shingles_col, tokens_col
+from ..registry import query
+
+JACCARD_THRESHOLD = 0.6
+
+_SHINGLE_EXPLODED_SQL = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(t) >= 3
+                       THEN list_transform(generate_series(1, len(t) - 2),
+                                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       ELSE [] END AS shingles
+           FROM toks),
+    ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+"""
+
+_JACCARD_ORACLE = f"""
+WITH {_SHINGLE_EXPLODED_SQL}
+SELECT d1, d2,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON d1 = sa.doc_id
+JOIN sizes sb ON d2 = sb.doc_id
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+def exploded_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) pairs, distinct — the inverted-index input."""
+    toks = tokens_col()
+    return (
+        docs.select("doc_id", F.explode(shingles_col(toks, 3)).alias("s"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact shingle-set Jaccard for all pairs sharing ≥1 shingle."""
+    ex = exploded_shingles(docs)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    return (
+        pairs.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("q_ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("llm", "dedup", "neardup"))
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs at threshold 0.6 via
+    shingle inverted index — no cross join anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, JACCARD_THRESHOLD)
+
+
+_DROP_ORACLE = f"""
+WITH {_SHINGLE_EXPLODED_SQL},
+neardup AS (
+    SELECT DISTINCT d2
+    FROM pairs
+    JOIN sizes sa ON d1 = sa.doc_id
+    JOIN sizes sb ON d2 = sb.doc_id
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
+)
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT d2 FROM neardup)
+"""
+
+
+@query("q_neardup_dedup", oracle=_DROP_ORACLE, tags=("llm", "dedup", "neardup"))
+def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup DEDUP: drop every doc that near-duplicates a lower-id
+    doc (min-id representative survives) — anti-join, no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    losers = jaccard_pairs(docs, JACCARD_THRESHOLD).select(F.col("d2").alias("doc_id")).distinct()
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------- MinHash
+
+MINHASH_K = 32
+LSH_BANDS = 8  # 8 bands × 4 rows
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig: array<bigint>[k]) — one shuffle: explode shingles,
+    k running mins aggregated per doc. Docs with <3 tokens get no
+    signature (dropped, like an empty shingle set)."""
+    ex = exploded_shingles(docs)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(k)
+    ]
+    sig = ex.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+@query("q_minhash_signatures", oracle=None, tags=("llm", "dedup", "neardup"))
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (K=32, xxhash64 seeded 0..31). Rows-only:
+    hash values are engine-specific; estimator accuracy is asserted in
+    tests/test_neardup.py against exact Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Band the signatures and bucket-join: candidates = pairs equal on
+    ≥1 whole band. Shuffles on (band_idx, band_hash) — never all-pairs."""
+    k = MINHASH_K
+    r = k // bands
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)]).alias("band_hash"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", "sig", F.explode(band_entries).alias("b")).select(
+        "doc_id", "sig", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .distinct()
+    )
+    matching = F.size(
+        F.filter(
+            F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+            lambda m: m == 1,
+        )
+    )
+    return cand.select(
+        "d1", "d2", F.round(matching / F.lit(k), 6).alias("est_jaccard")
+    )
+
+
+@query("q_minhash_lsh_pairs", oracle=None, tags=("llm", "dedup", "neardup"))
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (8 bands × 4) with estimated
+    Jaccard ≥ 0.5. Recall vs exact pairs asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    return lsh_candidate_pairs(sig).filter(F.col("est_jaccard") >= 0.5)
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash_col(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc from token-multiset hashes: one shuffle,
+    64 sum-aggregates over a ±1 bit array (no 64× row explosion)."""
+    ex = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_arr = F.array(
+        *[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    per_tok = ex.select("doc_id", bit_arr.alias("bits"))
+    sums = per_tok.groupBy("doc_id").agg(
+        *[F.sum(F.col("bits")[i]).alias(f"s{i}") for i in range(64)]
+    )
+    fingerprint = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)))
+            .otherwise(0)
+            for i in range(64)
+        ],
+    )
+    return sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+@query("q_simhash_fingerprints", oracle=None, tags=("llm", "dedup", "neardup"))
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only: engine-specific hash); Hamming
+    locality asserted on fixtures in tests/test_neardup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_col(docs)
+
+
+@query("q_simhash_pairs", oracle=None, tags=("llm", "dedup", "neardup"))
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidates equal on ≥1 of 4×16-bit bands
+    (pigeonhole: any pair with Hamming ≤ 3 always shares a band), then
+    exact Hamming ≤ 6 filter via bit_count(xor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = simhash_col(docs)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
