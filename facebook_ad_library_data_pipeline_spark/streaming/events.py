@@ -1,0 +1,199 @@
+"""Event-time windowed aggregation — batch-first, streaming as a thin
+wrapper over the SAME transformation (SURVEY.md §5 "every streaming op
+has a batch twin to diff against").
+
+The reference's only streaming-ish behavior is the incremental
+response-listener append (S3, ``collect_raw_data.py:150-171``); the
+Spark-first mapping is a file-source micro-batch stream over the landed
+files. Here the stream source is the events parquet itself.
+
+Scale posture: tumbling/sliding window aggs are hash aggregations on
+(window, key) — partial-combined, watermark bounds state; session
+windows shuffle on the session key only.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import SCHEMAS, load_table
+from ..registry import query
+
+# ------------------------------------------------------------- batch twins
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Shared batch/stream transformation: 1-hour tumbling windows."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_TUMBLING_ORACLE = """
+SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("q_window_tumbling", oracle=_TUMBLING_ORACLE, tags=("streaming", "window", "agg"))
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows (epoch-aligned, = DuckDB
+    floor(epoch/3600))."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+_SLIDING_ORACLE = """
+WITH starts AS (
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS s0,
+           event_type, value, ts
+    FROM events
+), exploded AS (
+    SELECT s0 AS window_start, event_type, value FROM starts
+    UNION ALL
+    SELECT s0 - INTERVAL 30 MINUTE, event_type, value FROM starts
+)
+SELECT window_start, event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM exploded
+GROUP BY 1, 2
+"""
+
+
+@query("q_window_sliding", oracle=_SLIDING_ORACLE, tags=("streaming", "window", "agg"))
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min — every event lands in
+    exactly 2 windows (oracle: union of the two aligned starts)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+_SESSION_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), numbered AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS last_event_ts,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+@query("q_session_window", oracle=_SESSION_ORACLE, tags=("streaming", "window", "session"))
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization via session_window (batch mode).
+    Oracle restates it as gaps-and-islands (lag + running sum). Spark
+    closes a session when the next event is >= gap after the previous
+    one (window end is exclusive), hence `>=` in the island flag."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_event_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_event_ts",
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------- true streaming
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source micro-batch stream over the events parquet, with the
+    same nanos→µs conversion as the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source requires a directory; expose the single events
+    # file through a symlink dir (no data copied, testdata untouched).
+    stream_dir = Path(tempfile.gettempdir()) / "spark_graft_stream" / Path(sf_dir).name
+    stream_dir.mkdir(parents=True, exist_ok=True)
+    link = stream_dir / "events.parquet"
+    if not link.exists():
+        link.symlink_to(f"{sf_dir}/events.parquet")
+    raw = spark.readStream.schema(SCHEMAS["events"]).parquet(str(stream_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drive a streaming aggregation to completion against the bounded
+    file source (processAllAvailable) and land it in a memory sink."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+@query("q_stream_tumbling", oracle=None, tags=("streaming",))
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window agg run through an ACTUAL Structured
+    Streaming query (file source → watermark → window agg → memory
+    sink). Batch equivalence asserted in tests/test_streaming.py;
+    rows-only for the driver (the result materializes post-stream)."""
+    events = load_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = tumbling_counts(events)
+    run_stream_to_memory(agg, "stream_tumbling_out")
+    return spark.table("stream_tumbling_out")
+
+
+@query("q_stream_dedup", oracle=None, tags=("streaming", "dedup"))
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates within the watermark (the reference's
+    dedup D1 as a stream op): exactly-once event ids per micro-batch
+    cascade. Rows-only; batch-count equivalence in tests."""
+    events = load_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = events.dropDuplicates(["event_id"])
+    counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    run_stream_to_memory(counted, "stream_dedup_out")
+    return spark.table("stream_dedup_out")

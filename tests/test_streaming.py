@@ -1,0 +1,52 @@
+"""Streaming/batch equivalence: the streaming wrapper must produce
+exactly the batch twin's result on the bounded source."""
+
+from __future__ import annotations
+
+from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _as_set(rows):
+    return {tuple(str(v) for v in r) for r in rows}
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    stream = REGISTRY["q_stream_tumbling"].fn(spark, sf_dir).collect()
+    batch = REGISTRY["q_window_tumbling"].fn(spark, sf_dir).collect()
+    assert _as_set(stream) == _as_set(batch)
+
+
+def test_stream_dedup_counts_match_batch(spark, sf_dir):
+    from facebook_ad_library_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    stream = {
+        r.event_type: r.n for r in REGISTRY["q_stream_dedup"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert stream == batch
+
+
+def test_sliding_doubles_tumbling_total(spark, sf_dir):
+    # every event is in exactly 2 sliding windows → total n doubles
+    tumb = sum(r.n for r in REGISTRY["q_window_tumbling"].fn(spark, sf_dir).collect())
+    slide = sum(r.n for r in REGISTRY["q_window_sliding"].fn(spark, sf_dir).collect())
+    assert slide == 2 * tumb
+
+
+def test_session_windows_partition_events(spark, sf_dir):
+    from facebook_ad_library_data_pipeline_spark.catalog import load_table
+
+    sessions = REGISTRY["q_session_window"].fn(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in sessions) == n_events
+    assert all(r.session_start <= r.last_event_ts for r in sessions)
