@@ -26,6 +26,11 @@ def main() -> None:
     spark = get_spark("bench")
     registry = load_all()
 
+    # JVM/codegen/scan warmup so the first timed query isn't charged
+    # for session startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(registry):

@@ -89,7 +89,7 @@ def extract_byte_features(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             arr = np.frombuffer(payload, dtype=np.uint8)
             # <-- real image/audio decode would replace `arr` here
-            hist = np.histogram(arr, bins=16, range=(0, 256))[0]
+            hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
             rows.append(
                 {
                     "doc_id": doc_id,

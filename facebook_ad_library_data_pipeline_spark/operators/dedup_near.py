@@ -63,33 +63,43 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
 
 
 def exploded_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) pairs, distinct — the inverted-index input."""
+    """(doc_id, n, s): one row per DISTINCT shingle per doc, with the
+    doc's distinct-shingle count carried alongside.
+
+    array_distinct happens inside the row (no distinct() shuffle), and
+    carrying n through the explode means the Jaccard denominator needs
+    no extra size-lookup joins downstream — two fewer shuffles."""
     toks = tokens_col()
+    sh = F.array_distinct(shingles_col(toks, 3))
     return (
-        docs.select("doc_id", F.explode(shingles_col(toks, 3)).alias("s"))
-        .distinct()
+        docs.select("doc_id", sh.alias("sh"))
+        .select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     )
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """Exact shingle-set Jaccard for all pairs sharing ≥1 shingle."""
+    """Exact shingle-set Jaccard for all pairs sharing ≥1 shingle.
+    Shuffle plan: one exchange on shingle (the self-join), one on the
+    pair key (the count) — nothing else."""
     ex = exploded_shingles(docs)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ex.alias("a")
-    b = ex.alias("b")
+    # shuffle_hash: never broadcast an exploded inverted index — at any
+    # real scale it exceeds the broadcast budget, and locally repeated
+    # large broadcasts thrash the driver (profiled: default BHJ degraded
+    # 14s→153s across runs; shuffle-hash stayed 2-15s).
+    b = ex.hint("shuffle_hash").alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n")).alias("n1"),
+            F.first(F.col("b.n")).alias("n2"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
-    return (
-        pairs.join(sa, F.col("d1") == F.col("sa.doc_id"))
-        .join(sb, F.col("d2") == F.col("sb.doc_id"))
-        .filter(jac >= threshold)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return pairs.filter(jac >= threshold).select(
+        "d1", "d2", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -131,14 +141,20 @@ MINHASH_K = 32
 LSH_BANDS = 8  # 8 bands × 4 rows
 
 
+# Odd multipliers + offsets for the universal-hash permutation family
+# h_i(x) = A_i * xxhash64(x) + B_i  (mod 2^64, Java long wraparound —
+# deterministic, and a single string hash per shingle instead of k).
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, sig: array<bigint>[k]) — one shuffle: explode shingles,
-    k running mins aggregated per doc. Docs with <3 tokens get no
-    signature (dropped, like an empty shingle set)."""
-    ex = exploded_shingles(docs)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(k)
-    ]
+    k running mins aggregated per doc (map-side partial min).
+
+    The k permutations rehash ONE string xxhash64 per shingle with k
+    seeded fixed-width (8-byte) xxhash64 calls — far cheaper than k
+    full-string hashes, and overflow-free under ANSI mode (no wraparound
+    multiplication). Docs with <3 tokens get no signature (dropped,
+    like an empty shingle set)."""
+    ex = exploded_shingles(docs).select("doc_id", F.xxhash64("s").alias("h"))
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(k)]
     sig = ex.groupBy("doc_id").agg(*mins)
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
@@ -169,7 +185,7 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     banded = sig.select("doc_id", "sig", F.explode(band_entries).alias("b")).select(
         "doc_id", "sig", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
@@ -266,7 +282,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
-    a, b = banded.alias("a"), banded.alias("b")
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,

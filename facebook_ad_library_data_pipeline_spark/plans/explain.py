@@ -1,0 +1,37 @@
+"""Plan-audit helpers: assert the physical plan is the one you'd want
+at 100 TB (filters pushed to the scan, dims broadcast, top-k via
+TakeOrderedAndProject, scans pruned to the referenced columns).
+
+Used by tests/test_plans.py so a regression that silently drops a
+pushdown or flips a broadcast join to SMJ fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df))
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    return re.findall(r"ReadSchema: (\S+)", formatted_plan(df))
+
+
+def has_node(df: DataFrame, node: str) -> bool:
+    return node.lower() in formatted_plan(df).lower()
+
+
+def scan_column_counts(df: DataFrame) -> list[int]:
+    """Number of columns each parquet scan actually reads."""
+    return [s.count(":") for s in read_schemas(df)]

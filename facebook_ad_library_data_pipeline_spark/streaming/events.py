@@ -162,7 +162,14 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_stream_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a streaming aggregation to completion against the bounded
-    file source (processAllAvailable) and land it in a memory sink."""
+    file source (processAllAvailable) and land it in a memory sink.
+
+    Streaming state stores cost per shuffle partition (one store each);
+    200 default partitions ≈ 200 state stores for a 3-group aggregate.
+    Cap at 32 for the run, restore after."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     q = (
         stream_df.writeStream.outputMode("complete")
         .format("memory")
@@ -173,6 +180,7 @@ def run_stream_to_memory(stream_df: DataFrame, name: str) -> None:
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @query("q_stream_tumbling", oracle=None, tags=("streaming",))
