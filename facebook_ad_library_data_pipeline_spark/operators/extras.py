@@ -1,0 +1,117 @@
+"""Remaining operator surface: unpivot/stack, grouped-map pandas
+(applyInPandas), sampling, ingest ids, and the pandas-UDF language
+detector as a registry query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..adslib.transform import detect_lang_udf
+from ..catalog import load_table
+from ..registry import query
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+"""
+
+
+@query("q_unpivot", oracle=_UNPIVOT_ORACLE, tags=("reshape",))
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack(): wide → long without a shuffle (a generate,
+    not an exchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount)"
+        ).alias("metric", "value"),
+    )
+
+
+_SLOPE_ORACLE = """
+SELECT o_custkey,
+       count(*) AS n_orders,
+       round(regr_slope(o_totalprice, epoch(o_orderdate) / 86400.0), 3) AS price_trend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 2
+"""
+
+
+@query("q_grouped_pandas_slope", oracle=_SLOPE_ORACLE, tags=("pandas-udf", "agg"))
+def q_grouped_pandas_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-customer OLS slope of order price
+    over time, computed with numpy inside an Arrow batch per group —
+    the custom-aggregation escape hatch when no built-in fits. Oracle:
+    regr_slope (same closed form: cov/var)."""
+    import numpy as np
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.unix_timestamp("o_orderdate") / 86400.0).alias("t_days"),
+        "o_totalprice",
+    )
+
+    def slope(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=["o_custkey", "n_orders", "price_trend"])
+        x = pdf["t_days"].to_numpy()
+        y = pdf["o_totalprice"].to_numpy()
+        cov = ((x - x.mean()) * (y - y.mean())).mean()
+        var = ((x - x.mean()) ** 2).mean()
+        s = float("nan") if var == 0 else round(cov / var, 3)
+        return pd.DataFrame(
+            {"o_custkey": [pdf["o_custkey"].iloc[0]], "n_orders": [n], "price_trend": [s]}
+        )
+
+    return orders.groupBy("o_custkey").applyInPandas(
+        slope, schema="o_custkey long, n_orders long, price_trend double"
+    )
+
+
+@query("q_lang_id_udf", oracle=None, tags=("pandas-udf", "llm", "text"))
+def q_lang_id_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 as an Arrow-batched pandas UDF (the reference's langdetect
+    path; deterministic heuristic fallback when langdetect is absent).
+    Rows-only; equivalence with the native q_lang_id asserted in tests
+    when running on the fallback."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_lang_udf("text").alias("detected_lang"))
+
+
+@query("q_sample_stratified", oracle=None, tags=("sampling",))
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample (sampleBy, fixed seed): smaller fraction for
+    the dominant stratum — the data-mix rebalancing primitive. Sampling
+    is engine-specific → rows-only; proportions asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    return docs.sampleBy("lang", fractions, seed=42)
+
+
+_INGEST_ORACLE = """
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS ingest_pos
+FROM orders
+"""
+
+
+@query("q_ingest_position", oracle=_INGEST_ORACLE, tags=("lineage",))
+def q_ingest_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ingest position over a total order — the engine's
+    substitute for the reference's implicit Python list order (keep-
+    first dedup depends on it). monotonically_increasing_id() is NOT
+    used: its values depend on partition layout."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_orderkey", (F.row_number().over(w) - 1).alias("ingest_pos"))

@@ -41,7 +41,9 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.functions.text",
     "facebook_ad_library_data_pipeline_spark.functions.similarity",
     "facebook_ad_library_data_pipeline_spark.operators.dedup_near",
+    "facebook_ad_library_data_pipeline_spark.operators.extras",
     "facebook_ad_library_data_pipeline_spark.streaming.events",
+    "facebook_ad_library_data_pipeline_spark.streaming.stateful",
     "facebook_ad_library_data_pipeline_spark.multimodal.media",
 ]
 

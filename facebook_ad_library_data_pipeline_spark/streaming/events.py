@@ -160,7 +160,7 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def run_stream_to_memory(stream_df: DataFrame, name: str) -> None:
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drive a streaming aggregation to completion against the bounded
     file source (processAllAvailable) and land it in a memory sink.
 
@@ -171,7 +171,7 @@ def run_stream_to_memory(stream_df: DataFrame, name: str) -> None:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()

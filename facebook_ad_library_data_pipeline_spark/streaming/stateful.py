@@ -1,0 +1,100 @@
+"""Custom stateful streaming operator via applyInPandasWithState —
+the escape hatch for operators Spark's built-in streaming aggregations
+can't express (north-star "custom stateful operators").
+
+Demonstrated op: per-user running engagement state (event count, value
+sum, last event type) maintained in explicit GroupState across
+micro-batches, emitted in update mode. On the bounded test source one
+micro-batch ⇒ output equals the batch groupBy twin (asserted in
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import query
+from .events import load_events_stream, run_stream_to_memory
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+
+def _update_user_state(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold each micro-batch's rows for this user into the persistent
+    state, emit the updated snapshot. Rows arrive Arrow-batched; state
+    is a plain tuple in the state store."""
+    (user_id,) = key
+    n, total, last_type = state.get if state.exists else (0, 0.0, None)
+    for pdf in pdfs:
+        if len(pdf):
+            pdf = pdf.sort_values("ts")
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_type = str(pdf["event_type"].iloc[-1])
+    state.update((n, round(total, 2), last_type))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "last_event_type": [last_type],
+        }
+    )
+
+
+def user_state_stream(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query("q_stream_stateful_user", oracle=None, tags=("streaming", "stateful", "pandas-udf"))
+def q_stream_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful op through a real streaming query (update-mode
+    memory sink keeps the latest row per user on the bounded source)."""
+    events = load_events_stream(spark, sf_dir)
+    out = user_state_stream(events)
+    run_stream_to_memory(out, "stream_stateful_user_out", output_mode="update")
+    latest = spark.table("stream_stateful_user_out")
+    # update mode appends a row per (batch, user); keep the last emit
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        latest.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
