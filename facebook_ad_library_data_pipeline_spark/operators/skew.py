@@ -1,0 +1,64 @@
+"""Skew & co-location strategies — the two levers beyond AQE for the
+100 TB posture (SURVEY.md §4): key salting for hot keys, bucketing for
+shuffle-free repeat joins.
+
+Salting: the hot build-side key is replicated SALT ways; each probe row
+picks a deterministic salt — the hot key's rows spread over SALT
+reducers instead of one straggler. Result-equivalence with the plain
+join is asserted in tests (same rows, different physical distribution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+SALT = 8
+
+
+def salted_join(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str, how: str = "inner"
+) -> DataFrame:
+    """Equi-join with an 8-way salted key: dim rows replicated per salt
+    (explode of a literal range — cheap for a dim), fact rows salted by
+    a deterministic hash of their whole row position-independent key."""
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))
+    )
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(fact_key)), F.lit(SALT)).cast("int")
+    )
+    out = salted_fact.join(
+        salted_dim,
+        (salted_fact[fact_key] == salted_dim[dim_key])
+        & (salted_fact["__salt"] == salted_dim["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
+_SALTED_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("q_salted_join", oracle=_SALTED_ORACLE, tags=("join", "skew"))
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast-dims star join re-run through the salting path —
+    same answer (oracle-checked), skew-proof physical plan. Used when
+    the dim is too big to broadcast AND the fact keys are skewed."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = salted_join(orders, customer, "o_custkey", "c_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
