@@ -1,0 +1,125 @@
+"""Training-data corpus curation — the composite LLM-pipeline query:
+quality-filter → exact dedup → near-dup dedup → per-language balanced
+selection → corpus census. Every stage is a deterministic operator from
+this engine, so the WHOLE pipeline is oracle-checkable end-to-end.
+
+This is the query a data-curation team actually runs before training;
+at 100 TB it is exactly this plan — the dedups are the inverted-index /
+digest shuffles, the balance step is a per-group top-k, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import dedup_keep_first
+from ..operators.dedup_near import JACCARD_THRESHOLD, jaccard_pairs
+from ..registry import query
+
+MIN_TOKENS = 20
+PER_LANG_K = 40
+
+_CURATE_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, lang, source, text,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ttr
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {MIN_TOKENS}
+), exact_dedup AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+), toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   ELSE [] END AS shingles
+       FROM toks),
+ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+losers AS (SELECT DISTINCT d2 FROM pairs
+           WHERE inter * 1.0 / (n1 + n2 - inter) >= {JACCARD_THRESHOLD}),
+kept AS (
+    SELECT e.* FROM exact_dedup e
+    WHERE e.doc_id NOT IN (SELECT d2 FROM losers)
+), balanced AS (
+    SELECT * FROM (
+        SELECT doc_id, lang, source, n_tokens, round(ttr, 6) AS ttr,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY ttr DESC, doc_id) AS lang_rank
+        FROM kept
+    ) WHERE lang_rank <= {PER_LANG_K}
+)
+SELECT doc_id, lang, source, n_tokens, ttr, lang_rank FROM balanced
+"""
+
+
+@query("q_curate_corpus", oracle=_CURATE_ORACLE, tags=("llm", "curation", "dedup"))
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality floor → digest dedup → near-dup drop → top-K per language
+    by type-token ratio (deterministic tie-break on doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+    ).filter(F.col("n_tokens") >= MIN_TOKENS)
+
+    exact = dedup_keep_first(
+        scored.withColumn("digest", F.md5(F.col("text").cast("binary"))),
+        ["digest"],
+        ["doc_id"],
+    ).drop("digest")
+
+    losers = (
+        jaccard_pairs(docs, JACCARD_THRESHOLD)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+    kept = exact.join(losers, "doc_id", "left_anti")
+
+    w = Window.partitionBy("lang").orderBy(F.desc("ttr"), F.asc("doc_id"))
+    return (
+        kept.withColumn("lang_rank", F.row_number().over(w))
+        .filter(F.col("lang_rank") <= PER_LANG_K)
+        .select(
+            "doc_id", "lang", "source", "n_tokens",
+            F.round("ttr", 6).alias("ttr"), "lang_rank",
+        )
+    )
+
+
+_MIX_ORACLE = f"""
+WITH curated AS ({_CURATE_ORACLE.strip()})
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(ttr), 6) AS avg_ttr
+FROM curated
+GROUP BY lang
+"""
+
+
+@query("q_corpus_mix", oracle=_MIX_ORACLE, tags=("llm", "curation", "agg"))
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-curation data-mix census (the number you report to the
+    training team)."""
+    curated = q_curate_corpus(spark, sf_dir)
+    return curated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+    )

@@ -1,0 +1,120 @@
+"""Time-series operators beyond plain windows: resampling with gap
+filling (the hypertable-rollup shape) and value-range window frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+_RESAMPLE_ORACLE = """
+WITH bounds AS (
+    SELECT CAST(to_timestamp(floor(epoch(min(ts)) / 3600) * 3600) AS TIMESTAMP) AS t0,
+           CAST(to_timestamp(floor(epoch(max(ts)) / 3600) * 3600) AS TIMESTAMP) AS t1
+    FROM events
+), grid AS (
+    SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket FROM bounds
+), agg AS (
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+)
+SELECT g.bucket,
+       coalesce(a.n, 0) AS n,
+       coalesce(a.total_value, 0.0) AS total_value
+FROM grid g LEFT JOIN agg a ON g.bucket = a.bucket
+"""
+
+
+@query("q_resample_gapfill", oracle=_RESAMPLE_ORACLE, tags=("timeseries", "agg"))
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with EXPLICIT empty buckets: dense time grid
+    (sequence+explode over the observed bounds) left-joined to the
+    hourly agg. The grid generation is O(#buckets) — driver-free; at
+    scale the grid side is tiny and broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("bucket"), "n", "total_value")
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    return (
+        grid.join(F.broadcast(hourly), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+_RANGE_FRAME_ORACLE = """
+SELECT o_orderkey,
+       o_custkey,
+       o_totalprice,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_similar_cheaper,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING), 2) AS band_revenue
+FROM orders
+"""
+
+
+@query("q_window_range_value", oracle=_RANGE_FRAME_ORACLE, tags=("window", "timeseries"))
+def q_window_range_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-range window frames (rangeBetween with a numeric offset):
+    peers counted by price proximity, not row position — deterministic
+    regardless of shuffle order because the frame is value-defined."""
+    o = load_table(spark, sf_dir, "orders")
+    w_past = (
+        Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-50000, 0)
+    )
+    w_band = (
+        Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-50000, 50000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w_past).alias("n_similar_cheaper"),
+        F.round(F.sum("o_totalprice").over(w_band), 2).alias("band_revenue"),
+    )
+
+
+_BOOL_AGG_ORACLE = """
+SELECT o_custkey,
+       bool_and(o_totalprice > 10000)  AS all_above_10k,
+       bool_or(o_orderstatus = 'O')    AS any_open,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@query("q_bool_string_aggs", oracle=_BOOL_AGG_ORACLE, tags=("agg",))
+def q_bool_string_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or / filtered count / ordered-distinct string
+    agg (collect_set is unordered — sort before joining for
+    determinism)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.bool_and(F.col("o_totalprice") > 10000).alias("all_above_10k"),
+        F.bool_or(F.col("o_orderstatus") == "O").alias("any_open"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
+    )

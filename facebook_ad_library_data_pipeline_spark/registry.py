@@ -44,6 +44,8 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.operators.extras",
     "facebook_ad_library_data_pipeline_spark.operators.cdc",
     "facebook_ad_library_data_pipeline_spark.operators.skew",
+    "facebook_ad_library_data_pipeline_spark.operators.timeseries",
+    "facebook_ad_library_data_pipeline_spark.operators.curation",
     "facebook_ad_library_data_pipeline_spark.functions.arrays",
     "facebook_ad_library_data_pipeline_spark.streaming.events",
     "facebook_ad_library_data_pipeline_spark.streaming.stateful",
