@@ -46,7 +46,9 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.operators.skew",
     "facebook_ad_library_data_pipeline_spark.operators.timeseries",
     "facebook_ad_library_data_pipeline_spark.operators.curation",
+    "facebook_ad_library_data_pipeline_spark.operators.components",
     "facebook_ad_library_data_pipeline_spark.functions.arrays",
+    "facebook_ad_library_data_pipeline_spark.functions.ivf",
     "facebook_ad_library_data_pipeline_spark.streaming.events",
     "facebook_ad_library_data_pipeline_spark.streaming.stateful",
     "facebook_ad_library_data_pipeline_spark.multimodal.media",

@@ -6,6 +6,7 @@ never on the hot path — SURVEY.md §1.4)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -25,6 +26,31 @@ def read_json(
     pretty-printed whole-file arrays-of-objects (the scraper dumps with
     indent=2, collect_raw_data.py:198); line-delimited otherwise."""
     return spark.read.schema(schema).json(path, multiLine=multi_line)
+
+
+def read_json_with_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """S6 + the reference's row-level error swallowing (the try/except-
+    continue at transform_raw_data.py:156-161) done declaratively:
+    PERMISSIVE mode routes malformed records into a corrupt-record
+    column instead of killing the job → (clean, corrupt) pair.
+
+    Note Spark's contract: the corrupt-record column must be part of
+    the read schema, and corrupt rows have every data column null."""
+    corrupt_col = "_corrupt_record"
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    raw = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    ).cache()
+    clean = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    corrupt = raw.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return clean, corrupt
 
 
 def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
