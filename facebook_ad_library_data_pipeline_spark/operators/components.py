@@ -30,9 +30,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
     """(node) + (src, dst) undirected → (node, component) with
     component = min node id reachable. Label propagation to fixpoint."""
     labels = nodes.select(F.col("node"), F.col("node").alias("component"))
+    # materialize the edge list ONCE — without this every iteration
+    # re-executes the (possibly expensive) upstream plan that produced
+    # the edges (profiled: the Jaccard join re-ran per pass)
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)

@@ -160,7 +160,9 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete", partitions: str = "32"
+) -> None:
     """Drive a streaming aggregation to completion against the bounded
     file source (processAllAvailable) and land it in a memory sink.
 
@@ -169,7 +171,7 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "co
     Cap at 32 for the run, restore after."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")

@@ -87,7 +87,9 @@ def q_stream_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink keeps the latest row per user on the bounded source)."""
     events = load_events_stream(spark, sf_dir)
     out = user_state_stream(events)
-    run_stream_to_memory(out, "stream_stateful_user_out", output_mode="update")
+    # 8 partitions: each stateful partition spins a Python worker + a
+    # state store; with 15 user keys more partitions are pure overhead
+    run_stream_to_memory(out, "stream_stateful_user_out", output_mode="update", partitions="8")
     latest = spark.table("stream_stateful_user_out")
     # update mode appends a row per (batch, user); keep the last emit
     from pyspark.sql import Window
