@@ -45,3 +45,22 @@ def test_inverted_index_join_not_broadcast(spark, sf_dir):
     # the exploded shingle self-join must shuffle, not broadcast
     df = REGISTRY["q_ngram_jaccard_pairs"].fn(spark, sf_dir)
     assert has_node(df, "ShuffledHashJoin")
+
+def test_subqueries_decorrelate_to_joins(spark, sf_dir):
+    # EXISTS/NOT EXISTS must become semi/anti joins, never per-row probes
+    assert has_node(REGISTRY["q_subquery_exists"].fn(spark, sf_dir), "LeftSemi")
+    assert has_node(REGISTRY["q_subquery_not_exists"].fn(spark, sf_dir), "LeftAnti")
+    assert has_node(REGISTRY["q_subquery_in"].fn(spark, sf_dir), "LeftSemi")
+
+
+def test_corr_scalar_subquery_becomes_agg_join(spark, sf_dir):
+    df = REGISTRY["q_subquery_corr_scalar"].fn(spark, sf_dir)
+    # decorrelated: an aggregate feeding a join on the correlation key
+    assert has_node(df, "HashAggregate")
+    assert has_node(df, "Join") or has_node(df, "HashJoin")
+
+
+def test_q3_topk_heap_and_segment_pushdown(spark, sf_dir):
+    df = REGISTRY["q_tpch_q3"].fn(spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject")
+    assert any("c_mktsegment" in f for f in pushed_filters(df))
