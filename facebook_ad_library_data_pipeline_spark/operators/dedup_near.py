@@ -81,7 +81,11 @@ def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """Exact shingle-set Jaccard for all pairs sharing ≥1 shingle.
     Shuffle plan: one exchange on shingle (the self-join), one on the
     pair key (the count) — nothing else."""
-    ex = exploded_shingles(docs)
+    # Materialize the inverted index ONCE: a self-join otherwise
+    # recomputes the tokenize→shingle→distinct→explode lineage for each
+    # side (2× the CPU of the whole index build). localCheckpoint keeps
+    # it executor-local (memory+disk), no driver roundtrip.
+    ex = exploded_shingles(docs).localCheckpoint(eager=False)
     a = ex.alias("a")
     # shuffle_hash: never broadcast an exploded inverted index — at any
     # real scale it exceeds the broadcast budget, and locally repeated
@@ -173,6 +177,9 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     ≥1 whole band. Shuffles on (band_idx, band_hash) — never all-pairs."""
     k = MINHASH_K
     r = k // bands
+    # One materialization of the signatures; the band self-join below
+    # would otherwise run the whole minhash aggregation twice.
+    sig = sig.localCheckpoint(eager=False)
     band_entries = F.array(
         *[
             F.struct(
@@ -264,7 +271,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole: any pair with Hamming ≤ 3 always shares a band), then
     exact Hamming ≤ 6 filter via bit_count(xor)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = simhash_col(docs)
+    # Materialize fingerprints once — the band self-join would rerun
+    # the 64-sum aggregation per side.
+    sh = simhash_col(docs).localCheckpoint(eager=False)
     banded = sh.select(
         "doc_id",
         "simhash",

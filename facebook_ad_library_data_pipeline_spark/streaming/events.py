@@ -170,6 +170,12 @@ def run_stream_to_memory(
     200 default partitions ≈ 200 state stores for a 3-group aggregate.
     Cap at 32 for the run, restore after."""
     spark = stream_df.sparkSession
+    # Stateful streaming is the op most sensitive to stale broadcast/
+    # shuffle state: ContextCleaner only purges on GC, and after a long
+    # batch session GC may not have run (measured: 9.1s -> 3.0s for the
+    # stateful query after 70 batch queries). One explicit GC before
+    # stream start is ~100ms on a 16g heap.
+    spark.sparkContext._jvm.System.gc()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
     q = (
