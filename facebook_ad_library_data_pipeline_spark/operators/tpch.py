@@ -240,3 +240,453 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+  WHERE r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q_tpch_q7", oracle=_Q7_ORACLE, tags=("tpch", "join", "agg"))
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping), adapted: the classic two-nation pair
+    is empty at tiny SF (10 suppliers over 25 nations), so the filter is
+    region-to-region (ASIA suppliers -> EUROPE customers). Both
+    nation⋈region dims broadcast; the fact chain shuffles on
+    suppkey/orderkey/custkey only."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    supp_dim = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_dim, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q8_ORACLE = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("q_tpch_q8", oracle=_Q8_ORACLE, tags=("tpch", "join", "agg"))
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of ECONOMY-part
+    revenue sold into ASIA, by order year. Conditional-sum ratio in one
+    aggregation pass; part and the two nation dims broadcast."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_dim = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_dim, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q9_ORACLE = """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.6 * p_retailprice * l_quantity AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_type IN ('STANDARD', 'PROMO')
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@query("q_tpch_q9", oracle=_Q9_ORACLE, tags=("tpch", "join", "agg"))
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit), adapted: no partsupp table in the
+    testdata, so supply cost is proxied as 0.6 * p_retailprice (the
+    shape — revenue minus cost rolled up by supplier nation × order
+    year — is preserved). part carries the retailprice into the fact
+    join via broadcast."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").isin("STANDARD", "PROMO")
+    ).select("p_partkey", "p_retailprice")
+    supp_dim = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q11_ORACLE = """
+SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(l_extendedprice * (1 - l_discount)) >
+       0.0006 * (SELECT sum(l_extendedprice * (1 - l_discount)) FROM lineitem)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@query("q_tpch_q11", oracle=_Q11_ORACLE, tags=("tpch", "agg", "subquery"))
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), adapted: no partsupp, so 'value' is
+    lineitem revenue per part, kept when above a fixed fraction of total
+    revenue. The scalar total is a 1-row aggregate broadcast into the
+    HAVING — two passes over the same scan, no self-join shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("rev").alias("raw_value"))
+    total = li.agg(F.sum("rev").alias("total_rev"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("raw_value") > 0.0006 * F.col("total_rev"))
+        .select("l_partkey", F.round("raw_value", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("q_tpch_q13", oracle=_Q13_ORACLE, tags=("tpch", "join", "agg"))
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), adapted: the
+    comment-pattern exclusion becomes an order-priority exclusion. Left
+    outer join so zero-order customers survive with c_count = 0;
+    count(o_orderkey) skips the null right side exactly like SQL. The
+    second aggregate is over ≤ a few dozen distinct counts — trivially
+    small shuffle."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_orderkey", "o_custkey")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@query("q_tpch_q15", oracle=_Q15_ORACLE, tags=("tpch", "agg", "subquery"))
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+    the max. Revenue is rounded BEFORE the max-equality so the
+    comparison is on stable 2-dp values in both engines. The aggregate
+    is supplier-cardinality (tiny) — its max broadcasts back in."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q17_ORACLE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+      SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@query("q_tpch_q17", oracle=_Q17_ORACLE, tags=("tpch", "subquery", "agg"))
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted to the flat
+    p_brand domain (no p_container). The correlated per-part avg is
+    decorrelated into one groupBy over lineitem joined back on partkey —
+    the classic rewrite Catalyst itself would produce; brand-filtered
+    part broadcasts into both sides."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    brand_li = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    part_avg = (
+        brand_li.groupBy(F.col("l_partkey").alias("avg_partkey"))
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_cutoff"))
+    )
+    return (
+        brand_li.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cutoff"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum(l_quantity) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+@query("q_tpch_q18", oracle=_Q18_ORACLE, tags=("tpch", "subquery", "agg", "topk"))
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large volume customers): IN-subquery on an aggregate
+    HAVING → left-semi join against the grouped qty filter. The heavy
+    orderkeys list is small after HAVING (top fraction of orders) and
+    broadcasts; o_orderkey added to the sort for a deterministic top
+    100 under totalprice ties."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sum_qty")).filter(
+        F.col("sum_qty") > 300
+    ).select(F.col("l_orderkey").alias("big_orderkey"))
+    o = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("big_orderkey"), "left_semi"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+_Q19_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("q_tpch_q19", oracle=_Q19_ORACLE, tags=("tpch", "join", "pushdown"))
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue — disjunctive predicates), adapted
+    to flat brand/size/quantity domains. The OR-of-ANDs spans both join
+    sides, but Catalyst derives the per-side prunable residuals
+    (p_brand IN (...) to the part scan, l_quantity range union to the
+    lineitem scan) before evaluating the full disjunction post-join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_Q22_ORACLE = """
+SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q_tpch_q22", oracle=_Q22_ORACLE, tags=("tpch", "subquery", "agg"))
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: phone-prefix
+    country buckets become c_mktsegment, and 'never ordered' becomes
+    'no order since 2000-01-01' (every testdata customer has old
+    orders). Scalar avg broadcasts; the NOT EXISTS is a left-anti join
+    against date-filtered orders — the anti side is pre-shrunk by the
+    pushed date predicate before the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("c_mktsegment")
+    )

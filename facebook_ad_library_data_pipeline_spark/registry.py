@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.functions.arrays",
     "facebook_ad_library_data_pipeline_spark.functions.ivf",
     "facebook_ad_library_data_pipeline_spark.streaming.events",
+    "facebook_ad_library_data_pipeline_spark.streaming.joins",
     "facebook_ad_library_data_pipeline_spark.streaming.stateful",
     "facebook_ad_library_data_pipeline_spark.multimodal.media",
 ]

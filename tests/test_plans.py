@@ -64,3 +64,51 @@ def test_q3_topk_heap_and_segment_pushdown(spark, sf_dir):
     df = REGISTRY["q_tpch_q3"].fn(spark, sf_dir)
     assert has_node(df, "TakeOrderedAndProject")
     assert any("c_mktsegment" in f for f in pushed_filters(df))
+
+
+def test_q6_full_predicate_pushdown(spark, sf_dir):
+    # the whole WHERE clause is range predicates — all three columns
+    # must reach the parquet scan, and the scan must read only 4 cols
+    df = REGISTRY["q_tpch_q6"].fn(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pf, f"{c} not pushed: {pf}"
+    assert scan_column_counts(df) == [4]
+
+
+def test_q5_dims_broadcast_facts_shuffle(spark, sf_dir):
+    df = REGISTRY["q_tpch_q5"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin")  # nation⋈region / supplier dim
+
+
+def test_q10_topk_heap(spark, sf_dir):
+    df = REGISTRY["q_tpch_q10"].fn(spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject")
+    assert any("l_returnflag" in f for f in pushed_filters(df))
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    df = REGISTRY["q_tpch_q4"].fn(spark, sf_dir)
+    assert has_node(df, "LeftSemi")
+    # lineitem side pruned to the 2 needed columns
+    assert 2 in scan_column_counts(df)
+
+
+def test_q18_in_is_semi_join_with_topk(spark, sf_dir):
+    df = REGISTRY["q_tpch_q18"].fn(spark, sf_dir)
+    assert has_node(df, "LeftSemi")
+    assert has_node(df, "TakeOrderedAndProject")
+
+
+def test_q19_disjunction_residuals_pushed(spark, sf_dir):
+    # Catalyst must derive per-side prunable residuals from the OR-of-ANDs
+    df = REGISTRY["q_tpch_q19"].fn(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "p_brand" in pf, f"no part-side residual pushed: {pf}"
+    assert "l_quantity" in pf, f"no lineitem-side residual pushed: {pf}"
+
+
+def test_q22_anti_join_after_date_pushdown(spark, sf_dir):
+    df = REGISTRY["q_tpch_q22"].fn(spark, sf_dir)
+    assert has_node(df, "LeftAnti")
+    assert any("o_orderdate" in f for f in pushed_filters(df))

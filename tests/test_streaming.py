@@ -50,3 +50,15 @@ def test_session_windows_partition_events(spark, sf_dir):
     n_events = load_table(spark, sf_dir, "events").count()
     assert sum(r.n_events for r in sessions) == n_events
     assert all(r.session_start <= r.last_event_ts for r in sessions)
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    stream = REGISTRY["q_stream_static_join"].fn(spark, sf_dir).collect()
+    batch = REGISTRY["q_join_events_dim"].fn(spark, sf_dir).collect()
+    assert _as_set(stream) == _as_set(batch)
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    stream = REGISTRY["q_stream_stream_join"].fn(spark, sf_dir).collect()
+    batch = REGISTRY["q_interval_join_pairs"].fn(spark, sf_dir).collect()
+    assert _as_set(stream) == _as_set(batch)
