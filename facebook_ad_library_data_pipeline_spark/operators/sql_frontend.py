@@ -1,0 +1,99 @@
+"""The SQL front end: the same engine surface through ``spark.sql``.
+
+The reference has no query language at all (SURVEY.md §3 — a "query"
+is a hard-coded imperative stage); everything else in this repo drives
+Catalyst through the DataFrame API. These entries prove the identical
+plans are reachable through ANSI SQL text over registered temp views —
+which is how analysts would actually use the engine — and they land on
+the same physical operators (codegen'd hash aggregate, broadcast join,
+TakeOrderedAndProject) because both front ends meet in the same
+logical-plan layer.
+
+The oracle strings are near-verbatim the submitted SQL: the point of
+the test is front-end fidelity, not translation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from ..registry import query
+
+_SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("q_sql_revenue_by_nation", oracle=_SQL_REVENUE_BY_NATION, tags=("sql", "join", "agg"))
+def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL multiway join + aggregate over temp views; the oracle
+    is the same text run by DuckDB. nation auto-broadcasts (under the
+    10 MB threshold) without hints — the SQL front end inherits every
+    Catalyst physical strategy."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_REVENUE_BY_NATION)
+
+
+_SQL_TOP_CUSTOMER_PER_SEGMENT = """
+SELECT c_mktsegment, c_custkey, total_spend
+FROM (
+  SELECT c_mktsegment, c_custkey,
+         round(sum(o_totalprice), 2) AS total_spend,
+         row_number() OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY sum(o_totalprice) DESC, c_custkey
+         ) AS rn
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_mktsegment, c_custkey
+) ranked
+WHERE rn <= 3
+ORDER BY c_mktsegment, total_spend DESC, c_custkey
+"""
+
+
+@query(
+    "q_sql_top_customer_per_segment",
+    oracle=_SQL_TOP_CUSTOMER_PER_SEGMENT,
+    tags=("sql", "window", "topk"),
+)
+def q_sql_top_customer_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL window-over-aggregate (top-3 spenders per segment) with a
+    c_custkey tie-break so row_number is total-ordered — the same
+    determinism rule every DataFrame-side window query here follows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_TOP_CUSTOMER_PER_SEGMENT)
+
+
+_SQL_CTE_YOY = """
+WITH yearly AS (
+  SELECT year(o_orderdate) AS order_year,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  GROUP BY year(o_orderdate)
+)
+SELECT order_year,
+       revenue,
+       round(revenue - lag(revenue) OVER (ORDER BY order_year), 2) AS yoy_delta
+FROM yearly
+ORDER BY order_year
+"""
+
+
+@query("q_sql_cte_yoy", oracle=_SQL_CTE_YOY, tags=("sql", "window", "agg"))
+def q_sql_cte_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + lag window (year-over-year revenue delta) in pure SQL.
+    The single-partition window is fine HERE because `yearly` is
+    year-cardinality (≤ 10 rows) — the same pattern over a fact table
+    would need a partition key."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_CTE_YOY)

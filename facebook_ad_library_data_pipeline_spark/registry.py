@@ -45,6 +45,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.operators.subqueries",
     "facebook_ad_library_data_pipeline_spark.operators.tpch",
     "facebook_ad_library_data_pipeline_spark.operators.sketches",
+    "facebook_ad_library_data_pipeline_spark.operators.sql_frontend",
     "facebook_ad_library_data_pipeline_spark.operators.cdc",
     "facebook_ad_library_data_pipeline_spark.operators.skew",
     "facebook_ad_library_data_pipeline_spark.operators.timeseries",

@@ -82,3 +82,11 @@ def schema_drift(declared: T.StructType, observed: T.StructType) -> dict[str, li
         "removed": sorted(set(d) - set(o)),
         "retyped": sorted(k for k in set(d) & set(o) if d[k] != o[k]),
     }
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan — same Catalyst pushdown/pruning path as parquet."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -45,3 +45,16 @@ def write_report_csv(report: DataFrame, path: str, mode: str = "overwrite") -> N
 def write_raw_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S5 mapping: raw-zone landing as line-delimited JSON."""
     df.write.mode(mode).json(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """ORC sink (beyond the reference's JSON/Parquet/CSV surface):
+    Spark-native columnar alternative with the same pushdown/pruning
+    behavior as parquet; included so a warehouse standardized on ORC
+    can consume the curated zone directly."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -91,3 +91,22 @@ def test_schema_drift_sidecar(spark, tmp_path):
     drift = schema_drift(declared, observed)
     assert "extra" in drift["added"]
     assert "text" in drift["removed"]
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from facebook_ad_library_data_pipeline_spark.sources.readers import read_orc
+    from facebook_ad_library_data_pipeline_spark.sources.writers import write_orc
+    from facebook_ad_library_data_pipeline_spark.catalog import load_table
+    from facebook_ad_library_data_pipeline_spark.plans.explain import pushed_filters
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out, partition_by=["o_orderstatus"])
+    back = read_orc(spark, out)
+    assert back.count() == orders.count()
+    f = back.filter(F.col("o_totalprice") > 1000).filter(F.col("o_orderstatus") == "O")
+    # value predicate pushed to the ORC scan; partition column pruned
+    assert any("o_totalprice" in p for p in pushed_filters(f))
+    assert f.count() == orders.filter(
+        (F.col("o_totalprice") > 1000) & (F.col("o_orderstatus") == "O")
+    ).count()
