@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.4: algebraic
+invariants that must hold for ANY input, not just the fixtures.
+
+Each example builds a small in-memory DataFrame; examples are capped
+(Spark-job cost per example ≈ 100 ms) and deadline disabled — the
+properties are about semantics, not speed.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from facebook_ad_library_data_pipeline_spark.operators.dedup import dedup_keep_first
+from facebook_ad_library_data_pipeline_spark.operators.quality import (
+    validation_error_column,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),            # key (collides often)
+        st.one_of(st.none(), st.integers(0, 3)),          # nullable key
+        st.integers(min_value=-100, max_value=100),       # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_dedup_keep_first_idempotent_and_first_wins(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k, nk, v) for i, (k, nk, v) in enumerate(rows)],
+        "pos long, k long, nk long, v long",
+    )
+    once = dedup_keep_first(df, ["k"], ["pos"])
+    twice = dedup_keep_first(once, ["k"], ["pos"])
+    got = sorted(tuple(r) for r in once.collect())
+    # idempotence
+    assert sorted(tuple(r) for r in twice.collect()) == got
+    # exactly one survivor per key, and it is the first by pos
+    expected = {}
+    for i, (k, nk, v) in enumerate(rows):
+        if k not in expected:
+            expected[k] = (i, k, nk, v)
+    assert got == sorted(expected.values())
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_dedup_null_keys_collapse_like_pandas(spark, rows):
+    # D2 semantics (SURVEY.md §2.A): null keys form ONE group — only
+    # the first null-key row survives, replicating pandas keep="first".
+    df = spark.createDataFrame(
+        [(i, k, nk, v) for i, (k, nk, v) in enumerate(rows)],
+        "pos long, k long, nk long, v long",
+    )
+    got = dedup_keep_first(df, ["nk"], ["pos"]).collect()
+    null_rows = [r for r in got if r.nk is None]
+    assert len(null_rows) == (1 if any(nk is None for _, nk, _ in rows) else 0)
+    if null_rows:
+        first_null_pos = next(i for i, (_, nk, _) in enumerate(rows) if nk is None)
+        assert null_rows[0].pos == first_null_pos
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_validate_split_partitions_input(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k, nk, v) for i, (k, nk, v) in enumerate(rows)],
+        "pos long, k long, nk long, v long",
+    )
+    err = validation_error_column(
+        [
+            ("v_nonnegative", F.col("v") >= 0),
+            ("nk_present", F.col("nk").isNotNull()),
+        ]
+    )
+    flagged = df.withColumn("validation_error", err)
+    valid = flagged.filter(F.col("validation_error").isNull())
+    invalid = flagged.filter(F.col("validation_error").isNotNull())
+    # exact partition: disjoint union back to the input, no row lost
+    assert valid.count() + invalid.count() == len(rows)
+    got_pos = sorted(r.pos for r in valid.collect()) + sorted(
+        r.pos for r in invalid.collect()
+    )
+    assert sorted(got_pos) == list(range(len(rows)))
+    # every invalid row's error names at least one genuinely failed rule
+    for r in invalid.collect():
+        k, nk, v = rows[r.pos][0], rows[r.pos][1], rows[r.pos][2]
+        assert ("v_nonnegative" in r.validation_error) == (v < 0) or (
+            "nk_present" in r.validation_error
+        ) == (nk is None)
+
+
+@given(rows=rows_strategy, k=st.integers(min_value=1, max_value=5))
+@SETTINGS
+def test_topk_is_k_maxima_of_filter(spark, rows, k):
+    df = spark.createDataFrame(
+        [(i, kk, nk, v) for i, (kk, nk, v) in enumerate(rows)],
+        "pos long, k long, nk long, v long",
+    )
+    filtered = df.filter(F.col("v") >= 0)
+    top = filtered.orderBy(F.desc("v"), F.asc("pos")).limit(k).collect()
+    pool = sorted(
+        ((r.v, -r.pos) for r in filtered.collect()), reverse=True
+    )
+    expect = [(v, -negpos) for v, negpos in pool[:k]]
+    assert [(r.v, r.pos) for r in top] == [(v, p) for v, p in expect]
+    # top-k ⊆ filtered set
+    filtered_pos = {r.pos for r in filtered.collect()}
+    assert all(r.pos in filtered_pos for r in top)
