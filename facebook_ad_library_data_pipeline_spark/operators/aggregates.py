@@ -235,3 +235,38 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_MOMENTS_ORACLE = """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+       round(var_samp(l_quantity), 4) AS qty_var,
+       round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+       round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_covar,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_stats_moments", oracle=_MOMENTS_ORACLE, tags=("agg", "stats"))
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (stddev/variance/correlation/covariance)
+    — one-pass co-moment accumulators with map-side partials, exactly
+    as mergeable at 100 TB as sum/count (both engines use numerically
+    stable co-moment updates; rounded to kill last-ulp divergence)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+            F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias(
+                "price_disc_covar"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
