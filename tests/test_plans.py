@@ -112,3 +112,18 @@ def test_q22_anti_join_after_date_pushdown(spark, sf_dir):
     df = REGISTRY["q_tpch_q22"].fn(spark, sf_dir)
     assert has_node(df, "LeftAnti")
     assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_sql_frontend_same_physical_strategies(spark, sf_dir):
+    # the SQL front end must land on the same physical operators the
+    # DataFrame API gets: broadcast for the nation dim, hash aggregate
+    df = REGISTRY["q_sql_revenue_by_nation"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin")
+    assert has_node(df, "HashAggregate")
+
+
+def test_q21_semi_anti_decorrelation(spark, sf_dir):
+    df = REGISTRY["q_tpch_q21"].fn(spark, sf_dir)
+    assert has_node(df, "LeftSemi")
+    assert has_node(df, "LeftAnti")
+    assert has_node(df, "TakeOrderedAndProject")
