@@ -97,3 +97,29 @@ def q_sql_cte_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     would need a partition key."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_CTE_YOY)
+
+
+_SQL_LATERAL_LATEST = """
+SELECT c_custkey, c_mktsegment, o.o_orderkey AS latest_orderkey,
+       o.o_orderdate AS latest_orderdate, round(o.o_totalprice, 2) AS latest_totalprice
+FROM customer,
+LATERAL (
+  SELECT o_orderkey, o_orderdate, o_totalprice
+  FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 1
+) o
+ORDER BY c_custkey
+"""
+
+
+@query("q_sql_lateral_latest_order", oracle=_SQL_LATERAL_LATEST, tags=("sql", "lateral", "topk"))
+def q_sql_lateral_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (latest order per customer) — the
+    per-row-subquery front-end shape. Catalyst decorrelates it to a
+    window/aggregate join, NOT an O(customers × orders) nested loop;
+    (o_orderdate, o_orderkey) DESC makes the pick total-ordered so both
+    engines choose the same row."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_LATEST)
