@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
+from ..functions.money import money_sum, money_sum_sql
 from ..registry import query
 
 _Q1_ORACLE = """
@@ -176,10 +177,10 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HAVING_ORACLE = """
+_HAVING_ORACLE = f"""
 SELECT o_custkey,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       {money_sum_sql("o_totalprice")} AS revenue
 FROM orders
 GROUP BY o_custkey
 HAVING count(*) >= 12
@@ -188,13 +189,15 @@ HAVING count(*) >= 12
 
 @query("q_having", oracle=_HAVING_ORACLE, tags=("agg",))
 def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Post-aggregation filter (HAVING) — a plain filter above the agg."""
+    """Post-aggregation filter (HAVING) — a plain filter above the agg.
+    Per-custkey money sums in exact decimal (fine-grained groups — the
+    q_join_multiway risk class, functions/money.py)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
         )
         .filter(F.col("n_orders") >= 12)
     )
@@ -229,11 +232,25 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx — the scalable quantile sketch (exact
     percentile needs a full sort; the sketch shuffles O(1) state).
-    Sketch-dependent values → rows-only; bounds asserted in tests."""
+    Sketch-dependent values → rows-only; bounds asserted in tests.
+
+    Emits three SCALAR columns, not one array<double>: the driver's
+    rows-only canonicalizer (pandas sort) crashes on unhashable list
+    cells (round-1 CORRECTNESS err)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+            "n",
+        )
     )
 
 

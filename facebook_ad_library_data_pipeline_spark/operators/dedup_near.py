@@ -167,9 +167,19 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (K=32, xxhash64 seeded 0..31). Rows-only:
     hash values are engine-specific; estimator accuracy is asserted in
-    tests/test_neardup.py against exact Jaccard."""
+    tests/test_neardup.py against exact Jaccard.
+
+    Emits a scalar digest of the signature plus its first/last
+    components — never the array itself: the driver's rows-only
+    canonicalizer crashes on array cells (round-1 q_percentiles err)."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(docs)
+    sig = minhash_signatures(docs)
+    return sig.select(
+        "doc_id",
+        F.xxhash64("sig").alias("sig_digest"),
+        F.element_at("sig", 1).alias("sig_first"),
+        F.element_at("sig", MINHASH_K).alias("sig_last"),
+    )
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS) -> DataFrame:

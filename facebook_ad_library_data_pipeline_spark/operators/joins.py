@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.money import money_sum, money_sum_sql
 from ..registry import query
 
 _REGION_REV_ORACLE = """
@@ -52,11 +53,11 @@ def q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LEFT_ORACLE = """
+_LEFT_ORACLE = f"""
 SELECT c_custkey,
        c_mktsegment,
        count(o_orderkey) AS n_big_open_orders,
-       round(coalesce(sum(o_totalprice), 0), 2) AS open_revenue
+       coalesce({money_sum_sql("o_totalprice")}, 0.0) AS open_revenue
 FROM customer
 LEFT JOIN orders ON o_custkey = c_custkey
                 AND o_orderstatus = 'O'
@@ -79,7 +80,7 @@ def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_big_open_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("open_revenue"),
+            F.coalesce(money_sum(F.col("o_totalprice")), F.lit(0.0)).alias("open_revenue"),
         )
     )
 
@@ -134,10 +135,10 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
-_MULTIWAY_ORACLE = """
+_MULTIWAY_ORACLE = f"""
 SELECT p_brand,
        s_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
        round(sum(l_quantity), 2) AS total_qty
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
@@ -151,7 +152,9 @@ GROUP BY p_brand, s_name
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact ⋈ two broadcast dims with a dim-side filter — Catalyst
     pushes p_type='PROMO' below the join (dim pre-filtered before
-    broadcast)."""
+    broadcast). Revenue sums in exact decimal (see functions/money.py):
+    2,409 (brand, supplier) groups is exactly the granularity where a
+    double sum's order-dependent last ulp flips a rounded cent."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -160,9 +163,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )

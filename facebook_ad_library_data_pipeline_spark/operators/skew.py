@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.money import money_sum, money_sum_sql
 from ..registry import query
 
 SALT = 8
@@ -40,10 +41,10 @@ def salted_join(
     return out.drop("__salt")
 
 
-_SALTED_ORACLE = """
+_SALTED_ORACLE = f"""
 SELECT c_mktsegment,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       {money_sum_sql("o_totalprice")} AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
@@ -60,5 +61,5 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(orders, customer, "o_custkey", "c_custkey")
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        money_sum(F.col("o_totalprice")).alias("revenue"),
     )

@@ -22,7 +22,8 @@ from ..registry import query
 
 _SQL_REVENUE_BY_NATION = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -48,10 +49,10 @@ _SQL_TOP_CUSTOMER_PER_SEGMENT = """
 SELECT c_mktsegment, c_custkey, total_spend
 FROM (
   SELECT c_mktsegment, c_custkey,
-         round(sum(o_totalprice), 2) AS total_spend,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_spend,
          row_number() OVER (
              PARTITION BY c_mktsegment
-             ORDER BY sum(o_totalprice) DESC, c_custkey
+             ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,6))) DESC, c_custkey
          ) AS rn
   FROM customer JOIN orders ON c_custkey = o_custkey
   GROUP BY c_mktsegment, c_custkey
@@ -77,7 +78,7 @@ def q_sql_top_customer_per_segment(spark: SparkSession, sf_dir: str) -> DataFram
 _SQL_CTE_YOY = """
 WITH yearly AS (
   SELECT year(o_orderdate) AS order_year,
-         round(sum(o_totalprice), 2) AS revenue
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
   FROM orders
   GROUP BY year(o_orderdate)
 )

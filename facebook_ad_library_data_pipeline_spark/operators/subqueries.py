@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.money import money_sum, money_sum_sql
 from ..registry import query
 
 
@@ -119,9 +120,9 @@ def q_subquery_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CORR_SCALAR_ORACLE)
 
 
-_Q3_ORACLE = """
+_Q3_ORACLE = f"""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
        o_orderdate,
        o_orderpriority
 FROM customer
@@ -153,11 +154,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)

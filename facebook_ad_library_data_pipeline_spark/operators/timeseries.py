@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.money import DECIMAL_T, money_sum, money_sum_sql
 from ..registry import query
 
 _RESAMPLE_ORACLE = """
@@ -20,7 +21,7 @@ WITH bounds AS (
 ), agg AS (
     SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1
 )
@@ -40,7 +41,7 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hourly = (
         e.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), money_sum(F.col("value")).alias("total_value"))
         .select(F.col("w.start").alias("bucket"), "n", "total_value")
     )
     bounds = e.agg(
@@ -68,8 +69,10 @@ SELECT o_orderkey,
        o_totalprice,
        count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                       RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_similar_cheaper,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-                      RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING), 2) AS band_revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                      OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING), 2)
+            AS DOUBLE) AS band_revenue
 FROM orders
 """
 
@@ -91,7 +94,12 @@ def q_window_range_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_totalprice",
         F.count(F.lit(1)).over(w_past).alias("n_similar_cheaper"),
-        F.round(F.sum("o_totalprice").over(w_band), 2).alias("band_revenue"),
+        # Per-ROW window sums are the finest-grained money aggregate in
+        # the repo — decimal summation (functions/money.py) or a frame's
+        # addition order flips rounded cents between engines.
+        F.round(F.sum(F.col("o_totalprice").cast(DECIMAL_T)).over(w_band), 2)
+        .cast("double")
+        .alias("band_revenue"),
     )
 
 

@@ -25,7 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.money import dec_sum, dec_sum_sql, money_sum, money_sum_sql
 from ..registry import query
+
+# Per-row double products are IEEE-identical across engines; summing
+# them as DECIMAL(18,6) makes every money aggregate order-independent
+# (functions/money.py — the q_join_multiway round-1 lesson applied
+# fleet-wide before the driver's hash reaches these queries).
+_REV = "l_extendedprice * (1 - l_discount)"
 
 _Q4_ORACLE = """
 SELECT o_orderpriority, count(*) AS order_count
@@ -67,8 +74,8 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q5_ORACLE = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+_Q5_ORACLE = f"""
+SELECT n_name, {money_sum_sql(_REV)} AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -114,17 +121,13 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
-_Q6_ORACLE = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+_Q6_ORACLE = f"""
+SELECT {money_sum_sql("l_extendedprice * l_discount")} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -148,12 +151,12 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
-_Q10_ORACLE = """
-SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, {money_sum_sql(_REV)} AS revenue,
        round(c_acctbal, 2) AS acctbal, n_name
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -189,11 +192,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -206,10 +205,9 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q14_ORACLE = """
-SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
-                               THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+_Q14_ORACLE = f"""
+SELECT round(100.00 * {dec_sum_sql(f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END")}
+             / {dec_sum_sql(_REV)}, 4) AS promo_revenue_pct
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -234,16 +232,18 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
+                * dec_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))).cast(
+                    "double"
+                )
+                / dec_sum(rev).cast("double"),
                 4,
             ).alias("promo_revenue_pct")
         )
     )
 
 
-_Q7_ORACLE = """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year, {money_sum_sql("volume")} AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
@@ -299,19 +299,15 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust_dim, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
-_Q8_ORACLE = """
+_Q8_ORACLE = f"""
 SELECT o_year,
-       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume), 6) AS mkt_share
+       round({dec_sum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+             / {dec_sum_sql("volume")}, 6) AS mkt_share
 FROM (
   SELECT year(o_orderdate) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
@@ -369,8 +365,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
+                dec_sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+                ).cast("double")
+                / dec_sum(vol).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -378,8 +376,8 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q9_ORACLE = """
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+_Q9_ORACLE = f"""
+SELECT nation, o_year, {money_sum_sql("amount")} AS sum_profit
 FROM (
   SELECT n_name AS nation, year(o_orderdate) AS o_year,
          l_extendedprice * (1 - l_discount)
@@ -427,17 +425,17 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(money_sum(amount).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
-_Q11_ORACLE = """
-SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+_Q11_ORACLE = f"""
+SELECT l_partkey, {money_sum_sql(_REV)} AS part_value
 FROM lineitem
 GROUP BY l_partkey
-HAVING sum(l_extendedprice * (1 - l_discount)) >
-       0.0006 * (SELECT sum(l_extendedprice * (1 - l_discount)) FROM lineitem)
+HAVING {dec_sum_sql(_REV)} >
+       0.0006 * (SELECT {dec_sum_sql(_REV)} FROM lineitem)
 ORDER BY part_value DESC, l_partkey
 """
 
@@ -451,8 +449,8 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
     )
-    per_part = li.groupBy("l_partkey").agg(F.sum("rev").alias("raw_value"))
-    total = li.agg(F.sum("rev").alias("total_rev"))
+    per_part = li.groupBy("l_partkey").agg(dec_sum(F.col("rev")).cast("double").alias("raw_value"))
+    total = li.agg(dec_sum(F.col("rev")).cast("double").alias("total_rev"))
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("raw_value") > 0.0006 * F.col("total_rev"))
@@ -497,10 +495,10 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q15_ORACLE = """
+_Q15_ORACLE = f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         {money_sum_sql(_REV)} AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -524,9 +522,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -539,8 +535,8 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q17_ORACLE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+_Q17_ORACLE = f"""
+SELECT round({dec_sum_sql("l_extendedprice")} / 7.0, 2) AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#3'
@@ -571,7 +567,11 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         brand_li.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cutoff"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(dec_sum(F.col("l_extendedprice")).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
     )
 
 
@@ -615,8 +615,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q19_ORACLE = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+_Q19_ORACLE = f"""
+SELECT {money_sum_sql(_REV)} AS revenue
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -647,11 +647,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 

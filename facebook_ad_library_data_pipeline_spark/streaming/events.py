@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import SCHEMAS, load_table
+from ..functions.money import money_sum
 from ..registry import query
 
 # ------------------------------------------------------------- batch twins
@@ -32,7 +33,7 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -47,7 +48,7 @@ _TUMBLING_ORACLE = """
 SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
        event_type,
        count(*) AS n,
-       round(sum(value), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -72,7 +73,7 @@ WITH starts AS (
 )
 SELECT window_start, event_type,
        count(*) AS n,
-       round(sum(value), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
 FROM exploded
 GROUP BY 1, 2
 """
@@ -87,7 +88,7 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum(F.col("value")).alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )

@@ -22,7 +22,11 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        # Full shortest-round-trip precision (repr). Round 1 lesson: a
+        # %.6g compare passed q_join_multiway locally while the driver's
+        # exact hash failed it on 1-cent double-sum-order diffs — the
+        # local sweep must be at least as strict as the driver.
+        return repr(v)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)):
