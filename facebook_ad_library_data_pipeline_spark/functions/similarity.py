@@ -4,9 +4,12 @@ Three tiers, by scale:
 
 * **q_embedding_topk** — query-vs-corpus brute force: O(n), one scan,
   TakeOrderedAndProject top-k. THE baseline; correct at any scale.
-* **q_embedding_neardup_sampled** — exact all-pairs cosine on a
-  deterministic key sample (vec_id % 20 == 0): the audit pattern — at
-  sf0.1 the sample keeps the pair count ~n²/400.
+* **q_embedding_neardup_sampled** — exact all-pairs cosine on an
+  ABSOLUTE-SIZE deterministic sample: the SAMPLE_N vectors with the
+  smallest Lehmer-permuted ids (a TakeOrdered top-k, no sort of the
+  corpus). Pair count is C(SAMPLE_N, 2) regardless of corpus size —
+  the r01/r02 `% 20` rate sample kept the audit quadratic (pairs grew
+  (n/20)²).
 * **q_ann_lsh_topk** — random-hyperplane LSH: bucket vectors by the
   sign pattern of dot products with 8 deterministic hyperplanes
   (integer LCG — no RNG at runtime), search only the query's bucket.
@@ -27,7 +30,15 @@ from ..registry import query
 
 QUERY_VEC_ID = 0
 NEARDUP_COS_THRESHOLD = 0.4
-SAMPLE_MOD = 20
+# Fixed audit-sample size: C(512,2) ≈ 131k cosine pairs whether the
+# corpus is 10⁴ or 10¹² vectors. The sample is the 512 smallest values
+# of a Lehmer permutation of vec_id — deterministic, pseudo-random,
+# and expressible identically in Spark and DuckDB (multiplier 48271
+# cannot overflow a 64-bit long under ANSI mode for any vec_id below
+# ~1.9e14).
+SAMPLE_N = 512
+_LEHMER_A = 48271
+_LEHMER_M = 2147483647
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -78,13 +89,17 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEARDUP_ORACLE = f"""
+WITH s AS (
+    SELECT vec_id, embedding
+    FROM embeddings
+    ORDER BY (vec_id * {_LEHMER_A}) % {_LEHMER_M}, vec_id
+    LIMIT {SAMPLE_N}
+)
 SELECT a.vec_id AS v1,
        b.vec_id AS v2,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
-FROM embeddings a
-JOIN embeddings b
-  ON a.vec_id < b.vec_id
- AND a.vec_id % {SAMPLE_MOD} = 0 AND b.vec_id % {SAMPLE_MOD} = 0
+FROM s a
+JOIN s b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= {NEARDUP_COS_THRESHOLD}
 """
@@ -92,12 +107,21 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 @query("q_embedding_neardup_sampled", oracle=_NEARDUP_ORACLE, tags=("llm", "similarity", "dedup"))
 def q_embedding_neardup_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs on a deterministic 5% key sample
-    (the quadratic audit stays bounded as data grows; the full-corpus
-    path is q_ann_lsh_topk's bucketed join)."""
-    emb = _emb_double(spark, sf_dir).filter(F.col("vec_id") % SAMPLE_MOD == 0)
-    a = emb.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"))
-    b = emb.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"))
+    """Embedding-cosine near-dup pairs on a fixed-size deterministic
+    sample (SAMPLE_N smallest Lehmer-permuted vec_ids — TakeOrdered,
+    never a full sort). The quadratic audit cost is constant in corpus
+    size; the full-corpus path is q_ann_lsh_topk's bucketed join."""
+    emb = _emb_double(spark, sf_dir)
+    sample = (
+        emb.withColumn("perm", (F.col("vec_id") * _LEHMER_A) % _LEHMER_M)
+        .orderBy("perm", "vec_id")
+        .limit(SAMPLE_N)
+        .select("vec_id", "emb")
+    )
+    a = sample.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"))
+    # SAMPLE_N rows × 64 doubles ≈ 300 KB — broadcast the right side so
+    # the pair join never shuffles the corpus-derived sample twice.
+    b = F.broadcast(sample.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2")))
     cos = cosine(F.col("e1"), F.col("e2"))
     return (
         a.join(b, F.col("v1") < F.col("v2"))

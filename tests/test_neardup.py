@@ -73,3 +73,48 @@ def test_minhash_identical_docs_identical_sigs(spark):
     cands = lsh_candidate_pairs(minhash_signatures(docs)).collect()
     est = {(r.d1, r.d2): r.est_jaccard for r in cands}
     assert est.get((1, 2)) == 1.0
+
+
+def test_shingle_df_cap_bounds_hot_shingle_blowup(spark):
+    """One shingle shared by MANY docs must not quadratically explode the
+    candidate join: with the cap, pairs that ONLY share the hot shingle
+    disappear, while genuinely near-dup pairs survive untouched."""
+    hot = "click here now"  # one 3-gram every doc shares
+    docs = [(i, f"{hot} unique{i} filler{i} tail{i} pad{i}") for i in range(1, 41)]
+    # plus one planted true near-dup pair that shares most shingles
+    docs += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = jaccard_pairs(df, 0.05, max_shingle_df=None)
+    # every pair of the 40 hot docs shares the hot shingle → C(40,2) pairs
+    assert uncapped.filter(F.col("d1") < 100).count() == 40 * 39 // 2
+    capped = jaccard_pairs(df, 0.05, max_shingle_df=10)
+    # hot-shingle-only pairs are gone...
+    assert capped.filter(F.col("d1") < 100).count() == 0
+    # ...and the planted near-dup pair survives with its exact score:
+    # shingle sets of 100/101 share 5 of 6 3-grams (J = 5/7), none hot.
+    survivors = {(r.d1, r.d2): r.jaccard for r in capped.collect()}
+    assert (100, 101) in survivors
+    assert abs(survivors[(100, 101)] - 5 / 7) < 1e-6
+
+
+def test_shingle_cap_default_inactive_on_testdata(spark, sf_dir):
+    """SHINGLE_DF_CAP must sit far above any real testdata df so the
+    oracle-checked queries are unaffected by the cap."""
+    from facebook_ad_library_data_pipeline_spark.operators.dedup_near import (
+        SHINGLE_DF_CAP,
+        exploded_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_df = (
+        exploded_shingles(docs)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert max_df <= SHINGLE_DF_CAP // 4, (max_df, SHINGLE_DF_CAP)
