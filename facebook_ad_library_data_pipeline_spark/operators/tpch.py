@@ -449,12 +449,19 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
     )
-    per_part = li.groupBy("l_partkey").agg(dec_sum(F.col("rev")).cast("double").alias("raw_value"))
+    # part_value rounds the exact decimal (money_sum) like every other
+    # money aggregate; the unrounded double is kept ONLY for the HAVING
+    # comparison (ADVICE r02: rounding the double-cast sum can diverge
+    # once a per-part sum stops round-tripping through double).
+    per_part = li.groupBy("l_partkey").agg(
+        money_sum(F.col("rev")).alias("part_value"),
+        dec_sum(F.col("rev")).cast("double").alias("raw_value"),
+    )
     total = li.agg(dec_sum(F.col("rev")).cast("double").alias("total_rev"))
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("raw_value") > 0.0006 * F.col("total_rev"))
-        .select("l_partkey", F.round("raw_value", 2).alias("part_value"))
+        .select("l_partkey", "part_value")
         .orderBy(F.desc("part_value"), "l_partkey")
     )
 
@@ -795,4 +802,195 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
+    )
+
+
+# ------------------------------------------------------------------ Q2/Q16/Q20
+# The last three public TPC-H shapes, blocked until r02 on the absent
+# partsupp table. Adaptation: lineitem's observed (l_partkey, l_suppkey)
+# pairs ARE the part-supplier catalog (reference Q2's ps_supplycost →
+# min observed unit price; Q20's ps_availqty → shipped quantity).
+
+_Q2_ORACLE = """
+WITH cost AS (
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           min(l_extendedprice / l_quantity) AS supplycost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+),
+eur AS (
+    SELECT c.partkey, c.suppkey, c.supplycost,
+           s.s_acctbal, s.s_name, n.n_name
+    FROM cost c
+    JOIN supplier s ON c.suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type, e.supplycost
+FROM part p
+JOIN eur e ON p.p_partkey = e.partkey
+WHERE p.p_size = 15
+  AND p.p_type = 'STANDARD'
+  AND e.supplycost = (SELECT min(e2.supplycost) FROM eur e2
+                      WHERE e2.partkey = p.p_partkey)
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+@query("q_tpch_q2", oracle=_Q2_ORACLE, tags=("tpch", "join", "subquery", "topk"))
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier), adapted: no partsupp, so the
+    part-supplier catalog is the DISTINCT observed (l_partkey,
+    l_suppkey) pairs and supply cost is the min observed unit price —
+    min() is order-independent, so the double is bit-identical across
+    engines with no rounding needed. Shape preserved: the correlated
+    'cost = (SELECT min(...))' decorrelates into a per-part min-agg
+    joined back on (partkey, cost) equality; nation/region broadcast;
+    final TakeOrderedAndProject top-100."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    cost = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min("unit_price").alias("supplycost"))
+    supp_dim = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eur = cost.join(F.broadcast(supp_dim), F.col("suppkey") == F.col("s_suppkey"))
+    min_cost = eur.groupBy(F.col("partkey").alias("mc_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_type")
+    return (
+        eur.join(
+            min_cost,
+            (F.col("partkey") == F.col("mc_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#2'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 3)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query("q_tpch_q16", oracle=_Q16_ORACLE, tags=("tpch", "join", "subquery", "agg"))
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: partsupp → the
+    distinct observed (l_partkey, l_suppkey) pairs; the 'customer
+    complaints' supplier exclusion → negative account balance. Shape
+    preserved: NOT IN anti-join against a tiny broadcast list, distinct
+    supplier count per (brand, type, size), count-desc ordering."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    complainers = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 3))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(F.broadcast(complainers), ps.l_suppkey == complainers.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q20_ORACLE = """
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND s.s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 30
+  )
+ORDER BY s.s_name
+"""
+
+
+@query("q_tpch_q20", oracle=_Q20_ORACLE, tags=("tpch", "subquery", "agg"))
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: no ps_availqty,
+    so the '>50% of availqty' test becomes 'shipped >30 units of a red
+    part in 2000' — the IN-over-aggregated-subquery shape (grouped
+    HAVING feeding a semi join) is what matters. sum(l_quantity) is
+    exact (integer-valued doubles), so the HAVING threshold is
+    order-independent without decimal help."""
+    red_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    qualified = (
+        li.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    return (
+        s.join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
