@@ -76,8 +76,17 @@ CURATED_SCHEMA = T.StructType(
 DISPLAY_FORMATS = ("VIDEO", "IMAGE", "DCO", "CAROUSEL")  # transform_raw_data.py:18-22
 MEDIA_MIXES = ("video-only", "image-only", "both", "none")  # transform_raw_data.py:25-29
 
-# Epoch-second domain accepted by the reference's timestamp validator
-# (transform_raw_data.py:45-56: must convert to a valid UTC datetime;
-# practical bounds below are what pandas/pydantic accept).
+# Epoch-second domain accepted by our validator. Two DELIBERATE
+# deviations from the reference (both pinned by
+# tests/test_adslib_golden.py::test_epoch_boundary_rules):
+# 1. The reference accepts any epoch `datetime.fromtimestamp` takes —
+#    platform-dependent (negative epochs pass on Linux, raise OSError
+#    on Windows). We pin TS_MIN = 0: portable, and pre-1970 ad start
+#    dates are garbage in this domain anyway.
+# 2. The reference's date-order check (transform_raw_data.py:67-70)
+#    tests `if self.start_date_ts and self.end_date_ts` — TRUTHINESS,
+#    so start_date_ts == 0 silently skips the end >= start rule. We
+#    apply the rule whenever both are non-null; an epoch-0 start with
+#    an earlier end is quarantined, not passed.
 TS_MIN = 0
 TS_MAX = 4102444800  # 2100-01-01

@@ -38,6 +38,25 @@ def dec_sum(expr: Column) -> Column:
     return F.sum(expr.cast(DECIMAL_T))
 
 
+def det_round(expr: Column, scale: int) -> Column:
+    """Cross-engine-deterministic half-up rounding of a double RATIO:
+    ``floor(x*10^s + 0.5)/10^s`` uses only IEEE ops, so two engines
+    holding the bit-identical input double always round the same way.
+    ``round(double)`` does not give that guarantee — Spark rounds the
+    shortest decimal repr (HALF_UP) while DuckDB rounds in scaled
+    floating point, and inputs within one ulp of a half boundary can
+    flip differently (ADVICE r02 residual on Q8/Q14/Q17). Positive
+    inputs only (ratios/percentages); pair with :func:`det_round_sql`."""
+    p = float(10**scale)
+    return F.floor(expr * p + F.lit(0.5)) / p
+
+
+def det_round_sql(expr_sql: str, scale: int) -> str:
+    """SQL twin of :func:`det_round` (same text valid on both engines)."""
+    p = 10**scale
+    return f"floor(({expr_sql}) * {p} + 0.5) / {p}"
+
+
 def money_sum_sql(expr_sql: str, scale: int = 2) -> str:
     """DuckDB/Spark-SQL twin of :func:`money_sum` (same text runs on both)."""
     return f"CAST(round(sum(CAST({expr_sql} AS DECIMAL(18,6))), {scale}) AS DOUBLE)"

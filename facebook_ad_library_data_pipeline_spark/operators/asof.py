@@ -59,15 +59,27 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__tag").desc(), *[F.col(c).asc() for c in build_payload])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the payload as ONE struct so the matched build row is
+    # atomic: with per-column last(ignorenulls), a NULL payload column
+    # in the newest build row would be silently backfilled from an
+    # OLDER row, stitching two build rows together (ADVICE r01/r02
+    # latent). The struct is non-null for every build row (a struct of
+    # nulls is still a row), so last(ignorenulls) picks whole rows.
+    payload_struct = F.when(
+        F.col("__tag") == 1, F.struct(*[F.col(c) for c in build_payload])
+    )
     carried = united.select(
         *probe_cols,
         "__tag",
-        *[
-            F.last(F.when(F.col("__tag") == 1, F.col(c)), ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in build_payload
-        ],
+        F.last(payload_struct, ignorenulls=True).over(w).alias("__asof"),
     )
-    return carried.filter(F.col("__tag") == 0).drop("__tag")
+    return (
+        carried.filter(F.col("__tag") == 0)
+        .select(
+            *probe_cols,
+            *[F.col("__asof").getField(c).alias(f"asof_{c}") for c in build_payload],
+        )
+    )
 
 
 _ASOF_ORACLE = """

@@ -126,6 +126,20 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     jvm = spark.sparkContext._jvm
     bais = jvm.java.io.ByteArrayInputStream(raw)
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
-    keys = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    # Bounded driver fit: point-query the top heavy-hitter CANDIDATES,
+    # never an unbounded distinct key list (a high-cardinality key
+    # column would otherwise collect millions of rows). TakeOrdered by
+    # approximate frequency is a map-side top-k — no global sort.
+    max_keys = 1000
+    keys = [
+        r.event_type
+        for r in (
+            ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "event_type")
+            .limit(max_keys)
+            .collect()
+        )
+    ]
     est = [(k, int(cms.estimateCount(k))) for k in sorted(keys)]
     return spark.createDataFrame(est, "event_type string, approx_n long")

@@ -25,7 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.money import dec_sum, dec_sum_sql, money_sum, money_sum_sql
+from ..functions.money import (
+    dec_sum,
+    dec_sum_sql,
+    det_round,
+    det_round_sql,
+    money_sum,
+    money_sum_sql,
+)
 from ..registry import query
 
 # Per-row double products are IEEE-identical across engines; summing
@@ -205,9 +212,10 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROMO_REV = f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END"
+_Q14_RATIO = f"100.0 * {dec_sum_sql(_PROMO_REV)} / {dec_sum_sql(_REV)}"
 _Q14_ORACLE = f"""
-SELECT round(100.00 * {dec_sum_sql(f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END")}
-             / {dec_sum_sql(_REV)}, 4) AS promo_revenue_pct
+SELECT {det_round_sql(_Q14_RATIO, 4)} AS promo_revenue_pct
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -230,7 +238,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
+            det_round(
                 100.0
                 * dec_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))).cast(
                     "double"
@@ -304,10 +312,11 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q8_NATION_VOL = "CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END"
+_Q8_RATIO = f"{dec_sum_sql(_Q8_NATION_VOL)} / {dec_sum_sql('volume')}"
 _Q8_ORACLE = f"""
 SELECT o_year,
-       round({dec_sum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
-             / {dec_sum_sql("volume")}, 6) AS mkt_share
+       {det_round_sql(_Q8_RATIO, 6)} AS mkt_share
 FROM (
   SELECT year(o_orderdate) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
@@ -364,7 +373,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust_dim, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
+            det_round(
                 dec_sum(
                     F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
                 ).cast("double")
@@ -543,7 +552,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q17_ORACLE = f"""
-SELECT round({dec_sum_sql("l_extendedprice")} / 7.0, 2) AS avg_yearly
+SELECT {det_round_sql(dec_sum_sql("l_extendedprice") + " / 7.0", 2)} AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#3'
@@ -575,7 +584,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         brand_li.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cutoff"))
         .agg(
-            F.round(dec_sum(F.col("l_extendedprice")).cast("double") / 7.0, 2).alias(
+            det_round(dec_sum(F.col("l_extendedprice")).cast("double") / 7.0, 2).alias(
                 "avg_yearly"
             )
         )

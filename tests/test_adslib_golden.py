@@ -123,3 +123,26 @@ def test_input_fully_partitioned(pipeline_result):
     n_input = sum(len(g) for g in FIXTURE)
     n_deduped = 4  # D1+D2+D3 drops: A5,A6,A7,A10
     assert len(curated) + len(quarantine) + n_deduped == n_input
+
+
+def test_epoch_boundary_rules(spark, tmp_path):
+    """Pins the two documented deviations from the reference validator
+    (adslib/schemas.py TS_MIN note): negative epochs are quarantined
+    (platform-independent TS_MIN=0), and the end>=start rule applies
+    even when start_date_ts == 0 (the reference's truthiness check
+    skips it there)."""
+    fixture = [[
+        _ad("E1", start=0, end=100, text="epoch zero ok"),        # valid: 0 is in range
+        _ad("E2", start=0, end=-5, text="order rule at zero"),    # invalid HERE (ref: passes)
+        _ad("E3", start=-7200, end=100, text="negative epoch"),   # invalid HERE (ref on Linux: passes)
+        _ad("E4", start=100, end=0, text="end before start"),     # invalid both
+    ]]
+    path = tmp_path / "raw.json"
+    path.write_text(json.dumps(fixture))
+    curated, quarantine = transform_raw_ads(spark, str(path))
+    kept = {r.ad_id for r in curated.collect()}
+    quarantined = {r.ad_id: r.validation_error for r in quarantine.collect()}
+    assert kept == {"E1"}
+    assert set(quarantined) == {"E2", "E3", "E4"}
+    assert "end_date_ts" in quarantined["E2"]
+    assert "start_date_ts" in quarantined["E3"]

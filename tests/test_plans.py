@@ -42,8 +42,18 @@ def test_global_topk_never_full_sorts(spark, sf_dir):
 
 
 def test_inverted_index_join_not_broadcast(spark, sf_dir):
-    # the exploded shingle self-join must shuffle, not broadcast
-    df = REGISTRY["q_ngram_jaccard_pairs"].fn(spark, sf_dir)
+    # the exploded shingle self-join must shuffle, not broadcast.
+    # Built from jaccard_pairs directly: the registered query returns
+    # the session-cached (localCheckpoint) edge set, whose plan is a
+    # Scan ExistingRDD once any earlier test materialized it.
+    from facebook_ad_library_data_pipeline_spark.catalog import load_table
+    from facebook_ad_library_data_pipeline_spark.operators.dedup_near import (
+        JACCARD_THRESHOLD,
+        jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = jaccard_pairs(docs, JACCARD_THRESHOLD)
     assert has_node(df, "ShuffledHashJoin")
 
 def test_subqueries_decorrelate_to_joins(spark, sf_dir):

@@ -64,3 +64,26 @@ def test_asof_join_fixture(spark):
     )
     got = {r.event_id: r.asof_o_orderkey for r in out.collect()}
     assert got == {1: None, 2: 100, 3: 102, 4: 200, 5: None}
+
+
+def test_asof_payload_carried_atomically(spark):
+    """The matched build row must be carried WHOLE: a NULL payload
+    column in the newest matching build row stays NULL — it must not be
+    backfilled from an older build row (per-column last(ignorenulls)
+    did exactly that; fixed with a struct carry)."""
+    build = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), 10, "old-note"),
+            (1, datetime(2024, 2, 1), 20, None),  # newest: note is NULL
+        ],
+        "user_id long, o_orderdate timestamp, o_orderkey long, note string",
+    )
+    probe = spark.createDataFrame(
+        [(1, 1, datetime(2024, 3, 1))], "event_id long, user_id long, ts timestamp"
+    )
+    r = asof_join(
+        probe=probe, build=build, key="user_id", probe_time="ts",
+        build_time="o_orderdate", build_payload=["o_orderkey", "note"],
+    ).collect()[0]
+    assert r.asof_o_orderkey == 20
+    assert r.asof_note is None, "note backfilled from an older build row"
