@@ -1,0 +1,240 @@
+"""Training-data preparation operators — the batch-assembly surface a
+pre-training pipeline needs AFTER curation/dedup (SURVEY.md §2.B
+mandate "operations a large-scale training-data pipeline would need";
+absent from the reference, which stops at a CSV report):
+
+* **q_pack_sequences** — token-budget packing: assign docs to fixed
+  token-budget packs (context windows) by running token count. Packing
+  is per (source, shard): a single window per source would funnel a
+  100 TB source through one task, so sources are deterministically
+  sharded first (doc_id % N) and packing runs inside each shard — the
+  standard distributed-packing trade (pack boundaries are per-shard,
+  utilization is unchanged in aggregate).
+* **q_length_buckets** — sequence-length bucketing for batch shaping:
+  docs binned to power-of-two token buckets, with the padding waste
+  each bucket would cost at batch time. Pure scan + tiny aggregate.
+* **q_repetition_quality** — Gopher-style repetition filter feature:
+  duplicate word-2-gram fraction per doc, flagged above 0.5. Reuses
+  the CSE-safe shingle builder (functions/text.py).
+* **q_mix_rebalance** — language-mix rebalancing: per-language sample
+  weight that would equalize the corpus mix to a uniform target. The
+  aggregate is a 5-row broadcastable dim — at scale the weights join
+  back to the corpus as a broadcast map-side multiply.
+
+All four are single-shuffle-or-less, JVM-only expressions (no Python
+on the hot path) with DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.money import det_round, det_round_sql
+from ..functions.text import shingles_col, tokens_col
+from ..registry import query
+
+PACK_BUDGET = 512  # tokens per pack (context window)
+PACK_SHARDS = 8    # deterministic sub-shards per source (skew guard)
+
+_PACK_ORACLE = f"""
+WITH d AS (
+    SELECT source,
+           doc_id % {PACK_SHARDS} AS shard,
+           doc_id,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT source, shard, doc_id, n_tokens,
+           COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM d
+)
+SELECT source, shard,
+       CAST(floor(cum_before / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c
+GROUP BY source, shard, pack_id
+ORDER BY source, shard, pack_id
+"""
+
+
+@query("q_pack_sequences", oracle=_PACK_ORACLE, tags=("llm", "training", "window"))
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing via running count: pack_id = floor(tokens
+    before this doc / budget) within (source, doc_id%shards). One
+    shuffle on the pack key; the window order (source, shard, doc_id)
+    is total (doc_id unique), so the ROWS frame is deterministic.
+    Docs can overflow a pack boundary (assign-then-overflow packing) —
+    the variant that needs no per-row state machine, hence scales."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(tokens_col()).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        c.groupBy(
+            "source",
+            "shard",
+            F.floor(F.col("cum_before") / PACK_BUDGET).alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard", "pack_id")
+    )
+
+
+# Power-of-two CASE ladder (identical text on both engines — no float
+# log2 at bucket edges).
+_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+
+def _bucket_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} <= {b} THEN {b}" for b in _BUCKETS
+    )
+    return f"CASE {cases} ELSE 1024 END"
+
+
+_LEN_BUCKET_ORACLE = f"""
+WITH d AS (
+    SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+)
+SELECT {_bucket_sql('n_tokens')} AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum({_bucket_sql('n_tokens')} - n_tokens) AS BIGINT) AS padding_waste
+FROM d
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("q_length_buckets", oracle=_LEN_BUCKET_ORACLE, tags=("llm", "training", "agg"))
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing: power-of-two token buckets with the
+    padding cost of batching each bucket to its ceiling — the batch-
+    shape diagnostic run before fixing a packing/bucketing policy.
+    Scan + 7-group aggregate; nothing shuffles but the partial aggs."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens_col())
+    bucket = F.lit(1024)
+    for b in reversed(_BUCKETS):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    return (
+        docs.select(bucket.alias("bucket"), n.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("bucket") - F.col("n_tokens")).alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+    SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+    SELECT doc_id, source,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END AS grams
+    FROM t
+)
+SELECT doc_id, source,
+       len(grams) AS n_2grams,
+       len(list_distinct(grams)) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN floor((1.0 - len(list_distinct(grams)) * 1.0 / len(grams)) * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS dup_ratio,
+       CASE WHEN len(grams) > 0
+            AND (1.0 - len(list_distinct(grams)) * 1.0 / len(grams)) > 0.5
+            THEN TRUE ELSE FALSE END AS flagged
+FROM g
+"""
+
+
+@query("q_repetition_quality", oracle=_REPETITION_ORACLE, tags=("llm", "training", "text"))
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter feature (Gopher/MassiveText rule family):
+    fraction of duplicate word-2-grams per doc; docs above 0.5 get the
+    drop flag. Per-row array expressions only — no shuffle at all, and
+    the shingle builder is the CSE-safe slice/zip_with form."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingles_col(tokens_col(), 2)
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(grams).alias("n_2grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )
+    raw_ratio = 1.0 - F.col("n_distinct") / F.col("n_2grams")
+    ratio = F.when(F.col("n_2grams") > 0, det_round(raw_ratio, 6)).otherwise(F.lit(0.0))
+    flagged = F.when(
+        (F.col("n_2grams") > 0) & (raw_ratio > 0.5), F.lit(True)
+    ).otherwise(F.lit(False))
+    return d.select(
+        "doc_id", "source", "n_2grams", "n_distinct",
+        ratio.alias("dup_ratio"), flagged.alias("flagged"),
+    )
+
+
+_MIX_REBALANCE_ORACLE = f"""
+WITH counts AS (
+    SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n_docs) AS total, count(*) AS n_langs FROM counts)
+SELECT lang,
+       n_docs,
+       {det_round_sql("n_docs * 1.0 / total", 6)} AS actual_share,
+       {det_round_sql("(total * 1.0 / n_langs) / n_docs", 6)} AS sample_weight
+FROM counts, tot
+ORDER BY lang
+"""
+
+
+@query("q_mix_rebalance", oracle=_MIX_REBALANCE_ORACLE, tags=("llm", "training", "agg"))
+def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing weights: sample_weight multiplies each
+    doc so every language contributes a uniform share. The per-lang
+    aggregate is a tiny dim — at 100 TB the weights broadcast back onto
+    the corpus; nothing here ever shuffles the fact table twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            det_round(F.col("n_docs") / F.col("total"), 6).alias("actual_share"),
+            det_round(
+                (F.col("total") / F.col("n_langs")) / F.col("n_docs"), 6
+            ).alias("sample_weight"),
+        )
+        .orderBy("lang")
+    )

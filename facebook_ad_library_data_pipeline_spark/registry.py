@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.operators.timeseries",
     "facebook_ad_library_data_pipeline_spark.operators.curation",
     "facebook_ad_library_data_pipeline_spark.operators.components",
+    "facebook_ad_library_data_pipeline_spark.operators.training_prep",
     "facebook_ad_library_data_pipeline_spark.functions.arrays",
     "facebook_ad_library_data_pipeline_spark.functions.ivf",
     "facebook_ad_library_data_pipeline_spark.streaming.events",
@@ -133,6 +134,10 @@ _PRIORITY = [
     "q_window_sliding",
     "q_session_window",
     # ---- window boundary (~50) — round-4 rotation candidates below ----
+    "q_pack_sequences",
+    "q_length_buckets",
+    "q_repetition_quality",
+    "q_mix_rebalance",
     "q_join_events_dim",
     "q_interval_join_pairs",
     "q_multimodal_meta",
