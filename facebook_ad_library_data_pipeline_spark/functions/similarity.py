@@ -112,13 +112,18 @@ def q_embedding_neardup_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a full sort). The quadratic audit cost is constant in corpus
     size; the full-corpus path is q_ann_lsh_topk's bucketed join."""
     emb = _emb_double(spark, sf_dir)
+    # Materialize the TakeOrdered sample ONCE (both join sides read it),
+    # and re-spread the left side: after limit() the sample is a single
+    # partition, which would evaluate all C(SAMPLE_N,2) cosines on one
+    # core.
     sample = (
         emb.withColumn("perm", (F.col("vec_id") * _LEHMER_A) % _LEHMER_M)
         .orderBy("perm", "vec_id")
         .limit(SAMPLE_N)
         .select("vec_id", "emb")
+        .localCheckpoint(eager=False)
     )
-    a = sample.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"))
+    a = sample.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1")).repartition(16)
     # SAMPLE_N rows × 64 doubles ≈ 300 KB — broadcast the right side so
     # the pair join never shuffles the corpus-derived sample twice.
     b = F.broadcast(sample.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2")))

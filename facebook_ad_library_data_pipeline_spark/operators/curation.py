@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.dedup import dedup_keep_first
-from ..operators.dedup_near import JACCARD_THRESHOLD, jaccard_pairs
+from ..operators.dedup_near import JACCARD_THRESHOLD, shared_jaccard_pairs
 from ..registry import query
 
 MIN_TOKENS = 20
@@ -84,8 +84,12 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id"],
     ).drop("digest")
 
+    # Shared edge set (dedup_near._EDGE_CACHE): the Jaccard inverted-
+    # index join is the expensive stage of this pipeline; computing it
+    # privately here re-ran it for q_curate_corpus AND q_corpus_mix on
+    # top of the near-dup family's own copy.
     losers = (
-        jaccard_pairs(docs, JACCARD_THRESHOLD)
+        shared_jaccard_pairs(spark, sf_dir, JACCARD_THRESHOLD)
         .select(F.col("d2").alias("doc_id"))
         .distinct()
     )

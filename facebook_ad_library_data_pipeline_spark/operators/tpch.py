@@ -21,7 +21,7 @@ Scale notes (the reason each plan looks the way it does):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -458,13 +458,16 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
     )
-    # part_value rounds the exact decimal (money_sum) like every other
-    # money aggregate; the unrounded double is kept ONLY for the HAVING
-    # comparison (ADVICE r02: rounding the double-cast sum can diverge
-    # once a per-part sum stops round-tripping through double).
-    per_part = li.groupBy("l_partkey").agg(
-        money_sum(F.col("rev")).alias("part_value"),
-        dec_sum(F.col("rev")).cast("double").alias("raw_value"),
+    # ONE decimal sum per group; part_value rounds that exact decimal
+    # (ADVICE r02: rounding the double-cast sum can diverge once a
+    # per-part sum stops round-tripping through double) and raw_value
+    # projects it unrounded for the HAVING comparison — two views of a
+    # single aggregate, not two aggregates.
+    per_part = li.groupBy("l_partkey").agg(dec_sum(F.col("rev")).alias("dec_value"))
+    per_part = per_part.select(
+        "l_partkey",
+        F.round("dec_value", 2).cast("double").alias("part_value"),
+        F.col("dec_value").cast("double").alias("raw_value"),
     )
     total = li.agg(dec_sum(F.col("rev")).cast("double").alias("total_rev"))
     return (
@@ -880,18 +883,18 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
     eur = cost.join(F.broadcast(supp_dim), F.col("suppkey") == F.col("s_suppkey"))
-    min_cost = eur.groupBy(F.col("partkey").alias("mc_partkey")).agg(
-        F.min("supplycost").alias("min_cost")
-    )
+    # Per-part min via window, not agg + self-join: the self-join shape
+    # re-executes the whole lineitem cost aggregation for the min
+    # branch (verified in the formatted plan — two full exchanges); the
+    # window reads the aggregated eur once. Each part has a handful of
+    # suppliers, so the partkey partitions are tiny — no skew.
+    w = Window.partitionBy("partkey")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_type")
     return (
-        eur.join(
-            min_cost,
-            (F.col("partkey") == F.col("mc_partkey"))
-            & (F.col("supplycost") == F.col("min_cost")),
-        )
+        eur.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
         .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supplycost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
