@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..registry import query
 from .similarity import QUERY_VEC_ID, cosine
 
@@ -82,26 +82,34 @@ def _fit_centroids(emb: DataFrame, k: int, cache_key: str | None) -> list[list[f
     return result
 
 
-def _sq_dist_to(center: list[float]) -> Column:
-    lit_center = F.array(*[F.lit(v) for v in center])
-    return F.aggregate(
-        F.zip_with("emb", lit_center, lambda x, cc: (x - cc) * (x - cc)),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
-    )
+def _centroid_lit(centroids: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in centroids])
 
 
 def assign_cells(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Nearest-centroid assignment as one codegen'd map pass: argmin of
     squared distance via array_min over (dist, cell) structs (lexical
-    min ⇒ distance first, lowest cell wins ties)."""
-    cand = F.array(
-        *[
-            F.struct(_sq_dist_to(c).alias("d"), F.lit(i).alias("cell"))
-            for i, c in enumerate(centroids)
-        ]
+    min ⇒ distance first, lowest cell wins ties).
+
+    The K distance expressions are ONE ``transform`` lambda over a 2-D
+    centroid literal, not K inlined zip_with/aggregate copies: the
+    inlined form generates K× the bytecode (K·dim literals each
+    appearing inside its own lambda chain) and measured 1.1 s vs
+    0.3 s at K=16, dim=64, 5k rows — same rows out, 4× less Janino.
+    fan_out first: a single-file embeddings scan otherwise runs the
+    whole distance pass on one core (no-op on a wide scan)."""
+    cand = F.transform(
+        _centroid_lit(centroids),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("emb"), c, lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("d"),
+            i.alias("cell"),
+        ),
     )
-    return emb.withColumn("cell", F.array_min(cand)["cell"])
+    return fan_out(emb).withColumn("cell", F.array_min(cand)["cell"])
 
 
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,9 +138,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, c) for i, c in enumerate(centroids)],
         "cell int, center array<double>",
     )
-    q = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("emb").alias("q_emb")
-    )
+    # The query vector doesn't need a cell — read it off the raw scan so
+    # the assignment subtree appears ONCE in the plan, not per-branch.
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("q_emb"))
     probe_cells = (
         centers.crossJoin(F.broadcast(q))
         .select("cell", cosine(F.col("center"), F.col("q_emb")).alias("sim"))

@@ -35,7 +35,7 @@ import operator
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..functions.text import shingles_col, tokens_col
 from ..registry import query
 
@@ -78,11 +78,15 @@ def exploded_shingles(docs: DataFrame) -> DataFrame:
 
     array_distinct happens inside the row (no distinct() shuffle), and
     carrying n through the explode means the Jaccard denominator needs
-    no extra size-lookup joins downstream — two fewer shuffles."""
+    no extra size-lookup joins downstream — two fewer shuffles.
+
+    fan_out first: shingling + hashing is the CPU hot spot of every
+    near-dup pipeline, and a single-file scan otherwise pins it to one
+    core (no-op when the scan is already wide)."""
     toks = tokens_col()
     sh = F.array_distinct(shingles_col(toks, 3))
     return (
-        docs.select("doc_id", sh.alias("sh"))
+        fan_out(docs).select("doc_id", sh.alias("sh"))
         .select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     )
 
@@ -310,7 +314,7 @@ def simhash_col(docs: DataFrame) -> DataFrame:
     buffer 4× — measured 4.7 s → ~1.5 s on 5 000 docs / ~1 M tokens.
     Bit i of the fingerprint is set iff ones(i) > tokens/2 (strict:
     ties clear, matching the ±1-sum > 0 formulation)."""
-    ex = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    ex = fan_out(docs).select("doc_id", F.explode(tokens_col()).alias("tok"))
     h = F.xxhash64("tok")
     packed = [
         functools.reduce(

@@ -238,3 +238,73 @@ def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ----------------------------------------------------------- decontamination
+
+EVAL_MOD = 97          # doc_id % 97 == 0 → held-out "benchmark" set (~1%)
+CONTAM_SHINGLES = 5    # shared 3-gram shingles with any one eval doc → flagged
+
+_DECONTAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   ELSE [] END AS shingles
+       FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ev AS (SELECT doc_id AS eval_id, s FROM ex WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id, s FROM ex WHERE doc_id % {EVAL_MOD} <> 0),
+overlap AS (
+    SELECT tr.doc_id, ev.eval_id, count(*) AS shared
+    FROM tr JOIN ev USING (s)
+    GROUP BY tr.doc_id, ev.eval_id
+)
+SELECT o.doc_id,
+       d.source,
+       CAST(max(o.shared) AS BIGINT) AS max_overlap,
+       count(*) AS n_eval_partners
+FROM overlap o
+JOIN documents d USING (doc_id)
+WHERE o.shared >= {CONTAM_SHINGLES}
+GROUP BY o.doc_id, d.source
+ORDER BY max_overlap DESC, doc_id
+"""
+
+
+@query("q_decontaminate", oracle=_DECONTAM_ORACLE, tags=("llm", "training", "dedup"))
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥5 word-3-gram
+    shingles with any held-out eval doc (deterministic ~1% eval split on
+    doc_id). Same inverted-index join shape as the Jaccard dedup — the
+    eval side is a tiny fraction of the postings, so the shuffle carries
+    the training postings once and the group-by keys are (train, eval)
+    pairs that actually overlap, never a cross product. At 100 TB the
+    real eval set is an external table; the split here stands in for it
+    with the identical plan."""
+    from ..operators.dedup_near import exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = exploded_shingles(docs).select("doc_id", "s").localCheckpoint(eager=False)
+    ev = ex.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), "s"
+    )
+    tr = ex.filter(F.col("doc_id") % EVAL_MOD != 0)
+    overlap = (
+        tr.join(ev.hint("shuffle_hash"), "s")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= CONTAM_SHINGLES)
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        overlap.groupBy("doc_id")
+        .agg(
+            F.max("shared").alias("max_overlap"),
+            F.count(F.lit(1)).alias("n_eval_partners"),
+        )
+        .join(src, "doc_id")
+        .select("doc_id", "source", "max_overlap", "n_eval_partners")
+        .orderBy(F.desc("max_overlap"), "doc_id")
+    )
