@@ -127,3 +127,82 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("ttr"), 6).alias("avg_ttr"),
     )
+
+
+# ------------------------------------------- curriculum / top-quality cut
+
+TOP_QUALITY_FRAC = 0.25
+
+_TOP_PCT_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           length(text) AS n_char,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           len(list_filter(string_split(text, ' '),
+                           x -> x IN ('the', 'a', 'of', 'and', 'to', 'is'))) AS n_stop
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, source,
+           0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.4 * (n_distinct * 1.0 / n_tokens)
+             + 0.2 * (1.0 - n_stop * 1.0 / n_tokens) AS score
+    FROM t
+),
+ranked AS (
+    SELECT doc_id, source, score,
+           percent_rank() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS pr
+    FROM scored
+)
+SELECT doc_id, source,
+       floor(score * 1000000 + 0.5) / 1000000 AS quality_score,
+       floor(pr * 1000000 + 0.5) / 1000000 AS pct_rank
+FROM ranked
+WHERE pr <= {TOP_QUALITY_FRAC}
+ORDER BY source, pct_rank, doc_id
+"""
+
+
+@query("q_quality_top_percent", oracle=_TOP_PCT_ORACLE, tags=("llm", "curation", "window"))
+def q_quality_top_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum selection: the top 25% of docs per source by quality
+    score, via percent_rank over a TOTAL order (score desc, doc_id) —
+    the tie-break keeps the window deterministic under any
+    partitioning. One hash shuffle on source; the window never sees
+    more than one source's docs per task, which is exactly the shape
+    that scales (sources are the natural partition of a crawl corpus).
+    Score formula matches q_text_quality (functions/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.money import det_round
+    from ..functions.text import STOPWORDS, tokens_col
+
+    toks = tokens_col()
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(en, x))).alias("n_stop"),
+    )
+    score = (
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.4 * (F.col("n_distinct") / F.col("n_tokens"))
+        + 0.2 * (1.0 - F.col("n_stop") / F.col("n_tokens"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = t.select("doc_id", "source", score.alias("score")).withColumn(
+        "pr", F.percent_rank().over(w)
+    )
+    return (
+        ranked.filter(F.col("pr") <= TOP_QUALITY_FRAC)
+        .select(
+            "doc_id",
+            "source",
+            det_round(F.col("score"), 6).alias("quality_score"),
+            det_round(F.col("pr"), 6).alias("pct_rank"),
+        )
+        .orderBy("source", "pct_rank", "doc_id")
+    )

@@ -308,3 +308,166 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "max_overlap", "n_eval_partners")
         .orderBy(F.desc("max_overlap"), "doc_id")
     )
+
+
+# ------------------------------------------------------- quality gate
+
+MIN_DOC_TOKENS = 30
+MAX_DOC_TOKENS = 1000
+MIN_MEAN_TOKEN_LEN = 2.0
+MAX_MEAN_TOKEN_LEN = 12.0
+MIN_STOPWORD_RATIO = 0.01
+MAX_DUP_2GRAM = 0.5
+
+_GATE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           length(text) AS n_char,
+           string_split(text, ' ') AS toks
+    FROM documents
+),
+f AS (
+    SELECT doc_id, source, n_char,
+           len(toks) AS n_tokens,
+           (n_char - (len(toks) - 1)) * 1.0 / len(toks) AS mean_tok_len,
+           len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'is')))
+               * 1.0 / len(toks) AS stop_ratio,
+           CASE WHEN len(toks) >= 2
+                THEN 1.0 - len(list_distinct(list_transform(
+                         generate_series(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1]))) * 1.0 / (len(toks) - 1)
+                ELSE 0.0 END AS dup2
+    FROM t
+)
+SELECT doc_id, source, n_tokens,
+       concat_ws(',',
+           CASE WHEN n_tokens < {MIN_DOC_TOKENS} THEN 'too_short' END,
+           CASE WHEN n_tokens > {MAX_DOC_TOKENS} THEN 'too_long' END,
+           CASE WHEN mean_tok_len < {MIN_MEAN_TOKEN_LEN}
+                  OR mean_tok_len > {MAX_MEAN_TOKEN_LEN} THEN 'bad_token_len' END,
+           CASE WHEN stop_ratio < {MIN_STOPWORD_RATIO} THEN 'low_stopwords' END,
+           CASE WHEN dup2 > {MAX_DUP_2GRAM} THEN 'repetitive' END) AS drop_reasons,
+       (n_tokens >= {MIN_DOC_TOKENS} AND n_tokens <= {MAX_DOC_TOKENS}
+        AND mean_tok_len >= {MIN_MEAN_TOKEN_LEN} AND mean_tok_len <= {MAX_MEAN_TOKEN_LEN}
+        AND stop_ratio >= {MIN_STOPWORD_RATIO}
+        AND dup2 <= {MAX_DUP_2GRAM}) AS keep
+FROM f
+"""
+
+
+@query("q_quality_filter", oracle=_GATE_ORACLE, tags=("llm", "training", "text"))
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style quality GATE: length bounds, mean token
+    length, stopword floor, duplicate-2-gram ceiling folded into one
+    keep/drop verdict with machine-readable drop reasons. The earlier
+    text queries emit the FEATURES; this is the decision operator a
+    curation pipeline actually filters on. One scan, zero shuffles —
+    every rule is a per-row native expression."""
+    from ..functions.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    grams = shingles_col(toks, 2)
+    f = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_char"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(en, x))).alias("n_stop"),
+        F.size(grams).alias("n_2grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_2grams"),
+    )
+    mean_tok_len = (F.col("n_char") - (F.col("n_tokens") - 1)) / F.col("n_tokens")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    dup2 = F.when(
+        F.col("n_2grams") >= 1,
+        1.0 - F.col("n_distinct_2grams") / F.col("n_2grams"),
+    ).otherwise(F.lit(0.0))
+    too_short = F.col("n_tokens") < MIN_DOC_TOKENS
+    too_long = F.col("n_tokens") > MAX_DOC_TOKENS
+    bad_len = (mean_tok_len < MIN_MEAN_TOKEN_LEN) | (mean_tok_len > MAX_MEAN_TOKEN_LEN)
+    low_stop = stop_ratio < MIN_STOPWORD_RATIO
+    repetitive = dup2 > MAX_DUP_2GRAM
+    return f.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.concat_ws(
+            ",",
+            F.when(too_short, F.lit("too_short")),
+            F.when(too_long, F.lit("too_long")),
+            F.when(bad_len, F.lit("bad_token_len")),
+            F.when(low_stop, F.lit("low_stopwords")),
+            F.when(repetitive, F.lit("repetitive")),
+        ).alias("drop_reasons"),
+        (~too_short & ~too_long & ~bad_len & ~low_stop & ~repetitive).alias("keep"),
+    )
+
+
+# ------------------------------------------------- deterministic sharding
+
+N_SHARDS = 16
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 * phi)
+_MOD32 = 4294967296
+
+
+_SHARD_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           ((doc_id * {_KNUTH}) % {_MOD32}) % {N_SHARDS} AS shard,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+tot AS (SELECT count(*) AS total FROM d)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc,
+       {det_round_sql(f"count(*) * {N_SHARDS} * 1.0 / any_value(total)", 6)} AS load_factor
+FROM d, tot
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@query("q_shard_assign", oracle=_SHARD_ORACLE, tags=("llm", "training"))
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: a portable Knuth
+    multiplicative hash (pure BIGINT arithmetic, so any engine --
+    including the DuckDB oracle -- reproduces it bit-for-bit, unlike
+    xxhash64) scatters docs into N_SHARDS output shards, with per-shard
+    row/token totals and a load factor (1.0 = perfectly balanced).
+    This is the global-shuffle step before training-data writes: at
+    100 TB it is one hash shuffle wide, and the balance diagnostic is
+    the thing you alert on before burning a training run."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = ((F.col("doc_id") * F.lit(_KNUTH)) % _MOD32) % N_SHARDS
+    d = docs.select(
+        shard.cast("long").alias("shard"),
+        "doc_id",
+        F.size(tokens_col()).alias("n_tokens"),
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        d.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "shard_tokens",
+            "min_doc",
+            "max_doc",
+            det_round(F.col("n_docs") * N_SHARDS / F.col("total"), 6).alias(
+                "load_factor"
+            ),
+        )
+        .orderBy("shard")
+    )
