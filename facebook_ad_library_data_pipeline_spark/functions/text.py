@@ -11,10 +11,10 @@ identical values.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..registry import query
 
 # Tiny per-language stopword sets (public common words). On synthetic
@@ -249,4 +249,75 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.round(F.avg(F.size(tokens_col())), 4).alias("avg_tokens"),
+    )
+
+
+# --------------------------------------------------- salient terms
+
+TOP_TERMS_K = 5
+
+_TOP_TERMS_ORACLE = f"""
+WITH tf AS (
+    SELECT source, s.tok AS term, count(*) AS tf
+    FROM documents, unnest(string_split(text, ' ')) AS s(tok)
+    GROUP BY source, s.tok
+),
+df AS (
+    SELECT s.tok AS term, count(DISTINCT doc_id) AS df
+    FROM documents, unnest(string_split(text, ' ')) AS s(tok)
+    GROUP BY s.tok
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.source, tf.term, tf.tf, df.df,
+           floor(tf.tf * n.n_docs * 1000000.0 / df.df + 0.5) / 1000000 AS salience
+    FROM tf JOIN df USING (term), n
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY salience DESC, term) AS rnk
+    FROM scored
+)
+SELECT source, term, tf, df, salience, rnk
+FROM ranked WHERE rnk <= {TOP_TERMS_K}
+ORDER BY source, rnk
+"""
+
+
+@query("q_top_terms", oracle=_TOP_TERMS_ORACLE, tags=("llm", "text", "agg", "window"))
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salient terms per source: TF-IDF-shaped ranking with a LINEAR
+    inverse document frequency (tf · N / df) instead of the log form —
+    rank-equivalent for fixed tf, and free of libm: two engines'
+    ``ln`` can differ in the last ulp, which flips a rounded hash (the
+    ADVICE r02 cross-engine rounding class); integer-rational
+    arithmetic cannot. Plan: token explode → two partial-agg shuffles
+    (term×source TF, term DF) → broadcast N → per-source top-K via
+    row_number over a total order. The DF side carries one row per
+    distinct term — vocabulary-sized, orders of magnitude below the
+    corpus, so the TF⋈DF join is broadcast-able at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = fan_out(docs).select("doc_id", "source", F.explode(tokens_col()).alias("term"))
+    tf = ex.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            (
+                F.floor(F.col("tf") * F.col("n_docs") * 1000000.0 / F.col("df") + F.lit(0.5))
+                / 1000000
+            ).alias("salience"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("salience"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_TERMS_K)
+        .orderBy("source", "rnk")
     )

@@ -404,3 +404,112 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 6)
     )
+
+
+# ------------------------------------------- exact duplicated spans
+
+SPAN_N = 13  # tokens per span — the published exact-substring dedup length
+
+_DUP_SPAN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sp AS (SELECT doc_id,
+              CASE WHEN len(t) >= {SPAN_N}
+                   THEN list_distinct(list_transform(
+                            generate_series(1, len(t) - {SPAN_N - 1}),
+                            i -> array_to_string(t[i:i+{SPAN_N - 1}], ' ')))
+                   ELSE [] END AS spans
+       FROM toks),
+ex AS (SELECT doc_id, len(spans) AS n_spans, unnest(spans) AS s FROM sp),
+shared AS (SELECT s FROM ex GROUP BY s HAVING count(*) >= 2)
+SELECT ex.doc_id,
+       d.source,
+       any_value(ex.n_spans) AS n_spans,
+       count(*) AS n_dup_spans,
+       floor(count(*) * 1.0 / any_value(ex.n_spans) * 1000000 + 0.5) / 1000000
+           AS dup_span_frac
+FROM ex
+JOIN shared USING (s)
+JOIN documents d USING (doc_id)
+GROUP BY ex.doc_id, d.source
+"""
+
+
+def _rotl64(c: Column, k: int) -> Column:
+    if k % 64 == 0:
+        return c
+    k = k % 64
+    return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
+
+
+def _span_hashes(toks: Column, n: int) -> Column:
+    """Distinct n-token span identities as 64-bit hashes — per-position
+    combine of the tokens' xxhash64s via position-rotated XOR, built
+    from n shifted slices of the ONE hashed-token array (the CSE-safe
+    slice/zip_with form; an index-lambda would rehash the whole doc per
+    position). Never materializes the span STRINGS: a span is ~8×
+    longer than a token, and building + shuffling those strings was
+    measured 1.5× slower end-to-end than shuffling 8-byte longs.
+    Equal spans always hash equal (no false negatives); distinct-span
+    collisions are ~2^-64·pairs and would only perturb counts."""
+    h = F.transform(toks, lambda x: F.xxhash64(x))
+
+    def xor_rot(j: int):
+        return lambda a, b: a.bitwiseXOR(_rotl64(b, 5 * j))
+
+    m = F.size(h) - (n - 1)
+    shifted = [F.slice(h, 1 + j, m) for j in range(n)]
+    sh = shifted[0]
+    for j, nxt in enumerate(shifted[1:], start=1):
+        sh = F.zip_with(sh, nxt, xor_rot(j))
+    return F.when(F.size(h) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+@query("q_dup_span_docs", oracle=_DUP_SPAN_ORACLE, tags=("llm", "dedup", "text"))
+def q_dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (the substring-dedup signal of
+    Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499, approximated at token granularity):
+    every doc reporting how many of its distinct {SPAN_N}-token spans
+    also occur in some other doc. Plan: one shuffle on span hash (the
+    document-frequency count — partial-aggregated map-side), the
+    shared-span set joined back to the postings on the same key (AQE
+    reuses the exchange), one shuffle on doc for the rollup. The
+    inverted index never self-joins, so cost is linear in postings —
+    this is the scalable stand-in for a suffix array at 100 TB. The
+    oracle counts the span strings; the engine counts span hashes —
+    identical counts absent 2^-64 collisions (and the span payload
+    never exists, so the shuffle carries 8-byte keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    spans = _span_hashes(toks, SPAN_N)
+    ex = (
+        fan_out(docs)
+        .select("doc_id", spans.alias("sp"))
+        .select("doc_id", F.size("sp").alias("n_spans"), F.explode("sp").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    shared = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("s")
+    )
+    per_doc = (
+        ex.join(shared.hint("shuffle_hash"), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_spans").alias("n_spans"),
+            F.count(F.lit(1)).alias("n_dup_spans"),
+        )
+    )
+    src = docs.select("doc_id", "source")
+    return per_doc.join(src, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_spans",
+        "n_dup_spans",
+        (F.floor(F.col("n_dup_spans") / F.col("n_spans") * 1000000 + F.lit(0.5)) / 1000000)
+        .alias("dup_span_frac"),
+    )

@@ -243,7 +243,12 @@ def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- decontamination
 
 EVAL_MOD = 97          # doc_id % 97 == 0 → held-out "benchmark" set (~1%)
-CONTAM_SHINGLES = 5    # shared 3-gram shingles with any one eval doc → flagged
+# Shared 3-gram shingles with any one eval doc before a train doc is
+# flagged: 3 ≈ a contiguous 5-token overlap — strict enough to skip
+# chance collisions, loose enough that contamination actually surfaces
+# at every test scale (at 5, sf0.01 has zero flagged docs and the
+# check proves nothing).
+CONTAM_SHINGLES = 3
 
 _DECONTAM_ORACLE = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

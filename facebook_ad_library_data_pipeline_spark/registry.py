@@ -149,6 +149,13 @@ _PRIORITY = [
     "q_bool_string_aggs",
     "q_embedding_topk",
     "q_embedding_neardup_sampled",
+    # r03 additions — also round-4 window candidates
+    "q_decontaminate",
+    "q_quality_filter",
+    "q_shard_assign",
+    "q_quality_top_percent",
+    "q_dup_span_docs",
+    "q_top_terms",
 ]
 
 

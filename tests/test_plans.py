@@ -137,3 +137,17 @@ def test_q21_semi_anti_decorrelation(spark, sf_dir):
     assert has_node(df, "LeftSemi")
     assert has_node(df, "LeftAnti")
     assert has_node(df, "TakeOrderedAndProject")
+
+
+def test_dup_span_postings_join_not_broadcast(spark, sf_dir):
+    # shared-span postings join back on the span key: must shuffle-hash,
+    # never broadcast an exploded inverted index (same rule as Jaccard).
+    df = REGISTRY["q_dup_span_docs"].fn(spark, sf_dir)
+    assert has_node(df, "ShuffledHashJoin")
+
+
+def test_top_terms_df_side_broadcasts(spark, sf_dir):
+    # TF (source x term) joins DF (term) — the vocabulary-sized DF side
+    # must broadcast; the per-source window must not full-sort globally.
+    df = REGISTRY["q_top_terms"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin")
