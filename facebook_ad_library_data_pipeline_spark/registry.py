@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.operators.training_prep",
     "facebook_ad_library_data_pipeline_spark.functions.arrays",
     "facebook_ad_library_data_pipeline_spark.functions.ivf",
+    "facebook_ad_library_data_pipeline_spark.functions.pq",
     "facebook_ad_library_data_pipeline_spark.streaming.events",
     "facebook_ad_library_data_pipeline_spark.streaming.joins",
     "facebook_ad_library_data_pipeline_spark.streaming.stateful",
