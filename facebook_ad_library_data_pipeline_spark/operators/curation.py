@@ -206,3 +206,76 @@ def q_quality_top_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pct_rank", "doc_id")
     )
+
+
+# ------------------------------------- canonical doc per near-dup cluster
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   ELSE [] END AS shingles
+       FROM toks),
+ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          WHERE inter * 1.0 / (n1 + n2 - inter) >= {JACCARD_THRESHOLD}),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT s.dst AS node, reach.r
+    FROM reach JOIN sym s ON reach.node = s.src
+),
+labels AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+members AS (
+    SELECT l.component, d.doc_id, d.source, d.n_chars,
+           CAST(regexp_extract(d.source, '(\\d+)', 1) AS INT) AS src_rank,
+           count(*) OVER (PARTITION BY l.component) AS n_members
+    FROM labels l JOIN documents d USING (doc_id)
+)
+SELECT component, doc_id, source, n_chars, CAST(n_members AS BIGINT) AS n_members
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY component
+                                 ORDER BY src_rank, n_chars DESC, doc_id) AS rn
+    FROM members
+)
+WHERE rn = 1 AND n_members >= 2
+ORDER BY component
+"""
+
+
+@query("q_canonical_docs", oracle=_CANONICAL_ORACLE, tags=("llm", "curation", "dedup"))
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection per near-dup cluster — the
+    cross-SOURCE dedup policy a crawl pipeline applies after transitive
+    near-dup grouping: within each connected component, keep the doc
+    from the most-trusted source (lowest numeric source rank), longest
+    first, doc_id as the total-order tie-break. Reuses the session's
+    shared component labels (one label-propagation run feeds three
+    queries); the policy itself is one window over components — at
+    100 TB a single hash shuffle on the component key."""
+    from ..operators.components import shared_components
+
+    labels = shared_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        F.regexp_extract("source", r"(\d+)", 1).cast("int").alias("src_rank"),
+    )
+    members = labels.join(docs, "doc_id").withColumn(
+        "n_members", F.count(F.lit(1)).over(Window.partitionBy("component"))
+    )
+    w = Window.partitionBy("component").orderBy(
+        "src_rank", F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select("component", "doc_id", "source", "n_chars", "n_members")
+        .orderBy("component")
+    )

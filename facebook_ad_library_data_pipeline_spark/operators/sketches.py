@@ -143,3 +143,90 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     est = [(k, int(cms.estimateCount(k))) for k in sorted(keys)]
     return spark.createDataFrame(est, "event_type string, approx_n long")
+
+
+# ----------------------------------------- portable count-min (oracle-backed)
+
+CMS_W = 256          # counters per row
+CMS_P = 2147483647   # 2^31 - 1 (Mersenne prime)
+# (a, b) per depth — any fixed odd a < p works for the 2-universal family
+CMS_PARAMS = [(48271, 11), (16807, 23), (69621, 37), (40692, 53)]
+CMS_TOP = 20
+
+_CMS_DEPTH_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS depth, {a} AS a, {b} AS b" for i, (a, b) in enumerate(CMS_PARAMS)
+)
+
+_CMS_ORACLE = f"""
+WITH params AS ({_CMS_DEPTH_SQL}),
+counters AS (
+    SELECT p.depth,
+           ((e.user_id * p.a + p.b) % {CMS_P}) % {CMS_W} AS bucket,
+           count(*) AS c
+    FROM events e CROSS JOIN params p
+    GROUP BY p.depth, bucket
+),
+exact AS (
+    SELECT user_id, count(*) AS exact_n
+    FROM events GROUP BY user_id
+    ORDER BY exact_n DESC, user_id LIMIT {CMS_TOP}
+),
+est AS (
+    SELECT x.user_id, any_value(x.exact_n) AS exact_n, min(c.c) AS cms_n
+    FROM exact x
+    CROSS JOIN params p
+    JOIN counters c
+      ON c.depth = p.depth
+     AND c.bucket = ((x.user_id * p.a + p.b) % {CMS_P}) % {CMS_W}
+    GROUP BY x.user_id
+)
+SELECT user_id, exact_n, CAST(cms_n AS BIGINT) AS cms_n
+FROM est
+ORDER BY exact_n DESC, user_id
+"""
+
+
+@query("q_countmin_portable", oracle=_CMS_ORACLE, tags=("sketch", "approx", "agg"))
+def q_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as a PLAIN declarative aggregation with a
+    portable 2-universal hash family h_i(x) = ((x·a_i + b_i) mod p)
+    mod w over the integer key — so the DuckDB oracle rebuilds the
+    identical sketch and the estimates hash-match exactly, unlike the
+    built-in `count_min_sketch` (JVM Murmur internals, rows-only
+    q_countmin_heavy_hitters). Shape at 100 TB: ONE shuffle of d·w
+    partial-aggregated counters (map-side combine collapses every
+    partition to ≤ d·w rows regardless of input size), the d×top-K
+    estimate join reads the tiny counter table; nothing ever collects.
+    CMS property (cms_n ≥ exact_n, equality when no bucket collision)
+    is pinned in tests/test_extras.py."""
+    ev = load_table(spark, sf_dir, "events")
+    depths = F.array(
+        *[
+            F.struct(F.lit(i).alias("depth"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for i, (a, b) in enumerate(CMS_PARAMS)
+        ]
+    )
+    hashed = ev.select("user_id", F.explode(depths).alias("p")).select(
+        "user_id",
+        F.col("p.depth").alias("depth"),
+        ((F.col("user_id") * F.col("p.a") + F.col("p.b")) % CMS_P % CMS_W).alias("bucket"),
+    )
+    counters = hashed.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(CMS_TOP)
+    )
+    probes = exact.select("user_id", "exact_n", F.explode(depths).alias("p")).select(
+        "user_id",
+        "exact_n",
+        F.col("p.depth").alias("depth"),
+        ((F.col("user_id") * F.col("p.a") + F.col("p.b")) % CMS_P % CMS_W).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["depth", "bucket"])
+        .groupBy("user_id")
+        .agg(F.first("exact_n").alias("exact_n"), F.min("c").alias("cms_n"))
+    )
+    return est.select("user_id", "exact_n", "cms_n").orderBy(F.desc("exact_n"), "user_id")

@@ -88,3 +88,13 @@ def test_countmin_never_underestimates(spark, sf_dir):
     for k, n in exact.items():
         assert est[k] >= n            # CMS soundness
         assert est[k] <= n * 1.05 + 10  # eps=0.001 over ~1e3-1e5 rows
+
+
+def test_countmin_portable_sound_and_tight(spark, sf_dir):
+    rows = REGISTRY["q_countmin_portable"].fn(spark, sf_dir).collect()
+    assert rows, "no heavy hitters returned"
+    for r in rows:
+        assert r.cms_n >= r.exact_n          # CMS never underestimates
+        # w=256 x 4 depths over <=1500 keys: collisions add at most a
+        # few key-loads; a 3x blowup would mean the hash family broke
+        assert r.cms_n <= r.exact_n * 3
