@@ -208,7 +208,7 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine rerank of the shortlist only. The exact pass reads 50 rows
     where brute force reads the corpus. Rows-only; recall vs brute
     force asserted in tests/test_pq.py."""
-    from .ivf import N_CELLS, _fit_centroids, assign_cells
+    from .ivf import N_CELLS, _fit_centroids
 
     emb = _emb_double(spark, sf_dir)
     centroids = _fit_centroids(emb, N_CELLS, cache_key=sf_dir)
