@@ -709,10 +709,10 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_ORACLE = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
