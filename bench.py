@@ -5,6 +5,13 @@ ONE JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed to full materialization (count of a cached-free
 plan) — no collect of payload to the driver beyond the count.
+
+Per-query numbers are the MEDIAN of $SPARK_GRAFT_BENCH_REPEATS runs
+(default 3): same-code runs on this VM showed 5-9x single-shot swings
+(q_tpch_q11 1.17 s vs 10.49 s in back-to-back r03 runs), which made
+regression detection guesswork. The median discards the outlier run;
+the first repeat also absorbs any session-cache warm-up so repeated
+benches agree.
 """
 
 from __future__ import annotations
@@ -31,6 +38,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
     for i, name in enumerate(sorted(registry)):
@@ -42,13 +50,20 @@ def main() -> None:
             # explicit GC every ~15 queries is ~100 ms and keeps
             # timings representative of a fresh session.
             spark.sparkContext._jvm.System.gc()
-        t0 = time.perf_counter()
-        try:
-            df = q.fn(spark, sf_dir)
-            df.count()
-            dt = time.perf_counter() - t0
-        except Exception as e:  # a failing query must not kill the bench
-            print(f"# bench error {name}: {e}", file=sys.stderr)
+        samples: list[float] = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            try:
+                df = q.fn(spark, sf_dir)
+                df.count()
+                samples.append(time.perf_counter() - t0)
+            except Exception as e:  # a failing query must not kill the bench
+                print(f"# bench error {name}: {e}", file=sys.stderr)
+                samples = []
+                break
+        if samples:
+            dt = sorted(samples)[len(samples) // 2]
+        else:
             dt = float("nan")
         timings[name] = round(dt, 4)
         if dt == dt:

@@ -6,6 +6,8 @@ path (SURVEY.md §1.4). Mirrors /root/testdata/sf*/{table}.parquet.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -88,14 +90,17 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # events.ts is parquet TIMESTAMP(NANOS): unreadable as Spark
-    # TimestampType; declared long (nanos since epoch, via
-    # spark.sql.legacy.parquet.nanosAsLong) and converted to a
-    # microsecond TimestampType in load_table (truncating, = DuckDB).
+    # events.ts arrives as either parquet TIMESTAMP(NANOS) (rounds 1-3
+    # testdata) or TIMESTAMP(MICROS) (round-5 regeneration). The footer
+    # is probed per sf_dir (events_ts_unit) and the loader branches:
+    # NANOS is unreadable as Spark TimestampType, so it is declared long
+    # (via spark.sql.legacy.parquet.nanosAsLong) and truncated to
+    # microseconds (= DuckDB); MICROS reads natively. The default
+    # catalog schema carries the native TimestampType shape.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -121,20 +126,41 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+@lru_cache(maxsize=None)
+def events_ts_unit(sf_dir: str) -> str:
+    """Parquet-footer probe for the events ``ts`` physical resolution
+    ('ns' | 'us' | 'ms'): one tiny metadata read per sf_dir, cached.
+    The driver has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    encodings across rounds; assuming either one silently rescales
+    every event-time window by 1000x, so the loader must look."""
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
+    return getattr(t, "unit", "us")
+
+
+def _events_nanos_schema() -> T.StructType:
+    fields = [
+        T.StructField("ts", T.LongType()) if f.name == "ts" else f
+        for f in SCHEMAS["events"].fields
+    ]
+    return T.StructType(fields)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan with declared schema — pushdown/pruning friendly."""
     # Defensive against a driver-built session: timestamp semantics
-    # must be UTC (DuckDB oracle is UTC-naive), and events needs the
-    # nanos-as-long reader conf. Both runtime-settable (verified).
+    # must be UTC (DuckDB oracle is UTC-naive). Runtime-settable.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
+    if name == "events" and events_ts_unit(sf_dir) == "ns":
+        # TIMESTAMP(NANOS) is unreadable as Spark TimestampType: read
+        # the raw int64 and truncate to microseconds (= DuckDB).
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(_events_nanos_schema()).parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -20,7 +20,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import SCHEMAS, load_table
+from ..catalog import SCHEMAS, _events_nanos_schema, events_ts_unit, load_table
 from ..functions.money import money_sum
 from ..registry import query
 
@@ -148,8 +148,8 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source micro-batch stream over the events parquet, with the
-    same nanos→µs conversion as the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    same footer-probed ts-unit handling as the batch loader
+    (catalog.events_ts_unit)."""
     # The file source requires a directory; expose the single events
     # file through a symlink dir (no data copied, testdata untouched).
     stream_dir = Path(tempfile.gettempdir()) / "spark_graft_stream" / Path(sf_dir).name
@@ -157,8 +157,11 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = stream_dir / "events.parquet"
     if not link.exists():
         link.symlink_to(f"{sf_dir}/events.parquet")
-    raw = spark.readStream.schema(SCHEMAS["events"]).parquet(str(stream_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if events_ts_unit(sf_dir) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(_events_nanos_schema()).parquet(str(stream_dir))
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(SCHEMAS["events"]).parquet(str(stream_dir))
 
 
 def run_stream_to_memory(
