@@ -219,3 +219,35 @@ def transform_raw_ads(spark: SparkSession, raw_path: str) -> tuple[DataFrame, Da
     parsed = parse_ads(exploded)
     valid, invalid = validate_split(parsed)
     return dedup_ads(valid), invalid
+
+
+def pipeline_stage_counts(spark: SparkSession, raw_path: str) -> dict[str, int]:
+    """U2 parity (reference utils/logging.py:6-31 + the reconciliation
+    log lines at transform_raw_data.py:201,216-218,233): per-stage row
+    counts parsed/valid/invalid/post-dedup. The reference re-counts
+    three materialized lists; here parsed/valid/invalid ride an
+    ``observe()`` on the SAME job that materializes the deduped result —
+    one pass over the data, four counts."""
+    from pyspark.sql import Observation
+
+    exploded = read_raw_ads(spark, raw_path)
+    parsed = parse_ads(exploded)
+    flagged = parsed.withColumn(
+        "validation_error", validation_error_column(_validity_rules())
+    )
+    obs = Observation("pipeline_stages")
+    observed = flagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("parsed"),
+        F.count(F.when(F.col("validation_error").isNull(), 1)).alias("valid"),
+        F.count(F.when(F.col("validation_error").isNotNull(), 1)).alias("invalid"),
+    )
+    valid = observed.filter(F.col("validation_error").isNull()).drop("validation_error")
+    post_dedup = dedup_ads(valid).count()  # the single action; fires the observe
+    metrics = obs.get
+    return {
+        "parsed": int(metrics["parsed"]),
+        "valid": int(metrics["valid"]),
+        "invalid": int(metrics["invalid"]),
+        "post_dedup": int(post_dedup),
+    }

@@ -1,12 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata (north-star surface).
 
-The container has no image/audio libraries, so the real decoders are
-STUBBED behind import-tries (clearly marked NotImplementedError); the
-Spark-side plumbing is real and tested: binary column construction,
-explicit output schemas, Arrow-batched ``mapInPandas`` feature
-extraction, deterministic fake features (byte statistics) standing in
-for pixel statistics, and chunked frame sampling.
+The image path is REAL end-to-end with zero native dependencies:
+``bmp.py`` implements an uncompressed 24-bit BMP codec in pure numpy,
+and ``q_multimodal_pixel_stats`` encodes deterministic fixture pixels
+to actual BMP bytes, decodes them back inside ``mapInPandas``, and
+emits true per-channel pixel statistics that a DuckDB oracle reproduces
+in closed form. Compressed formats (JPEG/PNG) still require a codec
+library the container lacks — that single step stays behind an
+import-try; everything else (binary columns, Arrow batching, schemas,
+frame sampling) runs for real.
 
 At scale: binary payloads ride in parquet; feature extraction is an
 embarrassingly parallel mapInPandas over whatever partitioning the scan
@@ -22,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from .bmp import decode_bmp24, encode_bmp24
 
 try:  # pragma: no cover - not present in this container
     from PIL import Image  # noqa: F401
@@ -31,12 +35,14 @@ except ImportError:
     HAS_PIL = False
 
 
-def decode_image_real(payload: bytes):  # pragma: no cover
-    """Real image decode — requires PIL, absent here by design."""
+def decode_image_compressed(payload: bytes):  # pragma: no cover
+    """Compressed-format (JPEG/PNG) decode — the ONE step that needs a
+    codec library this container lacks. Uncompressed BMP decoding is
+    fully implemented in bmp.py and used by the pixel-stats query."""
     if not HAS_PIL:
         raise NotImplementedError(
-            "STUB: image decoding needs PIL; container ships without it. "
-            "The Spark plumbing below (binary col, mapInPandas, schema) is real."
+            "STUB: JPEG/PNG decoding needs PIL; container ships without it. "
+            "Use bmp.decode_bmp24 for the dependency-free real path."
         )
     raise NotImplementedError("PIL path intentionally unimplemented in v1")
 
@@ -110,6 +116,88 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(extract_byte_features, schema=FEATURE_SCHEMA)
+
+
+# Fixture image geometry: width 15 forces BMP row padding (45 -> 48
+# bytes), height 12 != width catches axis transposition in the codec.
+IMG_W, IMG_H = 15, 12
+
+
+def synth_pixels(doc_id: int):
+    """Deterministic fixture pixels — pure arithmetic, no RNG:
+    v(y, x, c) = (doc_id*7 + y*31 + x*13 + c*5) mod 256. The DuckDB
+    oracle reproduces the same closed form, so decoded pixel stats are
+    exactly checkable."""
+    import numpy as np
+
+    y = np.arange(IMG_H).reshape(-1, 1, 1)
+    x = np.arange(IMG_W).reshape(1, -1, 1)
+    c = np.arange(3).reshape(1, 1, -1)
+    return ((doc_id * 7 + y * 31 + x * 13 + c * 5) % 256).astype(np.uint8)
+
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id long, width int, height int, payload_bytes long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def _bmp_roundtrip_stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Encode fixture pixels to REAL BMP bytes, decode them back with
+    the pure-numpy codec, and emit stats computed from the DECODED
+    array only — any codec defect (stride, bottom-up rows, BGR order)
+    breaks the oracle match."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            payload = encode_bmp24(synth_pixels(int(doc_id)))
+            img = decode_bmp24(payload)
+            h, w, _ = img.shape
+            means = img.reshape(-1, 3).mean(axis=0)
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "width": w,
+                    "height": h,
+                    "payload_bytes": len(payload),
+                    "mean_r": float(means[0]),
+                    "mean_g": float(means[1]),
+                    "mean_b": float(means[2]),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+_PIXEL_STATS_ORACLE = f"""
+WITH px AS (
+    SELECT d.doc_id, y.y, x.x
+    FROM documents d,
+         generate_series(0, {IMG_H - 1}) AS y(y),
+         generate_series(0, {IMG_W - 1}) AS x(x)
+)
+SELECT doc_id,
+       {IMG_W} AS width,
+       {IMG_H} AS height,
+       {14 + 40 + IMG_H * ((IMG_W * 3 + 3) // 4 * 4)}::BIGINT AS payload_bytes,
+       CAST(avg((doc_id * 7 + y * 31 + x * 13 + 0) % 256) AS DOUBLE) AS mean_r,
+       CAST(avg((doc_id * 7 + y * 31 + x * 13 + 5) % 256) AS DOUBLE) AS mean_g,
+       CAST(avg((doc_id * 7 + y * 31 + x * 13 + 10) % 256) AS DOUBLE) AS mean_b
+FROM px
+GROUP BY doc_id
+"""
+
+
+@query("q_multimodal_pixel_stats", oracle=_PIXEL_STATS_ORACLE, tags=("llm", "multimodal"))
+def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked: per doc, encode deterministic
+    fixture pixels to actual 24-bit BMP bytes, decode them back with the
+    pure-numpy codec (bmp.py), and report per-channel means from the
+    decoded array. DuckDB computes the same stats in closed form — a
+    codec bug (padding, row order, channel order) fails the hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_bmp_roundtrip_stats, schema=PIXEL_STATS_SCHEMA)
 
 
 _FRAME_ORACLE = """

@@ -124,6 +124,7 @@ _PRIORITY = [
     "q_stream_stream_join",
     "q_stream_stateful_user",
     "q_multimodal_features",
+    "q_multimodal_pixel_stats",
     # rows-only, driver-exercised r01/r02 but worth keeping in-window (2)
     "q_approx_distinct",
     "q_percentiles",

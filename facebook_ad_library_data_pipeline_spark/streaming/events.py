@@ -199,23 +199,34 @@ def run_stream_to_memory(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-@query("q_stream_tumbling", oracle=None, tags=("streaming",))
+@query("q_stream_tumbling", oracle=_TUMBLING_ORACLE, tags=("streaming",))
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling-window agg run through an ACTUAL Structured
     Streaming query (file source → watermark → window agg → memory
-    sink). Batch equivalence asserted in tests/test_streaming.py;
-    rows-only for the driver (the result materializes post-stream)."""
+    sink). The batch twin's oracle IS this stream's oracle: on the
+    bounded source, processAllAvailable + complete mode must reproduce
+    the batch result exactly (money_sum keeps the decimal sums
+    order-independent across micro-batch boundaries)."""
     events = load_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = tumbling_counts(events)
     run_stream_to_memory(agg, "stream_tumbling_out")
     return spark.table("stream_tumbling_out")
 
 
-@query("q_stream_dedup", oracle=None, tags=("streaming", "dedup"))
+_DEDUP_ORACLE = """
+SELECT event_type, count(DISTINCT event_id) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q_stream_dedup", oracle=_DEDUP_ORACLE, tags=("streaming", "dedup"))
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates within the watermark (the reference's
     dedup D1 as a stream op): exactly-once event ids per micro-batch
-    cascade. Rows-only; batch-count equivalence in tests."""
+    cascade. Oracle: distinct-id counts per type (equivalent while each
+    event_id maps to a single event_type, which holds in the driver
+    testdata — checked range-wide before adoption)."""
     events = load_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     deduped = events.dropDuplicates(["event_id"])
     counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

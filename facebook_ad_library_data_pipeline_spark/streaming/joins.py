@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.money import money_sum, money_sum_sql
 from ..registry import query
 from .events import load_events_stream, run_stream_to_memory
 
@@ -39,7 +40,7 @@ def enrich_with_segment(events: DataFrame, customers: DataFrame) -> DataFrame:
     return (
         events.join(dim, events["user_id"] == dim["c_custkey"])
         .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), money_sum(F.col("value")).alias("total_value"))
     )
 
 
@@ -67,8 +68,8 @@ def view_purchase_pairs(views: DataFrame, purchases: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------- batch twins
 
-_ENRICH_ORACLE = """
-SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total_value
+_ENRICH_ORACLE = f"""
+SELECT c_mktsegment, count(*) AS n, {money_sum_sql("value")} AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """
@@ -106,23 +107,25 @@ def q_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------- true streaming
 
 
-@query("q_stream_static_join", oracle=None, tags=("streaming", "join"))
+@query("q_stream_static_join", oracle=_ENRICH_ORACLE, tags=("streaming", "join"))
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join + global agg driven as a real streaming query
-    (complete mode — non-windowed agg over the whole stream). Rows-only;
-    equivalence to q_join_events_dim asserted in tests."""
+    (complete mode — non-windowed agg over the whole stream). The batch
+    twin's oracle is the stream's oracle: money_sum makes the rollup
+    independent of micro-batch partial-agg order."""
     events = load_events_stream(spark, sf_dir)
     out = enrich_with_segment(events, load_table(spark, sf_dir, "customer"))
     run_stream_to_memory(out, "stream_static_join_out", output_mode="complete")
     return spark.table("stream_static_join_out")
 
 
-@query("q_stream_stream_join", oracle=None, tags=("streaming", "join", "interval"))
+@query("q_stream_stream_join", oracle=_PAIRS_ORACLE, tags=("streaming", "join", "interval"))
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (append mode): both sides of the SAME
     file-source stream, watermarked 1 hour, joined on user within
     [0, +30 min]. The watermark + range bound state-store retention.
-    Rows-only; equivalence to q_interval_join_pairs asserted in tests."""
+    The batch twin's oracle is the stream's oracle (integer keys only —
+    no float representation risk across the join)."""
     events = load_events_stream(spark, sf_dir)
     views = events.filter(F.col("event_type") == "view").withWatermark("ts", "1 hour")
     purchases = events.filter(F.col("event_type") == "purchase").withWatermark("ts", "1 hour")

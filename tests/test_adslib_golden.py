@@ -12,7 +12,10 @@ from datetime import datetime, timezone
 import pytest
 
 from facebook_ad_library_data_pipeline_spark.adslib.report import generate_report
-from facebook_ad_library_data_pipeline_spark.adslib.transform import transform_raw_ads
+from facebook_ad_library_data_pipeline_spark.adslib.transform import (
+    pipeline_stage_counts,
+    transform_raw_ads,
+)
 
 T0 = 1700000000  # 2023-11-14 22:13:20 UTC
 AS_OF = "2023-11-15 00:00:00"  # epoch 1700006400
@@ -101,6 +104,17 @@ def test_quarantine_rows_carry_error_strings(pipeline_result):
     assert sorted(errs) == ["A8", "A9"]
     assert "end_date_ts must be >= start_date_ts" in errs["A8"]
     assert "start_date_ts must be a valid timestamp" in errs["A9"]
+
+
+def test_stage_counts_reconcile(spark, tmp_path_factory):
+    """U2 parity: the observe()-based per-stage report must reproduce
+    the reference's reconciliation counts (parsed 10 ads, 2 quarantined,
+    8 valid, 4 survivors after D1/D2/D3) in a single pass."""
+    path = tmp_path_factory.mktemp("rawads_u2") / "raw.json"
+    path.write_text(json.dumps(FIXTURE))
+    counts = pipeline_stage_counts(spark, str(path))
+    assert counts == {"parsed": 10, "valid": 8, "invalid": 2, "post_dedup": 4}
+    assert counts["parsed"] == counts["valid"] + counts["invalid"]
 
 
 def test_report_golden(pipeline_result, spark):

@@ -62,3 +62,33 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     stream = REGISTRY["q_stream_stream_join"].fn(spark, sf_dir).collect()
     batch = REGISTRY["q_interval_join_pairs"].fn(spark, sf_dir).collect()
     assert _as_set(stream) == _as_set(batch)
+
+
+def test_stream_stateful_user_equals_batch(spark, sf_dir):
+    """The applyInPandasWithState fold must agree with the plain batch
+    groupBy on the bounded source: same per-user event count, value sum
+    (to the cent), and ts-latest event type."""
+    from facebook_ad_library_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    stream = {
+        r.user_id: (r.n_events, r.total_value, r.last_event_type)
+        for r in REGISTRY["q_stream_stateful_user"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        r.user_id: (r.n_events, r.total_value, r.last_event_type)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max_by("event_type", "ts").alias("last_event_type"),
+        )
+        .collect()
+    }
+    assert set(stream) == set(batch)
+    for uid, (sn, sv, st) in stream.items():
+        bn, bv, bt = batch[uid]
+        assert sn == bn, f"user {uid}: n_events {sn} != {bn}"
+        assert abs(sv - bv) < 0.005, f"user {uid}: total_value {sv} != {bv}"
+        assert st == bt, f"user {uid}: last_event_type {st} != {bt}"
