@@ -103,6 +103,79 @@ def q_window_range_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_ORACLE = """
+WITH v AS (
+    SELECT user_id, min(ts) AS first_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT v.user_id, v.first_view, min(e.ts) AS first_click
+    FROM v LEFT JOIN events e
+      ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.first_view
+    GROUP BY v.user_id, v.first_view
+), p AS (
+    SELECT c.user_id, c.first_view, c.first_click, min(e.ts) AS first_purchase
+    FROM c LEFT JOIN events e
+      ON e.user_id = c.user_id AND e.event_type = 'purchase'
+     AND e.ts > c.first_click
+    GROUP BY c.user_id, c.first_view, c.first_click
+)
+SELECT user_id, first_view, first_click, first_purchase,
+       (first_purchase IS NOT NULL) AS completed
+FROM p
+"""
+
+
+@query("q_funnel_steps", oracle=_FUNNEL_ORACLE, tags=("timeseries", "funnel", "agg"))
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase, each step
+    strictly after the previous): the MATCH_RECOGNIZE-style sequence
+    query of event analytics, expressed as a chain of conditional min
+    aggregations.
+
+    Scale shape: three hash aggregations + two joins, ALL keyed on
+    user_id — one logical partitioning carried through the whole chain
+    (AQE reuses the exchange), no window over the raw event stream, no
+    per-user sort. The per-step filter (event_type = ...) reaches the
+    scan, so each join's stream side is only that step's events."""
+    e = load_table(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    step2 = (
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user")) & (F.col("c_ts") > F.col("first_view")),
+            "left",
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("c_ts").alias("first_click"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    step3 = (
+        step2.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") > F.col("first_click")),
+            "left",
+        )
+        .groupBy("user_id", "first_view", "first_click")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    return step3.select(
+        "user_id",
+        "first_view",
+        "first_click",
+        "first_purchase",
+        F.col("first_purchase").isNotNull().alias("completed"),
+    )
+
+
 _BOOL_AGG_ORACLE = """
 SELECT o_custkey,
        bool_and(o_totalprice > 10000)  AS all_above_10k,

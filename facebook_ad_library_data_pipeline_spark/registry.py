@@ -48,6 +48,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.operators.sql_frontend",
     "facebook_ad_library_data_pipeline_spark.operators.cdc",
     "facebook_ad_library_data_pipeline_spark.operators.skew",
+    "facebook_ad_library_data_pipeline_spark.operators.bloom",
     "facebook_ad_library_data_pipeline_spark.operators.timeseries",
     "facebook_ad_library_data_pipeline_spark.operators.curation",
     "facebook_ad_library_data_pipeline_spark.operators.components",
@@ -125,9 +126,11 @@ _PRIORITY = [
     "q_stream_stateful_user",
     "q_multimodal_features",
     "q_multimodal_pixel_stats",
-    # rows-only, driver-exercised r01/r02 but worth keeping in-window (2)
-    "q_approx_distinct",
-    "q_percentiles",
+    # round-5 additions: funnel sequence + Bloom join pruning (2).
+    # (q_approx_distinct / q_percentiles rotate out — both already have
+    # clean rows-only driver rows from r01/r02.)
+    "q_funnel_steps",
+    "q_bloom_prefilter",
     # ---- window boundary (~50): everything below is already
     # driver-hash-green in r01-r04 and follows in registration order ----
 ]

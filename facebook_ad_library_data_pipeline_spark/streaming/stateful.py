@@ -40,7 +40,8 @@ OUTPUT_SCHEMA = StructType(
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
+        StructField("total_cents", LongType()),
+        StructField("last_ts_micros", LongType()),
         StructField("last_event_type", StringType()),
     ]
 )
@@ -51,21 +52,37 @@ def _update_user_state(
 ) -> Iterable[pd.DataFrame]:
     """Fold each micro-batch's rows for this user into the persistent
     state, emit the updated snapshot. Rows arrive Arrow-batched; state
-    is a plain tuple in the state store."""
+    is a plain tuple in the state store.
+
+    Money accumulates as INTEGER CENTS (floor(v*100 + 0.5) per value):
+    each per-value rounding is a deterministic function of the input
+    double, and integer addition is order-independent — so the fold's
+    total is identical no matter how rows split across micro-batches,
+    and a plain SQL oracle can reproduce it exactly (same reasoning as
+    functions/money.py, restated Python-side)."""
+    import numpy as np
+
     (user_id,) = key
-    n, total, last_type = state.get if state.exists else (0, 0.0, None)
+    n, total_cents, last_ts, last_type = (
+        state.get if state.exists else (0, 0, -1, None)
+    )
     for pdf in pdfs:
         if len(pdf):
-            pdf = pdf.sort_values("ts")
             n += len(pdf)
-            total += float(pdf["value"].sum())
-            last_type = str(pdf["event_type"].iloc[-1])
-    state.update((n, round(total, 2), last_type))
+            total_cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+            # micro-batches are NOT ts-ordered (file order); keep the
+            # event-time max in state so a late-arriving batch with an
+            # earlier ts can never steal "last"
+            i = pdf["ts"].idxmax()
+            batch_ts = int(pdf["ts"].loc[i].value // 1000)  # ns -> µs
+            if batch_ts > last_ts:
+                last_ts, last_type = batch_ts, str(pdf["event_type"].loc[i])
+    state.update((n, total_cents, last_ts, last_type))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [round(total, 2)],
+            "total_value": [total_cents / 100.0],
             "last_event_type": [last_type],
         }
     )
@@ -81,10 +98,28 @@ def user_state_stream(events: DataFrame) -> DataFrame:
     )
 
 
-@query("q_stream_stateful_user", oracle=None, tags=("streaming", "stateful", "pandas-udf"))
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+           AS total_value,
+       arg_max(event_type, ts) AS last_event_type
+FROM events
+GROUP BY user_id
+"""
+
+
+@query(
+    "q_stream_stateful_user",
+    oracle=_STATEFUL_ORACLE,
+    tags=("streaming", "stateful", "pandas-udf"),
+)
 def q_stream_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful op through a real streaming query (update-mode
-    memory sink keeps the latest row per user on the bounded source)."""
+    memory sink keeps the latest row per user on the bounded source).
+    Oracle-checkable because the fold is order-independent: integer-cent
+    accumulation + ts-max event type (per-user ts are unique in the
+    testdata, so arg_max is well-defined)."""
     events = load_events_stream(spark, sf_dir)
     out = user_state_stream(events)
     # 8 partitions: each stateful partition spins a Python worker + a
