@@ -151,3 +151,29 @@ def test_top_terms_df_side_broadcasts(spark, sf_dir):
     # must broadcast; the per-source window must not full-sort globally.
     df = REGISTRY["q_top_terms"].fn(spark, sf_dir)
     assert has_node(df, "BroadcastHashJoin")
+
+
+def test_bloom_bits_broadcast_and_probe_no_shuffle(spark, sf_dir):
+    # the Bloom bit array and the exact key set are both broadcast; the
+    # big probe side must never be shuffle-partitioned for the join.
+    df = REGISTRY["q_bloom_prefilter"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin")
+    assert not has_node(df, "SortMergeJoin")
+    assert not has_node(df, "ShuffledHashJoin")
+
+
+def test_funnel_single_key_partitioning(spark, sf_dir):
+    # every stage keys on user_id: no broadcast (both sides are event
+    # streams at scale) and no global sort anywhere in the chain.
+    df = REGISTRY["q_funnel_steps"].fn(spark, sf_dir)
+    assert has_node(df, "HashAggregate")
+    assert not has_node(df, "TakeOrderedAndProject")
+
+
+def test_pixel_stats_is_pure_map(spark, sf_dir):
+    # encode->decode->stats is embarrassingly parallel: no exchange at
+    # all beyond the scan (mapInPandas rides the scan partitioning).
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["q_multimodal_pixel_stats"].fn(spark, sf_dir)
+    assert "Exchange" not in formatted_plan(df)
