@@ -1,0 +1,162 @@
+"""Storage-layout operators: bucketed co-located joins and partition-
+pruned scans — the two table-layout levers that matter most at 100 TB.
+
+- Bucketing pre-shuffles a table ONCE at write time: two tables
+  bucketed by the same key into the same bucket count join with NO
+  exchange on either side, ever after. That turns the nightly
+  fact-to-fact join from the cluster's biggest shuffle into a local
+  merge per bucket.
+- Partition pruning turns a predicate on the partition column into
+  directory-level file skipping: the scan never opens non-matching
+  files. `PartitionFilters` in the plan is the proof (enforced in
+  tests/test_plans.py).
+
+Both layouts are built once per session from the testdata (tiny,
+seconds) and cached; the QUERIES against them are the operators under
+test. Layout artifacts go to spark-warehouse/ (bucketed tables) and
+the system temp dir (partitioned parquet) — never into /root/testdata.
+"""
+
+from __future__ import annotations
+
+import re
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.money import money_sum, money_sum_sql
+from ..registry import query
+
+N_BUCKETS = 8
+
+_BUCKET_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+_PART_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return re.sub(r"[^0-9a-z]+", "_", Path(sf_dir).name.lower())
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(orders_table, customer_table) bucketed by custkey into
+    N_BUCKETS, written once per (session, sf_dir). sortBy within
+    buckets so the merge join needs no sort either."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    names = _BUCKET_CACHE.get(key)
+    if names is None:
+        import shutil
+
+        tag = _sf_tag(sf_dir)
+        o_name, c_name = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+        # A previous SESSION may have left the managed location behind
+        # while this session's catalog has no table entry — overwrite
+        # can't reconcile that, so clear both catalog and location.
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for name in (o_name, c_name):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            leftover = Path(warehouse) / name
+            if leftover.exists():
+                shutil.rmtree(leftover)
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.bucketBy(N_BUCKETS, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable(o_name)
+        )
+        (
+            load_table(spark, sf_dir, "customer")
+            .write.bucketBy(N_BUCKETS, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .saveAsTable(c_name)
+        )
+        names = (o_name, c_name)
+        _BUCKET_CACHE[key] = names
+    return names
+
+
+_BUCKETED_ORACLE = f"""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       {money_sum_sql("o_totalprice")} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("q_bucketed_join", oracle=_BUCKETED_ORACLE, tags=("join", "storage", "bucketing"))
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim join over co-bucketed tables: both sides bucketed by
+    custkey into the same bucket count, so the sort-merge join runs
+    with ZERO exchange on the join key (plan-asserted). The `merge`
+    hint pins SMJ — a broadcast would hide the property under test,
+    and at real scale the fact-to-fact version has no broadcast
+    option anyway."""
+    o_name, c_name = bucketed_tables(spark, sf_dir)
+    o = spark.table(o_name)
+    c = spark.table(c_name).hint("merge")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events re-laid-out as parquet partitioned by event_type, once
+    per (session, sf_dir); stamped with the source file's mtime so a
+    regenerated testdata file invalidates the layout."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _PART_CACHE.get(key)
+    if out is None:
+        src_mtime = int(Path(f"{sf_dir}/events.parquet").stat().st_mtime)
+        out = str(
+            Path(tempfile.gettempdir())
+            / "spark_graft_part"
+            / f"{_sf_tag(sf_dir)}_{src_mtime}"
+            / "events"
+        )
+        if not Path(out, "_SUCCESS").exists():
+            (
+                load_table(spark, sf_dir, "events")
+                .write.partitionBy("event_type")
+                .mode("overwrite")
+                .parquet(out)
+            )
+        _PART_CACHE[key] = out
+    return out
+
+
+_PRUNED_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@query("q_partition_pruned_scan", oracle=_PRUNED_ORACLE, tags=("scan", "storage", "prune"))
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase rollup against the event_type-partitioned layout:
+    the predicate lands in PartitionFilters (directory skipping, not
+    row filtering — plan-asserted), so the scan reads 1 of 5
+    partitions. This is the layout every append-only event table
+    should have at 100 TB (usually date + one coarse dimension)."""
+    events = spark.read.parquet(partitioned_events_dir(spark, sf_dir))
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+    )

@@ -49,6 +49,9 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.operators.cdc",
     "facebook_ad_library_data_pipeline_spark.operators.skew",
     "facebook_ad_library_data_pipeline_spark.operators.bloom",
+    "facebook_ad_library_data_pipeline_spark.operators.storage",
+    "facebook_ad_library_data_pipeline_spark.operators.cogroup",
+    "facebook_ad_library_data_pipeline_spark.functions.udtf_fns",
     "facebook_ad_library_data_pipeline_spark.operators.timeseries",
     "facebook_ad_library_data_pipeline_spark.operators.curation",
     "facebook_ad_library_data_pipeline_spark.operators.components",
@@ -104,12 +107,13 @@ _PRIORITY = [
     "q_window_tumbling",
     "q_window_sliding",
     "q_session_window",
-    # never-checked rows-only: ANN / sketches / streaming / multimodal (20)
+    # never-checked rows-only: ANN / sketches / streaming / multimodal
+    # (16 of 20 — q_minhash_signatures, q_simhash_fingerprints,
+    # q_pq_codes, q_ann_bucket_stats yield their window slots to new
+    # oracle-backed queries below; each is executed internally by an
+    # in-window consumer: lsh_pairs/simhash_pairs/ivf_pq_topk/lsh_topk)
     "q_ann_lsh_topk",
-    "q_ann_bucket_stats",
-    "q_minhash_signatures",
     "q_minhash_lsh_pairs",
-    "q_simhash_fingerprints",
     "q_simhash_pairs",
     "q_lang_id_udf",
     "q_sample_stratified",
@@ -117,7 +121,6 @@ _PRIORITY = [
     "q_countmin_heavy_hitters",
     "q_ann_ivf_topk",
     "q_ivf_cell_stats",
-    "q_pq_codes",
     "q_ann_ivf_pq_topk",
     "q_stream_tumbling",
     "q_stream_dedup",
@@ -125,6 +128,11 @@ _PRIORITY = [
     "q_stream_stream_join",
     "q_stream_stateful_user",
     "q_multimodal_features",
+    # round-5 storage / taxonomy additions (4, all oracle-backed)
+    "q_bucketed_join",
+    "q_partition_pruned_scan",
+    "q_cogroup_asof",
+    "q_udtf_chunks",
     "q_multimodal_pixel_stats",
     # round-5 additions: funnel sequence + Bloom join pruning (2).
     # (q_approx_distinct / q_percentiles rotate out — both already have

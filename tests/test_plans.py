@@ -177,3 +177,29 @@ def test_pixel_stats_is_pure_map(spark, sf_dir):
 
     df = REGISTRY["q_multimodal_pixel_stats"].fn(spark, sf_dir)
     assert "Exchange" not in formatted_plan(df)
+
+
+def test_bucketed_join_no_exchange_on_key(spark, sf_dir):
+    # co-bucketed tables: the SMJ must consume the bucketed scan output
+    # directly — no hashpartitioning exchange on either join key.
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["q_bucketed_join"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(o_custkey" not in plan
+    assert "hashpartitioning(c_custkey" not in plan
+
+
+def test_partition_pruned_scan_skips_directories(spark, sf_dir):
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["q_partition_pruned_scan"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the predicate must land in PartitionFilters (directory skipping),
+    # not in PushedFilters/row Filter
+    assert "PartitionFilters" in plan
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan[:2000]
