@@ -51,29 +51,30 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
         tag = _sf_tag(sf_dir)
         o_name, c_name = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
-        # A previous SESSION may have left the managed location behind
-        # while this session's catalog has no table entry — overwrite
-        # can't reconcile that, so clear both catalog and location.
-        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        for name in (o_name, c_name):
+        # EXTERNAL locations under the system temp dir: bucketing needs
+        # a catalog entry (saveAsTable), but the default MANAGED
+        # location is <caller cwd>/spark-warehouse — wherever the
+        # harness happens to run from. Pin the bytes to tmp instead.
+        base = Path(tempfile.gettempdir()) / "spark_graft_bkt"
+        for name, src, col in (
+            (o_name, "orders", "o_custkey"),
+            (c_name, "customer", "c_custkey"),
+        ):
+            # a previous SESSION may have left the location behind while
+            # this session's catalog has no table entry — overwrite
+            # can't reconcile that, so clear both catalog and location
             spark.sql(f"DROP TABLE IF EXISTS {name}")
-            leftover = Path(warehouse) / name
-            if leftover.exists():
-                shutil.rmtree(leftover)
-        (
-            load_table(spark, sf_dir, "orders")
-            .write.bucketBy(N_BUCKETS, "o_custkey")
-            .sortBy("o_custkey")
-            .mode("overwrite")
-            .saveAsTable(o_name)
-        )
-        (
-            load_table(spark, sf_dir, "customer")
-            .write.bucketBy(N_BUCKETS, "c_custkey")
-            .sortBy("c_custkey")
-            .mode("overwrite")
-            .saveAsTable(c_name)
-        )
+            path = base / name
+            if path.exists():
+                shutil.rmtree(path)
+            (
+                load_table(spark, sf_dir, src)
+                .write.bucketBy(N_BUCKETS, col)
+                .sortBy(col)
+                .option("path", str(path))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
         names = (o_name, c_name)
         _BUCKET_CACHE[key] = names
     return names

@@ -62,6 +62,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.streaming.events",
     "facebook_ad_library_data_pipeline_spark.streaming.joins",
     "facebook_ad_library_data_pipeline_spark.streaming.stateful",
+    "facebook_ad_library_data_pipeline_spark.streaming.incremental",
     "facebook_ad_library_data_pipeline_spark.multimodal.media",
 ]
 
@@ -128,11 +129,12 @@ _PRIORITY = [
     "q_stream_stream_join",
     "q_stream_stateful_user",
     "q_multimodal_features",
-    # round-5 storage / taxonomy additions (4, all oracle-backed)
+    # round-5 storage / taxonomy / incremental additions (5, oracle-backed)
     "q_bucketed_join",
     "q_partition_pruned_scan",
     "q_cogroup_asof",
     "q_udtf_chunks",
+    "q_stream_incremental_rollup",
     "q_multimodal_pixel_stats",
     # round-5 additions: funnel sequence + Bloom join pruning (2).
     # (q_approx_distinct / q_percentiles rotate out — both already have

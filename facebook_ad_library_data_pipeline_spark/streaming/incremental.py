@@ -1,0 +1,118 @@
+"""Incremental materialized-view maintenance: a streaming foreachBatch
+sink that appends PER-BATCH PARTIAL aggregates, with the final view
+reconstructed by merging partials — the two-level partial→merge pattern
+that lets a 100 TB daily rollup absorb new data without rescanning
+history (same algebra as the HLL/CMS partial-merge sketches, applied to
+a materialized table).
+
+Unlike the other streams (single micro-batch on the bounded source),
+this one FORCES multiple micro-batches (`maxFilesPerTrigger=1` over a
+4-file copy of events), so the merge path is genuinely exercised: four
+partial files land, and the merged view must equal the batch rollup —
+which is exactly what the DuckDB oracle checks. All money flows as
+integer cents, so partial merging is order-independent.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+N_SOURCE_FILES = 4
+
+_SPLIT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def split_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events re-written as N files (once per session, mtime-stamped),
+    so maxFilesPerTrigger=1 yields N real micro-batches."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _SPLIT_CACHE.get(key)
+    if out is None:
+        src_mtime = int(Path(f"{sf_dir}/events.parquet").stat().st_mtime)
+        out = str(
+            Path(tempfile.gettempdir())
+            / "spark_graft_split"
+            / f"{Path(sf_dir).name}_{src_mtime}"
+        )
+        if not Path(out, "_SUCCESS").exists():
+            load_table(spark, sf_dir, "events").repartition(N_SOURCE_FILES).write.mode(
+                "overwrite"
+            ).parquet(out)
+        _SPLIT_CACHE[key] = out
+    return out
+
+
+def _partial_rollup(batch: DataFrame) -> DataFrame:
+    return (
+        batch.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).alias("cents"),
+        )
+    )
+
+
+_INCREMENTAL_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+           AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_stream_incremental_rollup",
+    oracle=_INCREMENTAL_ORACLE,
+    tags=("streaming", "sink", "agg"),
+)
+def q_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream events one file per micro-batch; foreachBatch appends that
+    batch's (day, event_type) partial counts/cents to a parquet sink;
+    the returned view merges the partials. Four partial sets must merge
+    to exactly the batch rollup (the oracle). Fresh sink+checkpoint per
+    call keeps the result deterministic under repetition."""
+    src = split_events_dir(spark, sf_dir)
+    run_dir = Path(tempfile.gettempdir()) / "spark_graft_incr" / uuid.uuid4().hex
+    sink = str(run_dir / "partials")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def append_partial(batch_df: DataFrame, epoch_id: int) -> None:
+        _partial_rollup(batch_df).write.mode("append").parquet(sink)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        stream.writeStream.foreachBatch(append_partial)
+        .option("checkpointLocation", str(run_dir / "_checkpoint"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    partials = spark.read.parquet(sink)
+    return partials.groupBy("day", "event_type").agg(
+        F.sum("n").alias("n"),
+        (F.sum("cents").cast("double") / 100).alias("total_value"),
+    )

@@ -64,6 +64,46 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     assert _as_set(stream) == _as_set(batch)
 
 
+def test_incremental_rollup_merges_real_micro_batches(spark, sf_dir):
+    """The partial-append sink must be fed by MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over the 4-file split) — otherwise the merge
+    path under test is vacuous — and the merged view must equal the
+    one-shot batch rollup."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from facebook_ad_library_data_pipeline_spark.catalog import load_table
+    from facebook_ad_library_data_pipeline_spark.streaming.incremental import (
+        N_SOURCE_FILES,
+        split_events_dir,
+    )
+
+    src = split_events_dir(spark, sf_dir)
+    n_files = len(glob.glob(f"{src}/part-*.parquet"))
+    assert n_files == N_SOURCE_FILES
+
+    merged = {
+        (r.day, r.event_type): (r.n, r.total_value)
+        for r in REGISTRY["q_stream_incremental_rollup"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.day, r.event_type): (r.n, r.total_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).cast("double")
+                / 100
+            ).alias("total_value"),
+        )
+        .collect()
+    }
+    assert merged == batch
+
+
 def test_stream_stateful_user_equals_batch(spark, sf_dir):
     """The applyInPandasWithState fold must agree with the plain batch
     groupBy on the bounded source: same per-user event count, value sum
