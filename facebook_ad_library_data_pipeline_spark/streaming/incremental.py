@@ -96,7 +96,13 @@ def q_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def append_partial(batch_df: DataFrame, epoch_id: int) -> None:
-        _partial_rollup(batch_df).write.mode("append").parquet(sink)
+        # foreachBatch delivers AT-LEAST-once: a crash between the sink
+        # write and the checkpoint commit replays the epoch. Keying the
+        # write by epoch and overwriting makes the replay idempotent —
+        # exactly-once materialization on top of at-least-once delivery.
+        _partial_rollup(batch_df).write.mode("overwrite").parquet(
+            f"{sink}/epoch={epoch_id}"
+        )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -111,7 +117,7 @@ def q_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
-    partials = spark.read.parquet(sink)
+    partials = spark.read.parquet(sink)  # epoch= dirs discovered as a column
     return partials.groupBy("day", "event_type").agg(
         F.sum("n").alias("n"),
         (F.sum("cents").cast("double") / 100).alias("total_value"),

@@ -104,6 +104,74 @@ def test_incremental_rollup_merges_real_micro_batches(spark, sf_dir):
     assert merged == batch
 
 
+def test_incremental_rollup_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Kill the stream after the first micro-batch, restart from the
+    SAME checkpoint, and the merged view must still equal the batch
+    rollup — no partial may be double-counted. foreachBatch alone is
+    at-least-once; the epoch-keyed overwrite sink makes replays
+    idempotent, which is what this test pins."""
+    from pyspark.sql import functions as F
+
+    from facebook_ad_library_data_pipeline_spark.streaming.incremental import (
+        _partial_rollup,
+        split_events_dir,
+    )
+
+    src = split_events_dir(spark, sf_dir)
+    sink = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(src).schema
+
+    def append_partial(batch_df, epoch_id):
+        # epoch-keyed overwrite: replays after a kill must be idempotent
+        _partial_rollup(batch_df).write.mode("overwrite").parquet(
+            f"{sink}/epoch={epoch_id}"
+        )
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(append_partial)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    import time
+
+    q = start()
+    try:  # let at least one batch commit, then kill mid-stream
+        deadline = time.time() + 60
+        while not q.recentProgress and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    q2 = start()  # resume from the same checkpoint
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    merged = (
+        spark.read.parquet(sink)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    from facebook_ad_library_data_pipeline_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert {(r.day, r.event_type): r.n for r in merged} == {
+        (r.day, r.event_type): r.n for r in batch
+    }
+
+
 def test_stream_stateful_user_equals_batch(spark, sf_dir):
     """The applyInPandasWithState fold must agree with the plain batch
     groupBy on the bounded source: same per-user event count, value sum
