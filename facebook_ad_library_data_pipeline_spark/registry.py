@@ -63,6 +63,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.streaming.joins",
     "facebook_ad_library_data_pipeline_spark.streaming.stateful",
     "facebook_ad_library_data_pipeline_spark.streaming.incremental",
+    "facebook_ad_library_data_pipeline_spark.sources.roundtrip",
     "facebook_ad_library_data_pipeline_spark.multimodal.media",
 ]
 
@@ -116,7 +117,9 @@ _PRIORITY = [
     "q_ann_lsh_topk",
     "q_minhash_lsh_pairs",
     "q_simhash_pairs",
-    "q_lang_id_udf",
+    # (q_lang_id_udf also yields its slot: its native twin q_lang_id is
+    # driver-green r01/r02 and the pandas-UDF taxonomy has oracle-backed
+    # in-window representatives)
     "q_sample_stratified",
     "q_hll_partial_merge",
     "q_countmin_heavy_hitters",
@@ -129,12 +132,14 @@ _PRIORITY = [
     "q_stream_stream_join",
     "q_stream_stateful_user",
     "q_multimodal_features",
-    # round-5 storage / taxonomy / incremental additions (5, oracle-backed)
+    # round-5 storage / taxonomy / incremental / sink additions (6,
+    # all oracle-backed)
     "q_bucketed_join",
     "q_partition_pruned_scan",
     "q_cogroup_asof",
     "q_udtf_chunks",
     "q_stream_incremental_rollup",
+    "q_sink_roundtrip",
     "q_multimodal_pixel_stats",
     # round-5 additions: funnel sequence + Bloom join pruning (2).
     # (q_approx_distinct / q_percentiles rotate out — both already have
