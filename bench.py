@@ -79,13 +79,16 @@ def main() -> None:
     print(json.dumps(payload))
     # The driver's recorded copy truncates the head of the per-query map
     # (alphabetically-early queries were invisible in BENCH_r01/r02);
-    # persist the full map so rounds stay comparable.
-    try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
-            json.dump(payload, f, indent=1, sort_keys=True)
-    except OSError as e:
-        print(f"# bench artifact write failed: {e}", file=sys.stderr)
+    # persist the full map so rounds stay comparable. Only the canonical
+    # sf0.1 run may write it — a smoke run at another scale must not
+    # clobber the comparable artifact (happened twice in round 5).
+    if sf == 0.1:
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+                json.dump(payload, f, indent=1, sort_keys=True)
+        except OSError as e:
+            print(f"# bench artifact write failed: {e}", file=sys.stderr)
     spark.stop()
 
 

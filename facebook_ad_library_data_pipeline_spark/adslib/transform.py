@@ -191,11 +191,18 @@ def _validity_rules() -> list[tuple[str, Column]]:
     ]
 
 
-def validate_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """V2: one pass → (valid, quarantine-with-error-string)."""
-    flagged = parsed.withColumn(
+def flag_invalid(parsed: DataFrame) -> DataFrame:
+    """Attach the validation_error column — the ONE place the rule set
+    is wired, shared by the split and the stage-count reconciliation so
+    they can never diverge."""
+    return parsed.withColumn(
         "validation_error", validation_error_column(_validity_rules())
     )
+
+
+def validate_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """V2: one pass → (valid, quarantine-with-error-string)."""
+    flagged = flag_invalid(parsed)
     valid = flagged.filter(F.col("validation_error").isNull()).drop("validation_error")
     invalid = flagged.filter(F.col("validation_error").isNotNull())
     return valid, invalid
@@ -232,9 +239,7 @@ def pipeline_stage_counts(spark: SparkSession, raw_path: str) -> dict[str, int]:
 
     exploded = read_raw_ads(spark, raw_path)
     parsed = parse_ads(exploded)
-    flagged = parsed.withColumn(
-        "validation_error", validation_error_column(_validity_rules())
-    )
+    flagged = flag_invalid(parsed)
     obs = Observation("pipeline_stages")
     observed = flagged.observe(
         obs,

@@ -127,16 +127,25 @@ SCHEMAS: dict[str, T.StructType] = {
 
 
 @lru_cache(maxsize=None)
-def events_ts_unit(sf_dir: str) -> str:
-    """Parquet-footer probe for the events ``ts`` physical resolution
-    ('ns' | 'us' | 'ms'): one tiny metadata read per sf_dir, cached.
-    The driver has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
-    encodings across rounds; assuming either one silently rescales
-    every event-time window by 1000x, so the loader must look."""
+def _events_ts_unit_cached(path: str, mtime_ns: int) -> str:
     import pyarrow.parquet as pq
 
-    t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
+    t = pq.ParquetFile(path).schema_arrow.field("ts").type
     return getattr(t, "unit", "us")
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    """Parquet-footer probe for the events ``ts`` physical resolution
+    ('ns' | 'us' | 'ms'): one tiny metadata read, cached per
+    (path, mtime) so a REGENERATED events.parquet re-probes instead of
+    serving a stale unit for the life of the process. The driver has
+    shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) encodings
+    across rounds; assuming either one silently rescales every
+    event-time window by 1000x, so the loader must look."""
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    return _events_ts_unit_cached(path, os.stat(path).st_mtime_ns)
 
 
 def _events_nanos_schema() -> T.StructType:

@@ -67,11 +67,11 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     len/20 output rows inside the executor, no driver involvement."""
     from pyspark.sql.functions import udtf
 
+    from ..catalog import load_table
+
     chunker = udtf(ChunkDocument, returnType="chunk_idx bigint, n_tokens int, chunk string")
     spark.udtf.register("chunk_document", chunker)
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
-        "documents_for_udtf"
-    )
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_for_udtf")
     return spark.sql(
         """
         SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk

@@ -13,8 +13,10 @@ pruned scans — the two table-layout levers that matter most at 100 TB.
 
 Both layouts are built once per session from the testdata (tiny,
 seconds) and cached; the QUERIES against them are the operators under
-test. Layout artifacts go to spark-warehouse/ (bucketed tables) and
-the system temp dir (partitioned parquet) — never into /root/testdata.
+test. All layout artifacts live under the system temp dir — bucketed
+tables as EXTERNAL locations (the managed default would land in the
+caller's cwd/spark-warehouse) and the partitioned parquet alongside —
+never in /root/testdata.
 """
 
 from __future__ import annotations

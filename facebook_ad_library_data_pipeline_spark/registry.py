@@ -124,7 +124,8 @@ _PRIORITY = [
     "q_hll_partial_merge",
     "q_countmin_heavy_hitters",
     "q_ann_ivf_topk",
-    "q_ivf_cell_stats",
+    # (q_ivf_cell_stats also yields its slot: the IVF index build it
+    # inspects is exercised in-window by q_ann_ivf_topk/q_ann_ivf_pq_topk)
     "q_ann_ivf_pq_topk",
     "q_stream_tumbling",
     "q_stream_dedup",

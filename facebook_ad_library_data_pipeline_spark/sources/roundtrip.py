@@ -64,6 +64,8 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back with a declared schema → identical per-type aggregates per
     format. The oracle expects every format to reproduce the source
     aggregates exactly (4 formats × event types)."""
+    import shutil
+
     run_dir = Path(tempfile.gettempdir()) / "spark_graft_sink" / uuid.uuid4().hex
     src = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -71,38 +73,46 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
     )
+    try:
+        json_p = str(run_dir / "json")
+        csv_p = str(run_dir / "csv")
+        orc_p = str(run_dir / "orc")
+        pq_p = str(run_dir / "parquet")
+        write_raw_json(src, json_p)
+        src.write.mode("overwrite").option("header", True).csv(csv_p)
+        write_orc(src, orc_p)
+        write_parquet(src, pq_p, partition_by=["event_type"])
 
-    json_p = str(run_dir / "json")
-    csv_p = str(run_dir / "csv")
-    orc_p = str(run_dir / "orc")
-    pq_p = str(run_dir / "parquet")
-    write_raw_json(src, json_p)
-    src.write.mode("overwrite").option("header", True).csv(csv_p)
-    write_orc(src, orc_p)
-    write_parquet(src, pq_p, partition_by=["event_type"])
-
-    reread = {
-        "json": spark.read.schema(_RT_SCHEMA).json(json_p),
-        "csv": spark.read.schema(_RT_SCHEMA).option("header", True).csv(csv_p),
-        "orc": spark.read.schema(_RT_SCHEMA).orc(orc_p),
-        # partitioned parquet: event_type comes back as a partition
-        # column; project to the common shape
-        "parquet": spark.read.parquet(pq_p).select(
-            "event_id", "user_id", "event_type", "cents"
-        ),
-    }
-    per_format = [
-        df.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.sum("cents").alias("total_cents"),
-            F.sum("event_id").alias("id_checksum"),
-        )
-        .select(F.lit(fmt).alias("format"), "*")
-        for fmt, df in reread.items()
-    ]
-    out = per_format[0]
-    for df in per_format[1:]:
-        out = out.unionByName(df)
-    return out
+        reread = {
+            "json": spark.read.schema(_RT_SCHEMA).json(json_p),
+            "csv": spark.read.schema(_RT_SCHEMA).option("header", True).csv(csv_p),
+            "orc": spark.read.schema(_RT_SCHEMA).orc(orc_p),
+            # partitioned parquet: event_type comes back as a partition
+            # column; project to the common shape
+            "parquet": spark.read.parquet(pq_p).select(
+                "event_id", "user_id", "event_type", "cents"
+            ),
+        }
+        per_format = [
+            df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum("cents").alias("total_cents"),
+                F.sum("event_id").alias("id_checksum"),
+            )
+            .select(F.lit(fmt).alias("format"), "*")
+            for fmt, df in reread.items()
+        ]
+        out = per_format[0]
+        for df in per_format[1:]:
+            out = out.unionByName(df)
+        # Materialize NOW (formats x event-types = ~20 rows) so the
+        # written copies of events can be deleted before returning —
+        # a lazy result would pin the tmp dir for the caller's
+        # lifetime and every invocation would leak one (found leaking
+        # ~10 dirs per bench+test cycle).
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

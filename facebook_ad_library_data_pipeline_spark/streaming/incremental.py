@@ -104,6 +104,8 @@ def q_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{sink}/epoch={epoch_id}"
         )
 
+    import shutil
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     q = (
@@ -117,8 +119,16 @@ def q_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
-    partials = spark.read.parquet(sink)  # epoch= dirs discovered as a column
-    return partials.groupBy("day", "event_type").agg(
-        F.sum("n").alias("n"),
-        (F.sum("cents").cast("double") / 100).alias("total_value"),
-    )
+    try:
+        partials = spark.read.parquet(sink)  # epoch= dirs discovered as a column
+        merged = partials.groupBy("day", "event_type").agg(
+            F.sum("n").alias("n"),
+            (F.sum("cents").cast("double") / 100).alias("total_value"),
+        )
+        # Materialize (days x event-types, ~150 rows) so the per-call
+        # sink + checkpoint can be deleted before returning instead of
+        # leaking one uuid dir per invocation.
+        rows = merged.collect()
+        return spark.createDataFrame(rows, merged.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

@@ -31,7 +31,11 @@ _FRACTIONAL = (T.FloatType, T.DoubleType)
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_pandas_dtypes_compatible(name, spark, sf_dir, duck):
     q = REGISTRY[name]
-    sdf = q.fn(spark, sf_dir)  # lazy — schema only, no job runs
+    # Building the plan is enough to read the result schema for most
+    # queries. The streaming/sink/layout queries execute work inside
+    # fn() itself (they materialize through side effects by design) —
+    # at sf0.001 that costs seconds and is accepted for lint coverage.
+    sdf = q.fn(spark, sf_dir)
     spark_types = {f.name.lower(): f.dataType for f in sdf.schema.fields}
 
     odf = duck.sql(q.oracle).df()

