@@ -113,6 +113,51 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.sampleBy("lang", fractions, seed=42)
 
 
+# Portable-hash sampling (the deterministic twin of sampleBy): keep a
+# row iff a Knuth multiplicative hash of its key falls under the
+# stratum's threshold out of 10,000. Pure BIGINT arithmetic, so the
+# decision is REPRODUCIBLE across engines, re-runs, and cluster sizes —
+# which is what a training pipeline actually needs from its sampler
+# (re-running the job must pick the same documents; DuckDB's oracle
+# picks them too). Salt decorrelates from q_shard_assign's hash.
+_SAMPLE_KNUTH = 2654435761
+_SAMPLE_MOD32 = 4294967296
+_SAMPLE_SALT = 7919
+_SAMPLE_DENOM = 10000
+_SAMPLE_RATES = {"en": 2500, "de": 10000, "fr": 10000, "es": 10000, "zh": 10000}
+
+_SAMPLE_DET_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (((doc_id + {_SAMPLE_SALT}) * {_SAMPLE_KNUTH}) % {_SAMPLE_MOD32})
+      % {_SAMPLE_DENOM}
+      < CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items())}
+        ELSE 0 END
+"""
+
+
+@query("q_sample_deterministic", oracle=_SAMPLE_DET_ORACLE, tags=("sampling", "llm"))
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by portable hash: same mix
+    policy as q_sample_stratified (downsample the dominant 'en'
+    stratum to 25%), but every keep/drop decision is a pure function
+    of (doc_id, lang) — hash-checkable row-for-row against the oracle,
+    stable under re-runs and repartitioning. At 100 TB this is a
+    narrow scan-side filter: no shuffle, no RNG state, and adding data
+    never flips decisions on existing rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        ((F.col("doc_id") + _SAMPLE_SALT) * F.lit(_SAMPLE_KNUTH)) % _SAMPLE_MOD32
+    ) % _SAMPLE_DENOM
+    rate = None
+    for k, v in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == k, v) if rate is None else rate.when(
+            F.col("lang") == k, v
+        )
+    rate = rate.otherwise(0)
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source", "n_chars")
+
+
 _INGEST_ORACLE = """
 SELECT o_orderkey,
        row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS ingest_pos

@@ -120,7 +120,10 @@ _PRIORITY = [
     # (q_lang_id_udf also yields its slot: its native twin q_lang_id is
     # driver-green r01/r02 and the pandas-UDF taxonomy has oracle-backed
     # in-window representatives)
-    "q_sample_stratified",
+    # (q_sample_stratified yields its slot to its deterministic twin:
+    # an oracle-backed hash-green row beats a rows-only RNG row, and
+    # the sampleBy path keeps its local proportion tests)
+    "q_sample_deterministic",
     "q_hll_partial_merge",
     "q_countmin_heavy_hitters",
     "q_ann_ivf_topk",
