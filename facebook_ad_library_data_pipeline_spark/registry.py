@@ -109,11 +109,14 @@ _PRIORITY = [
     "q_window_tumbling",
     "q_window_sliding",
     "q_session_window",
-    # never-checked rows-only: ANN / sketches / streaming / multimodal
-    # (16 of 20 — q_minhash_signatures, q_simhash_fingerprints,
-    # q_pq_codes, q_ann_bucket_stats yield their window slots to new
-    # oracle-backed queries below; each is executed internally by an
-    # in-window consumer: lsh_pairs/simhash_pairs/ivf_pq_topk/lsh_topk)
+    # never-checked rows-only: ANN / sketches / streaming / multimodal.
+    # Seven rows-only entries (q_minhash_signatures,
+    # q_simhash_fingerprints, q_pq_codes, q_ann_bucket_stats,
+    # q_ivf_cell_stats, q_lang_id_udf, q_sample_stratified) yield their
+    # window slots to the round-5 oracle-backed queries below — each
+    # yielded query's code path still runs inside an in-window consumer
+    # (lsh_pairs/simhash_pairs/ivf_pq_topk/lsh_topk/ann_ivf_topk) or has
+    # a driver-green twin, and all keep their local tests.
     "q_ann_lsh_topk",
     "q_minhash_lsh_pairs",
     "q_simhash_pairs",
