@@ -292,17 +292,21 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ln`` can differ in the last ulp, which flips a rounded hash (the
     ADVICE r02 cross-engine rounding class); integer-rational
     arithmetic cannot. Plan: token explode → two partial-agg shuffles
-    (term×source TF, term DF) → broadcast N → per-source top-K via
-    row_number over a total order. The DF side carries one row per
-    distinct term — vocabulary-sized, orders of magnitude below the
-    corpus, so the TF⋈DF join is broadcast-able at any corpus scale."""
+    (term×source TF, term DF) → broadcast N (one row) → per-source
+    top-K via row_number over a total order. The TF⋈DF join is
+    ``shuffle_hash`` on ``term``, NEVER broadcast: a web-scale
+    vocabulary is heavy-tailed (typos, numbers, URLs — plausibly 10⁸+
+    distinct terms, tens of GB) and hapax terms (df=1) maximize
+    tf·N/df so the DF side cannot be pruned pre-join. Both inputs come
+    out of aggregations already hash-partitioned by term, so the
+    shuffle-hash join adds no extra exchange on the DF side."""
     docs = load_table(spark, sf_dir, "documents")
     ex = fan_out(docs).select("doc_id", "source", F.explode(tokens_col()).alias("term"))
     tf = ex.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df.hint("shuffle_hash"), "term")
         .join(F.broadcast(n))
         .select(
             "source",

@@ -78,8 +78,13 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FEATURE_SCHEMA = (
-    "doc_id long, n_bytes long, mean_byte double, std_byte double, hist array<double>"
+# Histogram emitted as 16 SCALAR columns (hist_0..hist_15), not an
+# array<double>: downstream consumers (and the driver's row
+# canonicalizer) expect sortable/hashable flat columns; a Python-list
+# cell defeats both columnar storage and row comparison.
+N_HIST_BINS = 16
+FEATURE_SCHEMA = "doc_id long, n_bytes long, mean_byte double, std_byte double, " + ", ".join(
+    f"hist_{i} double" for i in range(N_HIST_BINS)
 )
 
 
@@ -95,16 +100,16 @@ def extract_byte_features(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             arr = np.frombuffer(payload, dtype=np.uint8)
             # <-- real image/audio decode would replace `arr` here
-            hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
-            rows.append(
-                {
-                    "doc_id": doc_id,
-                    "n_bytes": int(arr.size),
-                    "mean_byte": float(arr.mean()) if arr.size else 0.0,
-                    "std_byte": float(arr.std()) if arr.size else 0.0,
-                    "hist": (hist / max(arr.size, 1)).tolist(),
-                }
-            )
+            hist = np.bincount(arr >> 4, minlength=N_HIST_BINS).astype(np.float64)
+            hist = hist / max(arr.size, 1)
+            row = {
+                "doc_id": doc_id,
+                "n_bytes": int(arr.size),
+                "mean_byte": float(arr.mean()) if arr.size else 0.0,
+                "std_byte": float(arr.std()) if arr.size else 0.0,
+            }
+            row.update({f"hist_{i}": float(hist[i]) for i in range(N_HIST_BINS)})
+            rows.append(row)
         yield pd.DataFrame(rows)
 
 

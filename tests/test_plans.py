@@ -146,11 +146,15 @@ def test_dup_span_postings_join_not_broadcast(spark, sf_dir):
     assert has_node(df, "ShuffledHashJoin")
 
 
-def test_top_terms_df_side_broadcasts(spark, sf_dir):
-    # TF (source x term) joins DF (term) — the vocabulary-sized DF side
-    # must broadcast; the per-source window must not full-sort globally.
+def test_top_terms_df_side_not_broadcast(spark, sf_dir):
+    # TF (source x term) joins DF (term) — the DF side is one row per
+    # distinct term, unbounded and heavy-tailed at corpus scale (hapax
+    # terms can't be pruned: df=1 maximizes tf*N/df), so it must NEVER
+    # broadcast. Both sides leave their aggregations hash-partitioned
+    # by term, so shuffle-hash is the free co-located strategy.
     df = REGISTRY["q_top_terms"].fn(spark, sf_dir)
-    assert has_node(df, "BroadcastHashJoin")
+    assert has_node(df, "ShuffledHashJoin")
+    assert not has_node(df, "BroadcastHashJoin")
 
 
 def test_bloom_bits_broadcast_and_probe_no_shuffle(spark, sf_dir):

@@ -63,5 +63,5 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     b = REGISTRY["q_multimodal_features"].fn(spark, sf_dir).orderBy("doc_id").limit(20).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     for r in a:
-        assert abs(sum(r.hist) - 1.0) < 1e-9
+        assert abs(sum(r[f"hist_{i}"] for i in range(16)) - 1.0) < 1e-9
         assert r.n_bytes > 0
