@@ -205,21 +205,43 @@ def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_K = 32
 LSH_BANDS = 8  # 8 bands × 4 rows
 
+# Portable 2-universal permutation family over a cross-engine base hash
+# (same move that made the count-min sketch oracle-checkable,
+# sketches.py q_countmin_portable): base = first 15 hex chars of
+# md5(shingle) as a 60-bit int — Spark `conv(substring(md5, 1, 15),
+# 16, 10)` and DuckDB `('0x' || substr(md5, 1, 15))::BIGINT` agree
+# byte-for-byte — then h_i(x) = ((x mod p)·a_i + b_i) mod p with
+# p = 2^31-1. Products stay < 2^62, so ANSI-mode arithmetic never
+# overflows in either engine.
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+MINHASH_PARAMS = [
+    ((48271 * (2 * i + 1)) % MINHASH_P, (16807 * i + 11) % MINHASH_P)
+    for i in range(MINHASH_K)
+]
 
-# Odd multipliers + offsets for the universal-hash permutation family
-# h_i(x) = A_i * xxhash64(x) + B_i  (mod 2^64, Java long wraparound —
-# deterministic, and a single string hash per shingle instead of k).
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit cross-engine string hash: int of the first 15 hex chars of
+    md5(UTF-8 bytes). DuckDB twin: ('0x' || substr(md5(s),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, sig: array<bigint>[k]) — one shuffle: explode shingles,
     k running mins aggregated per doc (map-side partial min).
 
-    The k permutations rehash ONE string xxhash64 per shingle with k
-    seeded fixed-width (8-byte) xxhash64 calls — far cheaper than k
-    full-string hashes, and overflow-free under ANSI mode (no wraparound
-    multiplication). Docs with <3 tokens get no signature (dropped,
-    like an empty shingle set)."""
-    ex = exploded_shingles(docs).select("doc_id", F.xxhash64("s").alias("h"))
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(k)]
+    The k permutations rehash ONE portable base hash per shingle with k
+    multiply-mod steps — one md5 per shingle instead of k string
+    hashes, fully reproducible in any engine (the DuckDB oracle
+    rebuilds identical signatures), and overflow-free under ANSI mode.
+    Docs with <3 tokens get no signature (dropped, like an empty
+    shingle set)."""
+    hm = portable_hash60(F.col("s")) % MINHASH_P
+    ex = exploded_shingles(docs).select("doc_id", hm.alias("h"))
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
     sig = ex.groupBy("doc_id").agg(*mins)
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
@@ -239,21 +261,40 @@ def shared_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-@query("q_minhash_signatures", oracle=None, tags=("llm", "dedup", "neardup"))
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (K=32, xxhash64 seeded 0..31). Rows-only:
-    hash values are engine-specific; estimator accuracy is asserted in
-    tests/test_neardup.py against exact Jaccard.
+_MINHASH_SIG_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_transform(generate_series(1, len(t) - 2),
+                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [] END AS shingles
+       FROM toks),
+ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+hm AS (SELECT doc_id,
+              (('0x' || substr(md5(s), 1, 15))::BIGINT) % {MINHASH_P} AS h
+       FROM ex)
+SELECT doc_id,
+       {", ".join(f"min((h * {a} + {b}) % {MINHASH_P}) AS h{i}"
+                  for i, (a, b) in enumerate(MINHASH_PARAMS))}
+FROM hm GROUP BY doc_id
+"""
 
-    Emits a scalar digest of the signature plus its first/last
-    components — never the array itself: the driver's rows-only
-    canonicalizer crashes on array cells (round-1 q_percentiles err)."""
+
+@query("q_minhash_signatures", oracle=_MINHASH_SIG_ORACLE, tags=("llm", "dedup", "neardup"))
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (K=32) over the PORTABLE multiply-mod family —
+    oracle-backed: DuckDB rebuilds the identical 32 component minima
+    from the same md5-derived base hash, so the driver hash-checks the
+    actual signature values (estimator accuracy vs exact Jaccard is
+    additionally asserted in tests/test_neardup.py).
+
+    Emits the signature as 32 flat scalar columns h0..h31 — never an
+    array cell: the driver's canonicalizer crashes on list cells
+    (round-1 q_percentiles err, round-5 q_multimodal_features err)."""
     sig = shared_minhash(spark, sf_dir)
     return sig.select(
         "doc_id",
-        F.xxhash64("sig").alias("sig_digest"),
-        F.element_at("sig", 1).alias("sig_first"),
-        F.element_at("sig", MINHASH_K).alias("sig_last"),
+        *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(MINHASH_K)],
     )
 
 
@@ -318,6 +359,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_col(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc from token-multiset hashes: one shuffle.
 
+    The per-token 64-bit hash is PORTABLE: bit i = bit (i mod 4) of the
+    (i div 4)-th hex nibble of md5(token) — reproducible in any engine
+    with md5, so the fingerprint query is oracle-backed (the same
+    portability move as the minhash family above).
+
     The 64 per-bit ±1 counters are SIMD-packed into 16 longs of four
     16-bit lanes each (lane value = count of set bits, so summing the
     packed longs sums all four lanes at once with no cross-lane carry
@@ -325,24 +371,29 @@ def simhash_col(docs: DataFrame) -> DataFrame:
     corpus). vs the naive 64 separate sum() aggregates this removes the
     per-token 64-element array allocation and shrinks the aggregation
     buffer 4× — measured 4.7 s → ~1.5 s on 5 000 docs / ~1 M tokens.
-    Bit i of the fingerprint is set iff ones(i) > tokens/2 (strict:
-    ties clear, matching the ±1-sum > 0 formulation)."""
+    Each md5 nibble j conveniently supplies exactly bits 4j..4j+3, so
+    packed long j reads lanes straight off nibble j. Bit i of the
+    fingerprint is set iff ones(i) > tokens/2 (strict: ties clear,
+    matching the ±1-sum > 0 formulation)."""
     ex = fan_out(docs).select("doc_id", F.explode(tokens_col()).alias("tok"))
-    h = F.xxhash64("tok")
+    per_tok_m = ex.select("doc_id", F.md5(F.encode("tok", "UTF-8")).alias("m"))
+
+    def nibble(j: int) -> Column:
+        return F.conv(F.substring("m", j + 1, 1), 16, 10).cast("long")
+
     packed = [
         functools.reduce(
             operator.add,
             [
-                F.shiftrightunsigned(h, 4 * j + lane)
+                F.shiftrightunsigned(nibble(j), lane)
                 .bitwiseAND(F.lit(1))
-                .cast("long")
                 * F.lit(1 << (16 * lane))
                 for lane in range(4)
             ],
         ).alias(f"p{j}")
         for j in range(16)
     ]
-    per_tok = ex.select("doc_id", *packed)
+    per_tok = per_tok_m.select("doc_id", *packed)
     sums = per_tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tok"),
         *[F.sum(f"p{j}").alias(f"s{j}") for j in range(16)],
@@ -383,10 +434,33 @@ def shared_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-@query("q_simhash_fingerprints", oracle=None, tags=("llm", "dedup", "neardup"))
+def _simhash_nibble_sql(j: int) -> str:
+    return f"(strpos('0123456789abcdef', substr(m, {j + 1}, 1)) - 1)"
+
+
+_SIMHASH_ORACLE = f"""
+WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hs AS (SELECT doc_id, md5(tok) AS m FROM ex),
+sums AS (SELECT doc_id, count(*) AS n_tok,
+         {", ".join(f"sum(({_simhash_nibble_sql(i // 4)} >> {i % 4}) & 1) AS o{i}"
+                    for i in range(64))}
+         FROM hs GROUP BY doc_id)
+SELECT doc_id,
+       ({" + ".join(f"CASE WHEN 2 * o{i} > n_tok THEN (1::BIGINT << {i}) ELSE 0 END"
+                    for i in range(63))}
+        + CASE WHEN 2 * o63 > n_tok THEN (-9223372036854775807 - 1) ELSE 0::BIGINT END
+       ) AS simhash
+FROM sums
+"""
+
+
+@query("q_simhash_fingerprints", oracle=_SIMHASH_ORACLE, tags=("llm", "dedup", "neardup"))
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only: engine-specific hash); Hamming
-    locality asserted on fixtures in tests/test_neardup.py."""
+    """SimHash fingerprints over the portable md5-nibble token hash —
+    oracle-backed: DuckDB recomputes all 64 per-bit counters and packs
+    the identical signed-64 fingerprint (bit 63 lands as the two's-
+    complement sign bit in both engines). Hamming locality additionally
+    asserted on fixtures in tests/test_neardup.py."""
     return shared_simhash(spark, sf_dir)
 
 
