@@ -169,17 +169,33 @@ def bucket_col(emb: Column, n_planes: int = N_PLANES) -> Column:
 
 @query("q_ann_lsh_topk", oracle=None, tags=("llm", "similarity", "topk"))
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 for the query vector searching ONLY its LSH bucket
-    (256 buckets from 8 hyperplanes). Rows-only check; recall vs brute
-    force asserted in tests/test_similarity.py. At 100 TB: the bucket
-    join touches ~1/256 of the corpus per query batch."""
+    """Multi-probe LSH ANN top-10: search the query's bucket PLUS every
+    bucket at Hamming distance 1 (flip each of the 8 sign bits) — the
+    standard multi-probe move, since a near neighbor most likely
+    differs in exactly one marginal hyperplane sign. Rows-only check;
+    recall vs brute force is driver-visible via q_ann_recall and
+    floor-asserted in tests. At 100 TB: 9/256 ≈ 3.5% of the corpus
+    touched per query batch, and the probe set is a 9-row broadcast —
+    the corpus side never shuffles."""
     emb = _emb_double(spark, sf_dir).withColumn("bucket", bucket_col(F.col("emb")))
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("emb").alias("q_emb"), F.col("bucket").alias("q_bucket")
     )
+    probes = q.select(
+        "q_emb",
+        F.explode(
+            F.array(
+                F.col("q_bucket"),
+                *[
+                    F.col("q_bucket").bitwiseXOR(F.lit(2**p))
+                    for p in range(N_PLANES)
+                ],
+            )
+        ).alias("probe_bucket"),
+    )
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .join(F.broadcast(probes), F.col("bucket") == F.col("probe_bucket"))
         .select(
             "vec_id",
             "label",
