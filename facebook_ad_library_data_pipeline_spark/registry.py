@@ -59,6 +59,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.functions.arrays",
     "facebook_ad_library_data_pipeline_spark.functions.ivf",
     "facebook_ad_library_data_pipeline_spark.functions.pq",
+    "facebook_ad_library_data_pipeline_spark.functions.ann_recall",
     "facebook_ad_library_data_pipeline_spark.streaming.events",
     "facebook_ad_library_data_pipeline_spark.streaming.joins",
     "facebook_ad_library_data_pipeline_spark.streaming.stateful",
@@ -78,84 +79,33 @@ _QUERY_MODULES = [
 # double-proven r01/r02 queries last). Rotate this list each round to
 # move the remaining unchecked tail through the window.
 _PRIORITY = [
-    # ---- round-5 window: every query with zero driver evidence ----
-    # never-checked oracle-backed (23)
-    "q_pack_sequences",
-    "q_length_buckets",
-    "q_repetition_quality",
-    "q_mix_rebalance",
-    "q_join_events_dim",
-    "q_interval_join_pairs",
-    "q_multimodal_meta",
-    "q_frame_sample",
-    "q_ingest_position",
-    "q_unpivot",
-    "q_grouped_pandas_slope",
-    "q_grouped_agg_pandas_iqr",
-    "q_bool_string_aggs",
-    "q_embedding_topk",
-    "q_embedding_neardup_sampled",
-    "q_decontaminate",
-    "q_quality_filter",
-    "q_shard_assign",
-    "q_quality_top_percent",
-    "q_dup_span_docs",
-    "q_top_terms",
-    "q_countmin_portable",
-    "q_canonical_docs",
-    # r04 red rows, root-caused to the testdata ts-unit change and fixed
-    # via the footer probe (catalog.events_ts_unit) — re-prove (4)
-    "q_resample_gapfill",
-    "q_window_tumbling",
-    "q_window_sliding",
-    "q_session_window",
-    # never-checked rows-only: ANN / sketches / streaming / multimodal.
-    # Seven rows-only entries (q_minhash_signatures,
-    # q_simhash_fingerprints, q_pq_codes, q_ann_bucket_stats,
-    # q_ivf_cell_stats, q_lang_id_udf, q_sample_stratified) yield their
-    # window slots to the round-5 oracle-backed queries below — each
-    # yielded query's code path still runs inside an in-window consumer
-    # (lsh_pairs/simhash_pairs/ivf_pq_topk/lsh_topk/ann_ivf_topk) or has
-    # a driver-green twin, and all keep their local tests.
-    "q_ann_lsh_topk",
-    "q_minhash_lsh_pairs",
-    "q_simhash_pairs",
-    # (q_lang_id_udf also yields its slot: its native twin q_lang_id is
-    # driver-green r01/r02 and the pandas-UDF taxonomy has oracle-backed
-    # in-window representatives)
-    # (q_sample_stratified yields its slot to its deterministic twin:
-    # an oracle-backed hash-green row beats a rows-only RNG row, and
-    # the sampleBy path keeps its local proportion tests)
-    "q_sample_deterministic",
-    "q_hll_partial_merge",
-    "q_countmin_heavy_hitters",
-    "q_ann_ivf_topk",
-    # (q_ivf_cell_stats also yields its slot: the IVF index build it
-    # inspects is exercised in-window by q_ann_ivf_topk/q_ann_ivf_pq_topk)
-    "q_ann_ivf_pq_topk",
-    "q_stream_tumbling",
-    "q_stream_dedup",
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    "q_stream_stateful_user",
+    # ---- round-6 window ----
+    # The 7 queries with zero driver rows after five rounds (VERDICT r05
+    # item 2) — two of them (minhash/simhash) upgraded this round from
+    # rows-only to oracle-backed via the portable md5 hash family:
+    "q_minhash_signatures",
+    "q_simhash_fingerprints",
+    "q_ann_bucket_stats",
+    "q_ivf_cell_stats",
+    "q_lang_id_udf",
+    "q_pq_codes",
+    "q_sample_stratified",
+    # r05's one red row, fixed (hist array -> 16 scalar columns):
     "q_multimodal_features",
-    # round-5 storage / taxonomy / incremental / sink additions (6,
-    # all oracle-backed)
-    "q_bucketed_join",
-    "q_partition_pruned_scan",
-    "q_cogroup_asof",
-    "q_udtf_chunks",
-    "q_stream_incremental_rollup",
-    "q_sink_roundtrip",
-    "q_multimodal_pixel_stats",
-    # round-5 additions: funnel sequence + Bloom join pruning (2).
-    # (q_approx_distinct / q_percentiles rotate out — both already have
-    # clean rows-only driver rows from r01/r02.)
-    "q_funnel_steps",
-    "q_bloom_prefilter",
-    # ---- window boundary (~50): everything below is already
-    # driver-hash-green in r01-r04 and follows in registration order ----
+    # new round-6 queries:
+    "q_png_pixel_stats",   # stdlib-zlib PNG decode, oracle-backed
+    "q_ann_recall",        # recall@10 vs exact, rows-only by nature
+    # re-prove queries whose implementation changed this round:
+    "q_top_terms",         # TF-DF join broadcast -> shuffle_hash
+    "q_ann_lsh_topk",      # single-bucket -> multi-probe LSH
+    "q_minhash_lsh_pairs",  # portable hash family
+    "q_simhash_pairs",      # portable hash family
+    # ---- remaining ~36 slots: registration order follows, which
+    # front-loads the r01/r02-vintage parity operators (flagship,
+    # transform, quality, dedup, report, joins ...) — re-proving the
+    # oldest evidence against this round's regenerated testdata. ----
 ]
+
 
 
 @dataclass
