@@ -58,8 +58,10 @@ def main() -> None:
                 df.count()
                 samples.append(time.perf_counter() - t0)
             except Exception as e:  # a failing query must not kill the bench
+                # keep any samples already collected: a repeat-only
+                # flake (e.g. a tmp-dir race) shouldn't discard a valid
+                # first timing — NaN only when EVERY repeat failed
                 print(f"# bench error {name}: {e}", file=sys.stderr)
-                samples = []
                 break
         if samples:
             dt = sorted(samples)[len(samples) // 2]

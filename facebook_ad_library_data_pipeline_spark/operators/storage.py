@@ -51,7 +51,13 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if names is None:
         import shutil
 
-        tag = _sf_tag(sf_dir)
+        # Scope BOTH the catalog name and the external location to this
+        # Spark application: two concurrent sessions (e.g. bench and
+        # pytest) otherwise race — one session's DROP TABLE + rmtree
+        # deletes the directory the other session's catalog entry still
+        # points at, failing its bucketed scans mid-run.
+        app = re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+        tag = f"{_sf_tag(sf_dir)}_{app}"
         o_name, c_name = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
         # EXTERNAL locations under the system temp dir: bucketing needs
         # a catalog entry (saveAsTable), but the default MANAGED

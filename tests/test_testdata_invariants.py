@@ -1,0 +1,45 @@
+"""Testdata invariants the stream oracles depend on (ADVICE r05).
+
+Two adopted oracles are equivalences that hold on the driver's
+generated events table, not universally:
+
+- q_stream_dedup counts DISTINCT event_id per event_type — equivalent
+  to streaming dropDuplicates only while no event_id spans two
+  event_types.
+- q_stream_stateful_user's arg_max-by-ts oracle is deterministic only
+  while (user_id, ts) pairs are unique.
+
+The driver REGENERATES testdata between rounds, so a generation that
+breaks either invariant would silently flip hash-green stream rows to
+red with the code still correct. This test fails loudly and locally
+first, against every scale dir present.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import duckdb
+import pytest
+
+_SF_DIRS = [p for p in Path("/root/testdata").glob("sf*") if (p / "events.parquet").exists()]
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS, ids=[p.name for p in _SF_DIRS])
+def test_events_invariants_for_stream_oracles(sf_dir):
+    con = duckdb.connect()
+    ev = f"read_parquet('{sf_dir}/events.parquet')"
+    multi_type = con.sql(
+        f"SELECT max(n) FROM (SELECT count(DISTINCT event_type) AS n FROM {ev} GROUP BY event_id)"
+    ).fetchone()[0]
+    assert multi_type == 1, (
+        f"{sf_dir.name}: an event_id spans {multi_type} event_types — "
+        "q_stream_dedup's distinct-id oracle is no longer equivalent"
+    )
+    dup_ts = con.sql(
+        f"SELECT count(*) FROM (SELECT 1 FROM {ev} GROUP BY user_id, ts HAVING count(*) > 1)"
+    ).fetchone()[0]
+    assert dup_ts == 0, (
+        f"{sf_dir.name}: {dup_ts} duplicate (user_id, ts) pairs — "
+        "q_stream_stateful_user's arg_max oracle becomes nondeterministic"
+    )
