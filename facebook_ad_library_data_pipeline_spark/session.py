@@ -44,7 +44,9 @@ def get_spark(app_name: str = "facebook_ad_library_data_pipeline_spark") -> Spar
         # degradation over a 67-query session. 16g keeps GC regular and
         # the whole bench stable.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for bench/test hygiene; scripts/scale_evidence.py flips
+        # it on to read measured shuffle metrics from the REST API
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
         # rejects; read as long nanos and convert in the catalog loader

@@ -1,0 +1,96 @@
+"""Scale evidence for the dedup family (SCALE_EVIDENCE.md generator).
+
+Runs the three REGISTERED near-dup queries — q_ngram_jaccard_pairs,
+q_dup_span_docs, q_neardup_components — end-to-end at sf0.1 and on a
+10×-replicated corpus (every doc duplicated 10×: the adversarial case
+where every shingle's document frequency is 10× hotter and every
+replica pair is a true near-dup), recording wall seconds, total
+shuffle-write RECORDS (from Spark's AppStatusStore, i.e. measured not
+asserted), and output rows.
+
+The 10× corpus is materialized as a real sf-dir (documents.parquet in
+a temp dir) so the queries run their actual registered code paths.
+
+Usage: python scripts/scale_evidence.py [sf_dir]
+Prints the markdown table for SCALE_EVIDENCE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from facebook_ad_library_data_pipeline_spark.catalog import load_table
+from facebook_ad_library_data_pipeline_spark.registry import load_all
+from facebook_ad_library_data_pipeline_spark.session import get_spark
+
+QUERIES = ("q_ngram_jaccard_pairs", "q_dup_span_docs", "q_neardup_components")
+REP = 10
+REP_OFFSET = 10_000_000
+
+
+def shuffle_write_records(spark) -> int:
+    """Cumulative shuffle-write records across all stages, via the UI
+    REST API (the same numbers the Spark UI shows)."""
+    import json
+    import urllib.request
+
+    app = spark.sparkContext.applicationId
+    url = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{app}/stages"
+    stages = json.load(urllib.request.urlopen(url))
+    return sum(s.get("shuffleWriteRecords", 0) for s in stages)
+
+
+def replicate_corpus(spark, sf_dir: str) -> str:
+    """Write a 10×-replicated documents.parquet into a temp sf-dir."""
+    out = tempfile.mkdtemp(prefix="scale10x_")
+    docs = load_table(spark, sf_dir, "documents")
+    cols = [c for c in docs.columns if c != "doc_id"]
+    replicated = docs.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(REP - 1))).alias("rep")
+    ).select((F.col("doc_id") + F.col("rep") * REP_OFFSET).alias("doc_id"), *cols)
+    replicated.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    return out
+
+
+def run(spark, registry, name: str, sf_dir: str):
+    pre = shuffle_write_records(spark)
+    t0 = time.perf_counter()
+    n_out = registry[name].fn(spark, sf_dir).count()
+    dt = time.perf_counter() - t0
+    return n_out, shuffle_write_records(spark) - pre, dt
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    os.environ["SPARK_GRAFT_UI"] = "true"  # metrics come from the REST API
+    spark = get_spark("scale-evidence")
+    registry = load_all()
+    n_base = load_table(spark, sf_dir, "documents").count()
+    rep_dir = replicate_corpus(spark, sf_dir)
+
+    print("| query | corpus | docs | output rows | shuffle-write records | wall s |")
+    print("|---|---|---|---|---|---|")
+    rows = {}
+    for name in QUERIES:
+        for label, d, n in ((f"{os.path.basename(sf_dir)}", sf_dir, n_base),
+                            (f"{REP}x replicated", rep_dir, n_base * REP)):
+            n_out, shuf, dt = run(spark, registry, name, d)
+            rows[(name, label)] = (n_out, shuf, dt)
+            print(f"| {name} | {label} | {n} | {n_out} | {shuf} | {dt:.1f} |")
+    print()
+    for name in QUERIES:
+        (o1, s1, t1) = rows[(name, os.path.basename(sf_dir))]
+        (o10, s10, t10) = rows[(name, f"{REP}x replicated")]
+        print(f"# {name}: 10x docs -> shuffle x{s10 / max(s1, 1):.1f}, wall x{t10 / max(t1, 1e-9):.1f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
