@@ -150,6 +150,20 @@ def _plane_component(p: int, d: int) -> float:
     return ((_LCG_A * (p * 64 + d) + _LCG_C) % _LCG_M) / _LCG_M - 0.5
 
 
+def _bucket_sql(emb_expr: str) -> str:
+    """The DuckDB twin of bucket_col: same plane constants (repr'd
+    doubles round-trip exactly), same left-to-right summation order —
+    so the IEEE result, hence the sign bit, is bit-identical. DuckDB
+    lists are 1-indexed."""
+    dots = []
+    for p in range(N_PLANES):
+        terms = " + ".join(
+            f"{emb_expr}[{d + 1}] * {_plane_component(p, d)!r}" for d in range(64)
+        )
+        dots.append(f"CASE WHEN ({terms}) >= 0 THEN {2**p} ELSE 0 END")
+    return "(" + " + ".join(dots) + ")"
+
+
 def bucket_col(emb: Column, n_planes: int = N_PLANES) -> Column:
     """LSH bucket id: sign bits of dot(v, plane_p) packed into an int."""
     bucket = F.lit(0)
@@ -167,16 +181,37 @@ def bucket_col(emb: Column, n_planes: int = N_PLANES) -> Column:
     return bucket
 
 
-@query("q_ann_lsh_topk", oracle=None, tags=("llm", "similarity", "topk"))
+def _lsh_topk_oracle() -> str:
+    probe_union = " UNION ALL ".join(
+        ["SELECT qb AS pb FROM q"]
+        + [f"SELECT xor(qb, {2**p}) FROM q" for p in range(N_PLANES)]
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe,
+                  {_bucket_sql("(embedding::DOUBLE[])")} AS qb
+           FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+probes AS ({probe_union}),
+cand AS (SELECT e.vec_id, e.label,
+                round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cos_sim
+         FROM embeddings e CROSS JOIN q
+         WHERE e.vec_id <> {QUERY_VEC_ID}
+           AND {_bucket_sql("(e.embedding::DOUBLE[])")} IN (SELECT pb FROM probes))
+SELECT vec_id, label, cos_sim FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@query("q_ann_lsh_topk", oracle=_lsh_topk_oracle(), tags=("llm", "similarity", "topk"))
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN top-10: search the query's bucket PLUS every
     bucket at Hamming distance 1 (flip each of the 8 sign bits) — the
     standard multi-probe move, since a near neighbor most likely
-    differs in exactly one marginal hyperplane sign. Rows-only check;
-    recall vs brute force is driver-visible via q_ann_recall and
-    floor-asserted in tests. At 100 TB: 9/256 ≈ 3.5% of the corpus
-    touched per query batch, and the probe set is a 9-row broadcast —
-    the corpus side never shuffles."""
+    differs in exactly one marginal hyperplane sign. Oracle-backed:
+    the deterministic LCG planes make the bucket assignment (and hence
+    the probed candidate set) reproducible in SQL. Recall vs brute
+    force is driver-visible via q_ann_recall and floor-asserted in
+    tests. At 100 TB: 9/256 ≈ 3.5% of the corpus touched per query
+    batch, and the probe set is a 9-row broadcast — the corpus side
+    never shuffles."""
     emb = _emb_double(spark, sf_dir).withColumn("bucket", bucket_col(F.col("emb")))
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("emb").alias("q_emb"), F.col("bucket").alias("q_bucket")
@@ -206,12 +241,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET_STATS_ORACLE_NOTE = None  # bucket ids depend on float sign edges; rows-only
+_BUCKET_STATS_ORACLE = f"""
+SELECT {_bucket_sql("(embedding::DOUBLE[])")} AS bucket,
+       count(*) AS n_vectors
+FROM embeddings
+GROUP BY bucket
+"""
 
 
-@query("q_ann_bucket_stats", oracle=None, tags=("llm", "similarity"))
+@query("q_ann_bucket_stats", oracle=_BUCKET_STATS_ORACLE, tags=("llm", "similarity"))
 def q_ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket occupancy histogram — the skew diagnostic you run
-    before trusting a bucketed ANN at scale."""
+    before trusting a bucketed ANN at scale. Oracle-backed: the LCG
+    plane constants and the fold order are reproduced verbatim in SQL,
+    so both engines compute the identical sign bits (the r02
+    cross-engine float lesson — parity comes from identical
+    float OPERATIONS, not from avoiding floats)."""
     emb = _emb_double(spark, sf_dir).withColumn("bucket", bucket_col(F.col("emb")))
     return emb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))

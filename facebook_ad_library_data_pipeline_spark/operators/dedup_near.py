@@ -261,8 +261,11 @@ def shared_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-_MINHASH_SIG_ORACLE = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# Shared CTE chain: shingles -> portable base hash -> 32 component
+# minima per doc. Used by both the signature oracle and the LSH-pair
+# oracle (which re-derives the identical band join in SQL).
+_SIG_CTE_SQL = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (SELECT doc_id,
               CASE WHEN len(t) >= 3
                    THEN list_transform(generate_series(1, len(t) - 2),
@@ -272,12 +275,14 @@ sh AS (SELECT doc_id,
 ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
 hm AS (SELECT doc_id,
               (('0x' || substr(md5(s), 1, 15))::BIGINT) % {MINHASH_P} AS h
-       FROM ex)
-SELECT doc_id,
-       {", ".join(f"min((h * {a} + {b}) % {MINHASH_P}) AS h{i}"
-                  for i, (a, b) in enumerate(MINHASH_PARAMS))}
-FROM hm GROUP BY doc_id
+       FROM ex),
+sig AS (SELECT doc_id,
+               {", ".join(f"min((h * {a} + {b}) % {MINHASH_P}) AS h{i}"
+                          for i, (a, b) in enumerate(MINHASH_PARAMS))}
+        FROM hm GROUP BY doc_id)
 """
+
+_MINHASH_SIG_ORACLE = f"WITH {_SIG_CTE_SQL} SELECT * FROM sig"
 
 
 @query("q_minhash_signatures", oracle=_MINHASH_SIG_ORACLE, tags=("llm", "dedup", "neardup"))
@@ -306,24 +311,29 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     # One materialization of the signatures; the band self-join below
     # would otherwise run the whole minhash aggregation twice.
     sig = sig.localCheckpoint(eager=False)
+    # Band key = the r signature components THEMSELVES (a 4-long
+    # array), not a hash of them: equal keys are then EXACTLY "equal
+    # band", which keeps the candidate set engine-reproducible (a band
+    # hash could collide unequal tuples into spurious candidates) at
+    # the cost of shuffling 32 B instead of 8 B per band entry.
     band_entries = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band_idx"),
-                F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)]).alias("band_hash"),
+                F.array(*[F.col("sig")[i * r + j] for j in range(r)]).alias("band_key"),
             )
             for i in range(bands)
         ]
     )
     banded = sig.select("doc_id", "sig", F.explode(band_entries).alias("b")).select(
-        "doc_id", "sig", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+        "doc_id", "sig", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
     )
     a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -345,10 +355,43 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     )
 
 
-@query("q_minhash_lsh_pairs", oracle=None, tags=("llm", "dedup", "neardup"))
+def _band_union_sql() -> str:
+    r = MINHASH_K // LSH_BANDS
+    return " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, {ks} FROM sig".format(
+            b=b, ks=", ".join(f"h{b * r + j} AS k{j}" for j in range(r))
+        )
+        for b in range(LSH_BANDS)
+    )
+
+
+_LSH_PAIRS_ORACLE = f"""
+WITH {_SIG_CTE_SQL},
+bands AS ({_band_union_sql()}),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx
+          AND {" AND ".join(f"a.k{j} = b.k{j}" for j in range(MINHASH_K // LSH_BANDS))}
+          AND a.doc_id < b.doc_id),
+est AS (SELECT c.d1, c.d2,
+               round(({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+                                  for i in range(MINHASH_K))}) / {MINHASH_K}.0,
+                     6) AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON c.d1 = sa.doc_id
+        JOIN sig sb ON c.d2 = sb.doc_id)
+SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+@query("q_minhash_lsh_pairs", oracle=_LSH_PAIRS_ORACLE, tags=("llm", "dedup", "neardup"))
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (8 bands × 4) with estimated
-    Jaccard ≥ 0.5. Recall vs exact pairs asserted in tests."""
+    Jaccard ≥ 0.5 — oracle-backed end to end now that signatures are
+    portable AND the band key is the component tuple itself (exact
+    band equality, no engine-side band hashing): DuckDB re-derives the
+    same candidates from the same banded self-join. Recall vs exact
+    pairs additionally asserted in tests."""
     sig = shared_minhash(spark, sf_dir)
     return lsh_candidate_pairs(sig).filter(F.col("est_jaccard") >= 0.5)
 
@@ -438,20 +481,35 @@ def _simhash_nibble_sql(j: int) -> str:
     return f"(strpos('0123456789abcdef', substr(m, {j + 1}, 1)) - 1)"
 
 
-_SIMHASH_ORACLE = f"""
-WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+# CTE chain shared by the fingerprint oracle and the pair oracle:
+# tokens -> md5 nibbles -> 64 per-bit counters -> packed fingerprint
+# plus the four 16-bit band values (built bit-wise so no shift of a
+# negative BIGINT is ever needed on the SQL side).
+_SIMHASH_CTE_SQL = f"""
+ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 hs AS (SELECT doc_id, md5(tok) AS m FROM ex),
 sums AS (SELECT doc_id, count(*) AS n_tok,
          {", ".join(f"sum(({_simhash_nibble_sql(i // 4)} >> {i % 4}) & 1) AS o{i}"
                     for i in range(64))}
-         FROM hs GROUP BY doc_id)
-SELECT doc_id,
+         FROM hs GROUP BY doc_id),
+fp AS (SELECT doc_id,
        ({" + ".join(f"CASE WHEN 2 * o{i} > n_tok THEN (1::BIGINT << {i}) ELSE 0 END"
                     for i in range(63))}
         + CASE WHEN 2 * o63 > n_tok THEN (-9223372036854775807 - 1) ELSE 0::BIGINT END
-       ) AS simhash
-FROM sums
+       ) AS simhash,
+       {", ".join(
+           "("
+           + " + ".join(
+               f"CASE WHEN 2 * o{16 * b + j} > n_tok THEN (1 << {j}) ELSE 0 END"
+               for j in range(16)
+           )
+           + f") AS band{b}"
+           for b in range(4)
+       )}
+       FROM sums)
 """
+
+_SIMHASH_ORACLE = f"WITH {_SIMHASH_CTE_SQL} SELECT doc_id, simhash FROM fp"
 
 
 @query("q_simhash_fingerprints", oracle=_SIMHASH_ORACLE, tags=("llm", "dedup", "neardup"))
@@ -464,13 +522,30 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_simhash(spark, sf_dir)
 
 
-@query("q_simhash_pairs", oracle=None, tags=("llm", "dedup", "neardup"))
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_CTE_SQL},
+bands AS ({" UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band_idx, band{b} AS band_val FROM fp"
+    for b in range(4)
+)}),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                bit_count(xor(a.simhash, b.simhash)) AS hamming
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id)
+SELECT d1, d2, hamming FROM cand WHERE hamming <= 6
+"""
+
+
+@query("q_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE, tags=("llm", "dedup", "neardup"))
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: candidates equal on ≥1 of 4×16-bit bands
     (pigeonhole: any pair with Hamming ≤ 3 always shares a band), then
-    exact Hamming ≤ 6 filter via bit_count(xor). Fingerprints come from
-    the session cache (materialized once; the band self-join reads the
-    checkpoint for both sides)."""
+    exact Hamming ≤ 6 filter via bit_count(xor). Oracle-backed now the
+    fingerprint is portable: DuckDB re-runs the identical banded
+    self-join and xor popcount. Fingerprints come from the session
+    cache (materialized once; the band self-join reads the checkpoint
+    for both sides)."""
     sh = shared_simhash(spark, sf_dir)
     banded = sh.select(
         "doc_id",

@@ -81,8 +81,8 @@ _QUERY_MODULES = [
 _PRIORITY = [
     # ---- round-6 window ----
     # The 7 queries with zero driver rows after five rounds (VERDICT r05
-    # item 2) — two of them (minhash/simhash) upgraded this round from
-    # rows-only to oracle-backed via the portable md5 hash family:
+    # item 2) — three of them upgraded this round from rows-only to
+    # oracle-backed (portable md5 hash family; SQL-replayed LCG planes):
     "q_minhash_signatures",
     "q_simhash_fingerprints",
     "q_ann_bucket_stats",
@@ -95,11 +95,12 @@ _PRIORITY = [
     # new round-6 queries:
     "q_png_pixel_stats",   # stdlib-zlib PNG decode, oracle-backed
     "q_ann_recall",        # recall@10 vs exact, rows-only by nature
-    # re-prove queries whose implementation changed this round:
+    # re-prove queries whose implementation changed this round (the
+    # last three also newly oracle-backed):
     "q_top_terms",         # TF-DF join broadcast -> shuffle_hash
-    "q_ann_lsh_topk",      # single-bucket -> multi-probe LSH
-    "q_minhash_lsh_pairs",  # portable hash family
-    "q_simhash_pairs",      # portable hash family
+    "q_ann_lsh_topk",      # multi-probe LSH, SQL-replayed buckets
+    "q_minhash_lsh_pairs",  # portable family + exact band-tuple join
+    "q_simhash_pairs",      # portable family
     # ---- remaining ~36 slots: registration order follows, which
     # front-loads the r01/r02-vintage parity operators (flagship,
     # transform, quality, dedup, report, joins ...) — re-proving the
