@@ -94,6 +94,7 @@ _PRIORITY = [
     "q_multimodal_features",
     # new round-6 queries:
     "q_png_pixel_stats",   # stdlib-zlib PNG decode, oracle-backed
+    "q_jpeg_pixel_stats",  # baseline JPEG codec, DC closed-form oracle
     "q_ann_recall",        # recall@10 vs exact, rows-only by nature
     # re-prove queries whose implementation changed this round (the
     # last three also newly oracle-backed):

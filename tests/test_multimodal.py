@@ -114,8 +114,10 @@ def test_decode_image_compressed_sniffs_formats():
 
     assert np.array_equal(decode_image_compressed(encode_png_rgb(pixels)), pixels)
     assert np.array_equal(decode_image_compressed(enc_bmp(pixels)), pixels)
-    with pytest.raises(NotImplementedError):
-        decode_image_compressed(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(ValueError):
+        decode_image_compressed(b"\xff\xd8\xff\xe0 fake jpeg")  # truncated JPEG
+    with pytest.raises(ValueError):
+        decode_image_compressed(b"GIF89a not supported")
 
 
 def test_png_pixel_stats_oracle_match(spark, sf_dir, duck):
@@ -124,4 +126,71 @@ def test_png_pixel_stats_oracle_match(spark, sf_dir, duck):
     from .oracle_harness import assert_matches_oracle
 
     q = load_all()["q_png_pixel_stats"]
+    assert_matches_oracle(q.fn(spark, sf_dir), q.oracle, duck)
+
+
+# ----------------------------------------------------------------- JPEG
+
+from facebook_ad_library_data_pipeline_spark.multimodal.jpeg import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg_rgb444,
+)
+from facebook_ad_library_data_pipeline_spark.multimodal.media import (  # noqa: E402
+    synth_jpeg_pixels,
+)
+
+
+def _closed_form(v):
+    d = v - 128
+    q = np.sign(d) * np.floor(np.abs(d) / 2 + 0.5)
+    return int(np.clip(2 * q + 128, 0, 255))
+
+
+def test_jpeg_uniform_blocks_match_closed_form():
+    # every gray value decodes to exactly the DC closed form the
+    # DuckDB oracle computes
+    vals = list(range(0, 256, 3)) + [1, 127, 128, 129, 255]
+    img = np.zeros((8, 8 * len(vals), 3), dtype=np.uint8)
+    for i, v in enumerate(vals):
+        img[:, i * 8 : (i + 1) * 8, :] = v
+    dec = decode_jpeg(encode_jpeg_rgb444(img))
+    for i, v in enumerate(vals):
+        block = np.unique(dec[:, i * 8 : (i + 1) * 8, :])
+        assert len(block) == 1 and block[0] == _closed_form(v), (v, block)
+
+
+def test_jpeg_lossy_but_close_on_smooth_images():
+    y, x = np.mgrid[0:32, 0:32]
+    grad = np.stack(
+        [(y * 4).astype(np.uint8), (x * 4).astype(np.uint8), ((y + x) * 2).astype(np.uint8)],
+        axis=-1,
+    )
+    dec = decode_jpeg(encode_jpeg_rgb444(grad))
+    err = np.abs(dec.astype(int) - grad.astype(int))
+    assert err.mean() < 3 and err.max() < 20
+
+
+def test_jpeg_rejects_unsupported_variants():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    payload = bytearray(encode_jpeg_rgb444(synth_jpeg_pixels(1)))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(payload))
+
+
+def test_jpeg_fixture_is_gray_and_blockwise():
+    img = synth_jpeg_pixels(3)
+    assert img.shape == (16, 16, 3)
+    assert np.array_equal(img[..., 0], img[..., 1])
+    assert len(np.unique(img[0:8, 0:8])) == 1
+
+
+def test_jpeg_pixel_stats_oracle_match(spark, sf_dir, duck):
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    from .oracle_harness import assert_matches_oracle
+
+    q = load_all()["q_jpeg_pixel_stats"]
     assert_matches_oracle(q.fn(spark, sf_dir), q.oracle, duck)
