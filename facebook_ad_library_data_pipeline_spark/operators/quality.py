@@ -109,3 +109,51 @@ def q_validate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("validation_error", F.lit("ok")).alias("outcome"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_OBSERVE_ORACLE = f"""
+SELECT count(*)::BIGINT AS rows_total,
+       count(CASE WHEN {_ERR_SQL} IS NULL THEN 1 END)::BIGINT AS rows_valid,
+       count({_ERR_SQL})::BIGINT AS rows_invalid,
+       true AS reconciled
+FROM events
+"""
+
+
+@query("q_observe_reconcile", oracle=_OBSERVE_ORACLE, tags=("parity", "quality", "metrics"))
+def q_observe_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 (dual logging / row-count reconciliation,
+    ``/root/reference/transform_raw_data.py:216-218`` +
+    ``utils/logging.py``) as a first-class engine feature: an
+    ``observe()`` attached to the validation job reports
+    total/valid/invalid counts FROM THE JOB'S OWN METRICS STREAM —
+    piggy-backed on the single materializing action, no second scan —
+    and the query returns that metrics row with the valid+invalid ==
+    total reconciliation flag. The oracle recomputes the counts
+    relationally, so a driver hash match proves the observe() channel
+    reports the same numbers the data actually has. At 100 TB observe()
+    is the ONLY sane way to get these counts (a separate count() pass
+    would rescan the table)."""
+    from pyspark.sql import Observation
+
+    events = load_table(spark, sf_dir, "events")
+    obs = Observation()
+    observed = with_validation_error(events).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_total"),
+        F.count(F.when(F.col("validation_error").isNull(), 1)).alias("rows_valid"),
+        F.count(F.when(F.col("validation_error").isNotNull(), 1)).alias("rows_invalid"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the one action
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["rows_total"],
+                m["rows_valid"],
+                m["rows_invalid"],
+                m["rows_valid"] + m["rows_invalid"] == m["rows_total"],
+            )
+        ],
+        "rows_total long, rows_valid long, rows_invalid long, reconciled boolean",
+    )

@@ -95,6 +95,7 @@ _PRIORITY = [
     # new round-6 queries:
     "q_png_pixel_stats",   # stdlib-zlib PNG decode, oracle-backed
     "q_jpeg_pixel_stats",  # baseline JPEG codec, DC closed-form oracle
+    "q_observe_reconcile",  # U2: observe() metrics row, oracle-checked
     "q_ann_recall",        # recall@10 vs exact, rows-only by nature
     # re-prove queries whose implementation changed this round (the
     # last three also newly oracle-backed):
