@@ -60,6 +60,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.functions.ivf",
     "facebook_ad_library_data_pipeline_spark.functions.pq",
     "facebook_ad_library_data_pipeline_spark.functions.ann_recall",
+    "facebook_ad_library_data_pipeline_spark.functions.knn_join",
     "facebook_ad_library_data_pipeline_spark.streaming.events",
     "facebook_ad_library_data_pipeline_spark.streaming.joins",
     "facebook_ad_library_data_pipeline_spark.streaming.stateful",
@@ -96,6 +97,8 @@ _PRIORITY = [
     "q_png_pixel_stats",   # stdlib-zlib PNG decode, oracle-backed
     "q_jpeg_pixel_stats",  # baseline JPEG codec, DC closed-form oracle
     "q_observe_reconcile",  # U2: observe() metrics row, oracle-checked
+    "q_knn_join",           # exact batch kNN join, oracle-backed
+    "q_knn_join_lsh",       # multi-probe LSH batch kNN join, oracle-backed
     "q_ann_recall",        # recall@10 vs exact, rows-only by nature
     # re-prove queries whose implementation changed this round (the
     # last three also newly oracle-backed):
