@@ -1,0 +1,160 @@
+"""BM25 document ranking — the classic sparse-retrieval scorer a
+training-data pipeline runs for corpus search / eval-set mining.
+
+Beyond-reference surface (the reference has no retrieval at all;
+its north-star README asks for "content similarity" — README.md:57):
+this is the lexical complement to the dense-embedding family in
+functions/similarity.py.
+
+Cross-engine determinism follows the q_top_terms rule (functions/
+text.py): NO libm in the scoring path. The standard BM25 idf is
+``ln((N-df+0.5)/(df+0.5)+1)`` — two engines' ``ln`` can differ in the
+last ulp and flip a rounded hash — so we use the rank-equivalent
+RATIONAL idf ``(N-df+0.5)/(df+0.5)`` (monotone transform of the log
+form for fixed saturation; at web scale you would use the log form and
+give up hash-exactness, not ranking quality). All remaining arithmetic
+is IEEE +,*,/ on identically-constructed doubles, which is
+correctly-rounded and engine-independent, and the per-term
+contributions are summed in FIXED textual order (conditional
+aggregates, one per query term) — never a float ``sum()`` whose
+accumulation order Spark does not guarantee.
+
+Scale shape: token explode → one partial-agg shuffle for (doc, term)
+TF restricted to the |Q|-term query set (the isin filter is pushed
+below the aggregation, so the shuffle carries only matching tokens),
+one tiny df/avgdl aggregate broadcast to the scorer, and a global
+top-K via TakeOrderedAndProject. Nothing is ever joined per-document
+against the full vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import fan_out, load_table
+from ..registry import query
+from .text import tokens_col
+
+# Fixed query: one rare term ("dup" — df≈2.6% of docs) so the ranking
+# is driven by idf, plus two common terms exercising tf saturation.
+BM25_QUERY = ("dup", "join", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+_CONTRIB_SQL = """
+           ((n.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl)))
+"""
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, s.tok AS term
+    FROM documents, unnest(string_split(text, ' ')) AS s(tok)
+),
+dl AS (
+    SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+),
+n AS (
+    SELECT count(*) AS n_docs,
+           sum(dl) * 1.0 / count(*) AS avgdl
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM toks WHERE term IN {BM25_QUERY!r}
+    GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, count(DISTINCT doc_id) AS df
+    FROM toks WHERE term IN {BM25_QUERY!r}
+    GROUP BY term
+),
+contrib AS (
+    SELECT tf.doc_id, tf.term,
+{_CONTRIB_SQL}
+           AS c
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n
+),
+scored AS (
+    SELECT doc_id,
+           floor((coalesce(sum(CASE WHEN term = 'dup' THEN c END), 0)
+                  + coalesce(sum(CASE WHEN term = 'join' THEN c END), 0)
+                  + coalesce(sum(CASE WHEN term = 'stream' THEN c END), 0))
+                 * 1000000.0 + 0.5) / 1000000 AS score
+    FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+@query("q_bm25_topk", oracle=_BM25_ORACLE, tags=("llm", "text", "topk", "ir"))
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a fixed 3-term query under BM25
+    (k1=1.2, b=0.75) with the rational idf (see module docstring).
+    Each CASE-summed conditional aggregate sees exactly one row per
+    (doc, term) — after the TF grouping a term appears at most once per
+    doc — so no float accumulation-order is ever exercised; the three
+    per-term contributions are then added in fixed textual order,
+    matching the oracle character-for-character."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select("doc_id", F.explode(tokens_col()).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # n_docs and avgdl fall out of the already-aggregated dl — no extra
+    # corpus scans (every doc yields ≥1 token, incl. the empty string,
+    # identically in both engines, so count(dl) == count(documents)).
+    n = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    q_toks = toks.filter(F.col("term").isin(*BM25_QUERY))
+    tf = q_toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = q_toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df (|Q| rows) and n (1 row) broadcast; dl is CORPUS-sized, so the
+    # doc_id join is hinted shuffle_hash — the q_top_terms rule: never
+    # let a fixture-scale stat estimate bake an unbounded broadcast
+    # into the plan shape (tf is already shuffled by (doc_id, term);
+    # the dl side exchanges on doc_id out of its own aggregation).
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (
+                    F.col("tf")
+                    * 2.2
+                    / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+                )
+            ).alias("c"),
+        )
+    )
+    per_term = [
+        F.coalesce(F.sum(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0))
+        for t in BM25_QUERY
+    ]
+    total = per_term[0]
+    for p in per_term[1:]:
+        total = total + p
+    scored = contrib.groupBy("doc_id").agg(
+        (F.floor(total * 1000000.0 + F.lit(0.5)) / 1000000).alias("score")
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "score",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("rnk"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )

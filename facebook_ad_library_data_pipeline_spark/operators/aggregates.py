@@ -216,42 +216,96 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_mktsegment", "c_nationkey").distinct()
 
 
-@query("q_approx_distinct", oracle=None, tags=("agg", "approx"))
+_APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(*) AS n,
+       TRUE AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_approx_distinct", oracle=_APPROX_DISTINCT_ORACLE, tags=("agg", "approx"))
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++, rsd=0.01) — sketch values are
-    implementation-specific, so no SQL oracle (rows-only check);
-    accuracy asserted vs exact counts in tests/test_relational.py."""
+    """approx_count_distinct (HLL++, rsd=0.01) checked against the exact
+    distinct count IN the query output: the sketch estimate itself is
+    implementation-specific (JVM HLL++ registers), so instead of emitting
+    it raw (rows-only forever) the query emits the exact count plus an
+    `approx_ok` tolerance flag — |approx − exact| ≤ 5·rsd·exact — which
+    the DuckDB oracle pins to TRUE. A sketch regression (drift beyond
+    tolerance) flips the flag and the driver hash goes red, so the
+    approximate path is now hash-checked without pretending two engines'
+    sketches agree bit-for-bit. Same move as q_countmin_portable, but
+    via tolerance instead of a portable hash family.
+
+    At 100 TB only the sketch side survives (exact distinct is the thing
+    HLL avoids); the exact twin in this query is the verification
+    harness, run at driver/test scale to make the sketch checkable."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@query("q_percentiles", oracle=None, tags=("agg", "approx"))
-def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx — the scalable quantile sketch (exact
-    percentile needs a full sort; the sketch shuffles O(1) state).
-    Sketch-dependent values → rows-only; bounds asserted in tests.
-
-    Emits three SCALAR columns, not one array<double>: the driver's
-    rows-only canonicalizer (pandas sort) crashes on unhashable list
-    cells (round-1 CORRECTNESS err)."""
-    o = load_table(spark, sf_dir, "orders")
     return (
-        o.groupBy("o_orderstatus")
+        li.groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("q"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
-            "o_orderstatus",
-            F.col("q")[0].alias("p25"),
-            F.col("q")[1].alias("p50"),
-            F.col("q")[2].alias("p75"),
+            "l_returnflag",
+            "exact_parts",
             "n",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= F.greatest(0.05 * F.col("exact_parts"), F.lit(2.0))
+            ).alias("approx_ok"),
         )
+        .orderBy("l_returnflag")
     )
+
+
+_PERCENTILES_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n,
+       TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("q_percentiles", oracle=_PERCENTILES_ORACLE, tags=("agg", "approx"))
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — the scalable quantile sketch (exact
+    percentile needs a full sort; the sketch shuffles O(1) state) —
+    hash-checked via rank-error tolerance flags: with accuracy=10000
+    the sketch guarantees rank error ≤ 1/10000, so each approximate
+    quartile must land between the EXACT percentiles at q ∓ 0.05
+    (500× the guaranteed bound — generous but regression-sensitive).
+    The oracle pins the three flags to TRUE; a sketch regression flips
+    one and the driver goes red. Raw sketch values stay out of the
+    output (engine-specific). Exact quantile twin: q_percentiles_exact.
+
+    Emits SCALAR columns, not array<double>: the driver's rows-only
+    canonicalizer (pandas sort) crashes on unhashable list cells
+    (round-1 CORRECTNESS err)."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = [0.25, 0.5, 0.75]
+    lo = [q - 0.05 for q in qs]
+    hi = [q + 0.05 for q in qs]
+    agg = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", qs, 10000).alias("q"),
+        F.percentile("o_totalprice", F.array(*[F.lit(x) for x in lo])).alias("lo"),
+        F.percentile("o_totalprice", F.array(*[F.lit(x) for x in hi])).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flags = [
+        ((F.col("q")[i] >= F.col("lo")[i]) & (F.col("q")[i] <= F.col("hi")[i])).alias(
+            f"p{int(q * 100)}_ok"
+        )
+        for i, q in enumerate(qs)
+    ]
+    return agg.select("o_orderstatus", "n", *flags).orderBy("o_orderstatus")
 
 
 _MOMENTS_ORACLE = """

@@ -26,28 +26,68 @@ from ..catalog import load_table
 from ..registry import query
 
 
-@query("q_hll_partial_merge", oracle=None, tags=("sketch", "agg", "approx"))
+_HLL_ORACLE = """
+SELECT CAST(year(o_orderdate) AS VARCHAR) AS scope,
+       count(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS approx_ok
+FROM orders
+GROUP BY scope
+UNION ALL
+SELECT 'ALL', count(DISTINCT o_custkey), TRUE FROM orders
+ORDER BY scope
+"""
+
+
+@query("q_hll_partial_merge", oracle=_HLL_ORACLE, tags=("sketch", "agg", "approx"))
 def q_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two-level sketch pattern: per-orderdate-year HLL sketches of
     distinct customers (the 'daily partial' at real scale), then
     hll_union_agg over the partials for the global estimate — raw data
-    is touched exactly once. Returns per-year estimates plus the merged
-    ALL row. Rows-only (sketch internals), but the estimates are
-    deterministic for fixed input; sanity vs exact distinct asserted in
-    tests."""
+    is touched exactly once. Hash-checked via tolerance: the sketch
+    estimate itself is engine-specific (Datasketches HLL registers), so
+    the query emits the EXACT distinct count per scope plus an
+    `approx_ok` flag (|approx − exact| ≤ 5% — default lgConfigK=12 is
+    rsd≈1.6%) that the DuckDB oracle pins to TRUE. The merged-ALL row
+    specifically proves partial-merge soundness: a broken union would
+    drift the ALL estimate beyond tolerance and flip the flag. The
+    exact twin is the test harness — at 100 TB only the sketch level
+    runs."""
     o = load_table(spark, sf_dir, "orders")
-    partials = (
-        o.groupBy(F.year("o_orderdate").alias("order_year"))
-        .agg(F.hll_sketch_agg("o_custkey").alias("sketch"))
+    partials = o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sketch"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
     )
     per_year = partials.select(
         F.col("order_year").cast("string").alias("scope"),
+        "exact_customers",
         F.hll_sketch_estimate("sketch").alias("approx_customers"),
     )
-    merged = partials.agg(F.hll_union_agg("sketch").alias("sketch")).select(
-        F.lit("ALL").alias("scope"), F.hll_sketch_estimate("sketch").alias("approx_customers")
+    # Exact distinct does NOT merge by addition (customers order in many
+    # years), so the ALL row recomputes it over the raw table; the
+    # sketch side merges the per-year partials, as it would at scale.
+    merged_sketch = partials.agg(F.hll_union_agg("sketch").alias("sketch")).select(
+        F.lit("ALL").alias("scope"),
+        F.hll_sketch_estimate("sketch").alias("approx_customers"),
     )
-    return per_year.unionByName(merged).orderBy("scope")
+    exact_all = o.agg(F.countDistinct("o_custkey").alias("exact_customers")).select(
+        F.lit("ALL").alias("scope"), "exact_customers"
+    )
+    all_row = merged_sketch.join(exact_all, "scope").select(
+        "scope", "exact_customers", "approx_customers"
+    )
+    return (
+        per_year.select("scope", "exact_customers", "approx_customers")
+        .unionByName(all_row)
+        .select(
+            "scope",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers")
+            ).alias("approx_ok"),
+        )
+        .orderBy("scope")
+    )
 
 
 # Quantiles are computed over integer CENTS on both engines, and the
@@ -106,14 +146,29 @@ def q_grouped_agg_pandas_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_countmin_heavy_hitters", oracle=None, tags=("sketch", "approx"))
+_CMS_BUILTIN_ORACLE = """
+SELECT event_type,
+       count(*) AS exact_n,
+       TRUE AS cms_sound
+FROM events
+GROUP BY event_type
+ORDER BY exact_n DESC, event_type
+LIMIT 1000
+"""
+
+
+@query("q_countmin_heavy_hitters", oracle=_CMS_BUILTIN_ORACLE, tags=("sketch", "approx"))
 def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over event_type with per-key point estimates.
     The sketch is built in ONE distributed aggregate (count_min_sketch
     is an ImperativeAggregate with map-side partials, like HLL); the
     point lookups read the tiny sketch on the driver against the
-    distinct keys. CMS overestimates but never underestimates —
-    soundness asserted in tests against exact counts."""
+    distinct keys. Hash-checked via the CMS guarantee rather than raw
+    estimates (JVM Murmur internals are engine-specific): the output
+    carries the exact count and a `cms_sound` flag — estimate ≥ exact
+    (never underestimates) AND ≤ exact + ε·N (ε=0.001) — pinned TRUE
+    by the oracle. The exact-vs-portable-hash counterpart is
+    q_countmin_portable below."""
     ev = load_table(spark, sf_dir, "events")
     sketch_row = ev.agg(
         F.count_min_sketch("event_type", F.lit(0.001), F.lit(0.99), F.lit(42)).alias("cms")
@@ -131,18 +186,21 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column would otherwise collect millions of rows). TakeOrdered by
     # approximate frequency is a map-side top-k — no global sort.
     max_keys = 1000
-    keys = [
-        r.event_type
-        for r in (
-            ev.groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.desc("n"), "event_type")
-            .limit(max_keys)
-            .collect()
-        )
-    ]
-    est = [(k, int(cms.estimateCount(k))) for k in sorted(keys)]
-    return spark.createDataFrame(est, "event_type string, approx_n long")
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+        .limit(max_keys)
+        .collect()
+    )
+    total = int(cms.totalCount())  # N, read off the sketch — no rescan
+    rows = []
+    for r in exact:
+        est = int(cms.estimateCount(r.event_type))
+        sound = est >= r.n and est <= r.n + 0.001 * total
+        rows.append((r.event_type, r.n, bool(sound)))
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return spark.createDataFrame(rows, "event_type string, exact_n long, cms_sound boolean")
 
 
 # ----------------------------------------- portable count-min (oracle-backed)

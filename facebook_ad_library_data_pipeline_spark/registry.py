@@ -61,6 +61,9 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.functions.pq",
     "facebook_ad_library_data_pipeline_spark.functions.ann_recall",
     "facebook_ad_library_data_pipeline_spark.functions.knn_join",
+    "facebook_ad_library_data_pipeline_spark.functions.ir",
+    "facebook_ad_library_data_pipeline_spark.operators.fuzzy",
+    "facebook_ad_library_data_pipeline_spark.operators.profile",
     "facebook_ad_library_data_pipeline_spark.streaming.events",
     "facebook_ad_library_data_pipeline_spark.streaming.joins",
     "facebook_ad_library_data_pipeline_spark.streaming.stateful",
@@ -99,7 +102,19 @@ _PRIORITY = [
     "q_observe_reconcile",  # U2: observe() metrics row, oracle-checked
     "q_knn_join",           # exact batch kNN join, oracle-backed
     "q_knn_join_lsh",       # multi-probe LSH batch kNN join, oracle-backed
-    "q_ann_recall",        # recall@10 vs exact, rows-only by nature
+    "q_ann_recall",        # recall@10 floors, oracle-pinned since r06
+    # new round-6 operators (second batch):
+    "q_bm25_topk",          # BM25 ranking, rational idf, oracle-backed
+    "q_fuzzy_join_edit1",   # deletion-neighborhood edit-1 join
+    "q_profile_columns",    # per-column null/distinct census
+    # approx family upgraded rows-only -> tolerance-flag oracles (r06):
+    "q_approx_distinct",
+    "q_percentiles",
+    "q_hll_partial_merge",
+    "q_countmin_heavy_hitters",
+    # real-stream twins completing the streaming window matrix (r06):
+    "q_stream_sliding",
+    "q_stream_session",
     # re-prove queries whose implementation changed this round (the
     # last three also newly oracle-backed):
     "q_top_terms",         # TF-DF join broadcast -> shuffle_hash

@@ -79,11 +79,8 @@ GROUP BY 1, 2
 """
 
 
-@query("q_window_sliding", oracle=_SLIDING_ORACLE, tags=("streaming", "window", "agg"))
-def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour windows sliding every 30 min — every event lands in
-    exactly 2 windows (oracle: union of the two aligned starts)."""
-    events = load_table(spark, sf_dir, "events")
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Shared batch/stream transformation: 1-hour windows every 30 min."""
     return (
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
@@ -92,6 +89,13 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
+
+
+@query("q_window_sliding", oracle=_SLIDING_ORACLE, tags=("streaming", "window", "agg"))
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min — every event lands in
+    exactly 2 windows (oracle: union of the two aligned starts)."""
+    return sliding_counts(load_table(spark, sf_dir, "events"))
 
 
 _SESSION_ORACLE = """
@@ -121,13 +125,8 @@ GROUP BY user_id, session_no
 """
 
 
-@query("q_session_window", oracle=_SESSION_ORACLE, tags=("streaming", "window", "session"))
-def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """30-minute-gap sessionization via session_window (batch mode).
-    Oracle restates it as gaps-and-islands (lag + running sum). Spark
-    closes a session when the next event is >= gap after the previous
-    one (window end is exclusive), hence `>=` in the island flag."""
-    events = load_table(spark, sf_dir, "events")
+def session_stats(events: DataFrame) -> DataFrame:
+    """Shared batch/stream transformation: 30-min-gap sessions."""
     return (
         events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
@@ -141,6 +140,15 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query("q_session_window", oracle=_SESSION_ORACLE, tags=("streaming", "window", "session"))
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization via session_window (batch mode).
+    Oracle restates it as gaps-and-islands (lag + running sum). Spark
+    closes a session when the next event is >= gap after the previous
+    one (window end is exclusive), hence `>=` in the island flag."""
+    return session_stats(load_table(spark, sf_dir, "events"))
 
 
 # --------------------------------------------------------- true streaming
@@ -211,6 +219,34 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_counts(events)
     run_stream_to_memory(agg, "stream_tumbling_out")
     return spark.table("stream_tumbling_out")
+
+
+@query("q_stream_sliding", oracle=_SLIDING_ORACLE, tags=("streaming", "window"))
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window agg through an ACTUAL streaming query — the
+    overlapping-window state case (each event updates 2 window states).
+    Batch twin q_window_sliding shares the transformation AND the
+    oracle: on the bounded source, complete mode must reproduce the
+    batch result exactly."""
+    events = load_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    run_stream_to_memory(sliding_counts(events), "stream_sliding_out")
+    return spark.table("stream_sliding_out")
+
+
+@query("q_stream_session", oracle=_SESSION_ORACLE, tags=("streaming", "window", "session"))
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through an ACTUAL streaming query — the
+    MERGING-state window case: unlike tumbling/sliding, session windows
+    grow and MERGE as micro-batches arrive (Spark's session-window
+    state store merges adjacent sessions within the gap), so this
+    exercises a state path the other streams don't. Batch twin
+    q_session_window shares the transformation and the gaps-and-islands
+    oracle; on the bounded source complete mode must converge to the
+    batch sessionization exactly, regardless of how events split across
+    micro-batches."""
+    events = load_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    run_stream_to_memory(session_stats(events), "stream_session_out")
+    return spark.table("stream_session_out")
 
 
 _DEDUP_ORACLE = """

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 from datetime import datetime
+from decimal import Decimal
 
 import duckdb
 from pyspark.sql import DataFrame
@@ -19,6 +20,14 @@ from pyspark.sql import DataFrame
 def _norm_cell(v):
     if v is None:
         return "∅"
+    if isinstance(v, Decimal):
+        # A DECIMAL-typed oracle column must never silently compare
+        # equal to a Spark double: the driver formats floats %.6g
+        # ("0") and Decimals via str ("0.0"), so a DECIMAL/DOUBLE type
+        # split that stringifies alike here would still hash-mismatch
+        # at the gate (caught live r06: a bare 0.2 in a VALUES oracle).
+        # Tag the type so the local sweep fails first.
+        return f"dec:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

