@@ -169,3 +169,79 @@ def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("value")).alias("total_value"),
         )
     )
+
+
+# ------------------------------------------------------------- Z-order layout
+
+Z_BITS = 8          # bits kept per dimension (256×256 grid)
+Z_BUCKET_SHIFT = 12  # z // 2^12 → 16 buckets = top 2 bits of each dim
+
+
+def _z_terms(x: str, y: str) -> str:
+    """Morton interleave as PURE integer arithmetic — ((v // 2^b) % 2)
+    placed at 4^b (x) and 2·4^b (y) — so Spark and DuckDB evaluate the
+    identical expression with no engine-specific bit operators."""
+    terms = []
+    for b in range(Z_BITS):
+        terms.append(f"(({x} // {2 ** b}) % 2) * {4 ** b}")
+        terms.append(f"(({y} // {2 ** b}) % 2) * {2 * 4 ** b}")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH dims AS (
+    SELECT o_custkey % 256 AS x,
+           datediff('day', TIMESTAMP '1970-01-01', o_orderdate) % 256 AS y
+    FROM orders
+),
+z AS (
+    SELECT x, y, ({_z_terms("x", "y")}) // {2 ** Z_BUCKET_SHIFT} AS zbucket
+    FROM dims
+)
+SELECT zbucket, count(*) AS n_rows,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM z
+GROUP BY zbucket
+ORDER BY zbucket
+"""
+
+
+@query("q_zorder_layout", oracle=_ZORDER_ORACLE, tags=("storage", "layout", "prune"))
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering census over orders on the two dims a
+    real layout would cluster by — customer and order day (both folded
+    to 8 bits). Each of the 16 z-buckets is the top-2-bits tile of BOTH
+    dims, i.e. a 64×64 tile of the 256×256 grid, so per-bucket min/max
+    spans are ≤ 63 in EACH dimension (asserted in tests) — which is
+    exactly why z-ordering beats a single-dim sort for multi-dimension
+    pruning: a predicate on either dim alone hits at most 4 of the 16
+    buckets' min/max ranges, so file-level stats skipping prunes ~75%
+    of files for either column, where a lexicographic sort prunes only
+    its leading column.
+
+    At 100 TB the same z expression is the `repartitionByRange` +
+    within-partition sort key for the write path (the layout twin of
+    bucketed_tables above); this query is the checkable census of the
+    cluster assignment itself — all-integer arithmetic, hash-exact
+    across engines. One shuffle (the groupBy); the z computation is
+    codegen'd projection."""
+    o = load_table(spark, sf_dir, "orders")
+    dims = o.select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.datediff("o_orderdate", F.lit("1970-01-01")) % 256).alias("y"),
+    )
+    z = dims.select(
+        "x", "y", F.expr(f"({_z_terms('x', 'y').replace('//', 'div')}) div {2 ** Z_BUCKET_SHIFT}").alias("zbucket")
+    )
+    return (
+        z.groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .orderBy("zbucket")
+    )

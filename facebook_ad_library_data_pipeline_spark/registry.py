@@ -115,6 +115,7 @@ _PRIORITY = [
     # real-stream twins completing the streaming window matrix (r06):
     "q_stream_sliding",
     "q_stream_session",
+    "q_zorder_layout",      # Morton-clustering census, oracle-backed
     # re-prove queries whose implementation changed this round (the
     # last three also newly oracle-backed):
     "q_top_terms",         # TF-DF join broadcast -> shuffle_hash

@@ -81,3 +81,14 @@ def test_profile_columns_shape(spark, sf_dir):
     # keys are unique; status is low-cardinality
     assert rows["o_orderkey"].n_distinct == n - rows["o_orderkey"].n_nulls
     assert rows["o_orderstatus"].n_distinct <= 5
+
+
+def test_zorder_tiles_bound_both_dims(spark, sf_dir):
+    # each z-bucket is a 64×64 tile: spans ≤ 63 in BOTH dims — the
+    # property that makes min/max stats skipping work on either column.
+    rows = REGISTRY["q_zorder_layout"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.zbucket < 16
+        assert r.x_max - r.x_min <= 63
+        assert r.y_max - r.y_min <= 63
