@@ -30,7 +30,12 @@ from facebook_ad_library_data_pipeline_spark.catalog import load_table
 from facebook_ad_library_data_pipeline_spark.registry import load_all
 from facebook_ad_library_data_pipeline_spark.session import get_spark
 
-QUERIES = ("q_ngram_jaccard_pairs", "q_dup_span_docs", "q_neardup_components")
+QUERIES = (
+    "q_ngram_jaccard_pairs",
+    "q_dup_span_docs",
+    "q_neardup_components",
+    "q_fuzzy_join_edit1",
+)
 REP = 10
 REP_OFFSET = 10_000_000
 
@@ -48,14 +53,21 @@ def shuffle_write_records(spark) -> int:
 
 
 def replicate_corpus(spark, sf_dir: str) -> str:
-    """Write a 10×-replicated documents.parquet into a temp sf-dir."""
+    """Write 10×-replicated documents.parquet AND customer.parquet into
+    a temp sf-dir. Replicated customers keep their NAME (only the key
+    is offset): every deletion-variant bucket in the fuzzy join gets
+    10× occupancy and every distance-1 name pair becomes 100 pairs —
+    the adversarial case for the FastSS blocking join (the 45
+    distance-0 replica pairs per name are candidates the levenshtein
+    verify must reject)."""
     out = tempfile.mkdtemp(prefix="scale10x_")
-    docs = load_table(spark, sf_dir, "documents")
-    cols = [c for c in docs.columns if c != "doc_id"]
-    replicated = docs.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(REP - 1))).alias("rep")
-    ).select((F.col("doc_id") + F.col("rep") * REP_OFFSET).alias("doc_id"), *cols)
-    replicated.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    for table, key in (("documents", "doc_id"), ("customer", "c_custkey")):
+        df = load_table(spark, sf_dir, table)
+        cols = [c for c in df.columns if c != key]
+        replicated = df.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(REP - 1))).alias("rep")
+        ).select((F.col(key) + F.col("rep") * REP_OFFSET).alias(key), *cols)
+        replicated.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
     return out
 
 
