@@ -88,7 +88,17 @@ FEATURE_SCHEMA = "doc_id long, n_bytes long, mean_byte double, std_byte double, 
 def extract_byte_features(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
     """Arrow-batched feature extractor: deterministic byte statistics as
     the stand-in for pixel statistics (a real decoder would slot in at
-    the marked line). Pure pandas/numpy per batch — no driver round-trip."""
+    the marked line). Pure pandas/numpy per batch — no driver round-trip.
+
+    The floats are formed from EXACT INTEGER MOMENTS (s1=Σb, s2=Σb²,
+    per-bin counts — all exact in int64) through the same expression
+    tree the DuckDB oracle uses (s1/n; sqrt(max(0, s2/n − (s1/n)²));
+    count/n). Division and sqrt are IEEE correctly-rounded, so the
+    doubles match bit-for-bit across engines — the same no-libm rule
+    as q_top_terms, making this mapInPandas path fully hash-checkable
+    (it was the repo's last rows-only multimodal query)."""
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -97,24 +107,65 @@ def extract_byte_features(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             arr = np.frombuffer(payload, dtype=np.uint8)
             # <-- real image/audio decode would replace `arr` here
-            hist = np.bincount(arr >> 4, minlength=N_HIST_BINS).astype(np.float64)
-            hist = hist / max(arr.size, 1)
+            n = int(arr.size)
+            s1 = int(arr.sum())
+            s2 = int((arr.astype(np.int64) ** 2).sum())
+            mean = s1 / n if n else 0.0
+            var = (s2 / n - (s1 / n) * (s1 / n)) if n else 0.0
+            counts = np.bincount(arr >> 4, minlength=N_HIST_BINS)
             row = {
                 "doc_id": doc_id,
-                "n_bytes": int(arr.size),
-                "mean_byte": float(arr.mean()) if arr.size else 0.0,
-                "std_byte": float(arr.std()) if arr.size else 0.0,
+                "n_bytes": n,
+                "mean_byte": mean,
+                "std_byte": math.sqrt(max(0.0, var)),
             }
-            row.update({f"hist_{i}": float(hist[i]) for i in range(N_HIST_BINS)})
+            row.update(
+                {f"hist_{i}": int(counts[i]) / max(n, 1) for i in range(N_HIST_BINS)}
+            )
             rows.append(row)
         yield pd.DataFrame(rows)
 
 
-@query("q_multimodal_features", oracle=None, tags=("llm", "multimodal"))
+_HIST_SQL = ",\n           ".join(
+    f"sum(CASE WHEN v // 16 = {i} THEN 1 ELSE 0 END) AS h_{i}"
+    for i in range(N_HIST_BINS)
+)
+_HIST_SELECT = ",\n       ".join(
+    f"CASE WHEN m.n IS NULL THEN 0.0 ELSE m.h_{i} / m.n END AS hist_{i}"
+    for i in range(N_HIST_BINS)
+)
+
+# The payload is UTF-8 of ASCII-only synthetic text, so byte values ==
+# ascii() code points (pinned by tests/test_testdata_invariants.py —
+# a regeneration introducing non-ASCII must fail loudly, not drift).
+_FEATURES_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id, ascii(substring(text, i.i, 1)) AS v
+    FROM documents, unnest(range(1, len(text) + 1)) AS i(i)
+),
+m AS (
+    SELECT doc_id, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2,
+           {_HIST_SQL}
+    FROM b GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(m.n, 0) AS n_bytes,
+       CASE WHEN m.n IS NULL THEN 0.0 ELSE m.s1 / m.n END AS mean_byte,
+       CASE WHEN m.n IS NULL THEN 0.0
+            ELSE sqrt(greatest(0.0, m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)))
+       END AS std_byte,
+       {_HIST_SELECT}
+FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+"""
+
+
+@query("q_multimodal_features", oracle=_FEATURES_ORACLE, tags=("llm", "multimodal"))
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads: real Arrow
-    batch plumbing + explicit schema; deterministic fake features
-    (byte histogram) — rows-only check, determinism asserted in tests."""
+    batch plumbing + explicit schema; deterministic byte features
+    (mean/std/16-bin high-nibble histogram) built from exact integer
+    moments so the DuckDB oracle reproduces every double bit-for-bit
+    (see extract_byte_features)."""
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(extract_byte_features, schema=FEATURE_SCHEMA)

@@ -94,7 +94,8 @@ _PRIORITY = [
     "q_lang_id_udf",
     "q_pq_codes",
     "q_sample_stratified",
-    # r05's one red row, fixed (hist array -> 16 scalar columns):
+    # r05's one red row, fixed (hist array -> 16 scalar columns) and
+    # since upgraded to a full oracle (exact-integer-moment features):
     "q_multimodal_features",
     # new round-6 queries:
     "q_png_pixel_stats",   # stdlib-zlib PNG decode, oracle-backed

@@ -43,3 +43,18 @@ def test_events_invariants_for_stream_oracles(sf_dir):
         f"{sf_dir.name}: {dup_ts} duplicate (user_id, ts) pairs — "
         "q_stream_stateful_user's arg_max oracle becomes nondeterministic"
     )
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS, ids=[p.name for p in _SF_DIRS])
+def test_documents_ascii_for_byte_feature_oracle(sf_dir):
+    # q_multimodal_features' oracle equates UTF-8 payload bytes with
+    # ascii() code points — valid only while documents.text is pure
+    # ASCII. A regeneration introducing non-ASCII must fail here, not
+    # drift the driver hash.
+    con = duckdb.connect()
+    n_bad = con.execute(
+        "SELECT count(*) FROM read_parquet(?) "
+        "WHERE octet_length(encode(text)) <> len(text)",
+        [str(sf_dir / "documents.parquet")],
+    ).fetchone()[0]
+    assert n_bad == 0, f"{sf_dir}: {n_bad} docs with non-ASCII text"
