@@ -93,12 +93,33 @@ def q_grouped_pandas_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_lang_id_udf", oracle=None, tags=("pandas-udf", "llm", "text"))
+# Conditional oracle, resolved at import time IN THE RUNNING ENV: when
+# langdetect is absent the UDF runs its deterministic stopword-overlap
+# fallback, which is semantically identical to the native q_lang_id
+# (same alphabetical tie-break — equivalence asserted in
+# tests/test_extras.py), so the native oracle applies verbatim. When
+# langdetect IS installed the UDF returns real langdetect labels and
+# the query is rows-only by nature — exactly what the reference's P7
+# is. The registration sees the same env the driver runs in, so the
+# oracle can never be attached to the wrong path.
+try:  # pragma: no cover - environment probe
+    import langdetect  # noqa: F401
+
+    _LANG_UDF_ORACLE = None
+except ImportError:
+    from ..functions.text import _LANG_ORACLE as _NATIVE_LANG_ORACLE
+
+    _LANG_UDF_ORACLE = (
+        f"SELECT doc_id, detected_lang FROM ({_NATIVE_LANG_ORACLE}) t"
+    )
+
+
+@query("q_lang_id_udf", oracle=_LANG_UDF_ORACLE, tags=("pandas-udf", "llm", "text"))
 def q_lang_id_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 as an Arrow-batched pandas UDF (the reference's langdetect
-    path; deterministic heuristic fallback when langdetect is absent).
-    Rows-only; equivalence with the native q_lang_id asserted in tests
-    when running on the fallback."""
+    path; deterministic heuristic fallback when langdetect is absent —
+    oracle-backed on the fallback path via the conditional registration
+    above, rows-only when real langdetect is present)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", detect_lang_udf("text").alias("detected_lang"))
 
