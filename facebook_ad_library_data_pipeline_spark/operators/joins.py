@@ -204,3 +204,47 @@ def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
         )
     )
+
+
+_NULL_SAFE_ORACLE = """
+WITH lhs AS (
+    SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS prio_n
+    FROM orders
+),
+dim AS (
+    SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS prio_n,
+           coalesce(nullif(o_orderpriority, '1-URGENT'), 'UNSPECIFIED') AS prio_label
+    FROM orders
+)
+SELECT d.prio_label, count(*) AS n_orders
+FROM lhs l JOIN dim d ON l.prio_n IS NOT DISTINCT FROM d.prio_n
+GROUP BY d.prio_label
+ORDER BY d.prio_label
+"""
+
+
+@query("q_join_null_safe", oracle=_NULL_SAFE_ORACLE, tags=("join", "nulls"))
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): a join
+    key derived with nullif (the testdata itself is null-free) so the
+    NULL group must MATCH its dim row rather than fall out of the join
+    — the semantics a plain equi-join silently breaks (NULL = NULL is
+    NULL, dropping every null-keyed fact). The join-side sibling of
+    the D2 null-collapse dedup parity. EqualNullSafe keys stay
+    hash-partitionable, so the plan is an ordinary broadcast/shuffled
+    hash join, not a nested loop; every order lands in exactly one
+    group (row-conservation asserted by the count totals)."""
+    o = load_table(spark, sf_dir, "orders")
+    prio_n = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    lhs = o.select("o_orderkey", prio_n.alias("prio_n"))
+    dim = (
+        o.select(prio_n.alias("prio_n"))
+        .distinct()
+        .select("prio_n", F.coalesce("prio_n", F.lit("UNSPECIFIED")).alias("prio_label"))
+    )
+    return (
+        lhs.join(F.broadcast(dim), lhs["prio_n"].eqNullSafe(dim["prio_n"]))
+        .groupBy("prio_label")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("prio_label")
+    )
