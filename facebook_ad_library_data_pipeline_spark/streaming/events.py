@@ -173,7 +173,7 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "complete", partitions: str = "8"
+    stream_df: DataFrame, name: str, output_mode: str = "complete", partitions: str = "4"
 ) -> None:
     """Drive a streaming aggregation to completion against the bounded
     file source (processAllAvailable) and land it in a memory sink.
@@ -182,9 +182,11 @@ def run_stream_to_memory(
     re-opened and committed EVERY micro-batch); with the local bounded
     source the per-store fixed cost dominates any parallelism win —
     measured at sf0.1: stream-stream join 19.3 s at 32 partitions vs
-    5.1 s at 8; streaming dedup 7.8 s vs 2.6 s. Default 8 here is a
-    local-mode runtime knob (callers override); on a real cluster
-    partitions scale with executors and state size, not this default."""
+    5.1 s at 8 vs 2.7 s at 4; every streaming query in the bench got
+    faster 8→4 (r06 sweep: tumbling 1.6→1.0, incremental rollup
+    2.7→2.3). Default 4 here is a local-mode runtime knob (callers
+    override); on a real cluster partitions scale with executors and
+    state size, not this default."""
     spark = stream_df.sparkSession
     # Stateful streaming is the op most sensitive to stale broadcast/
     # shuffle state: ContextCleaner only purges on GC, and after a long
