@@ -118,6 +118,7 @@ _PRIORITY = [
     "q_stream_session",
     "q_zorder_layout",      # Morton-clustering census, oracle-backed
     "q_join_null_safe",     # <=> join, NULL group must match its dim row
+    "q_stream_tumbling_append",  # append mode = state-eviction path, oracle-backed
     # re-prove queries whose implementation changed this round (the
     # last three also newly oracle-backed):
     "q_top_terms",         # TF-DF join broadcast -> shuffle_hash

@@ -270,3 +270,42 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     run_stream_to_memory(counted, "stream_dedup_out")
     return spark.table("stream_dedup_out")
+
+
+# Append mode emits a window only once its end crosses the watermark,
+# and the final watermark after draining a bounded source is
+# max(event_time) − delay regardless of how micro-batches split — so
+# the emitted set is EXACTLY the batch windows with
+# window_end <= max(ts) − 1 hour, and the tail windows stay in state
+# forever (never emitted). That closed-window set is the oracle.
+_TUMBLING_APPEND_ORACLE = """
+WITH agg AS (
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+),
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS watermark FROM events)
+SELECT a.window_start, a.event_type, a.n, a.total_value
+FROM agg a, wm
+WHERE a.window_start + INTERVAL 1 HOUR <= wm.watermark
+"""
+
+
+@query("q_stream_tumbling_append", oracle=_TUMBLING_APPEND_ORACLE, tags=("streaming", "window"))
+def q_stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling agg in APPEND output mode — the state-EVICTION path
+    the complete-mode streams never exercise: a window row is emitted
+    exactly once, when the watermark passes its end, and its state is
+    dropped. On the bounded source the final watermark is
+    max(ts) − 1 h (watermarks advance monotonically to the global max
+    whatever the micro-batch split), so the emitted set is exactly the
+    closed windows — the oracle filters the batch-twin aggregation to
+    window_end <= max(ts) − 1 h. The unemitted tail windows are the
+    documented, deterministic difference from q_stream_tumbling."""
+    events = load_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = tumbling_counts(events)
+    run_stream_to_memory(agg, "stream_tumbling_append_out", output_mode="append")
+    return spark.table("stream_tumbling_append_out")
