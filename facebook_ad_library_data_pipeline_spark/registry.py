@@ -69,6 +69,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.streaming.stateful",
     "facebook_ad_library_data_pipeline_spark.streaming.incremental",
     "facebook_ad_library_data_pipeline_spark.sources.roundtrip",
+    "facebook_ad_library_data_pipeline_spark.sources.pysource",
     "facebook_ad_library_data_pipeline_spark.multimodal.media",
 ]
 
@@ -119,6 +120,7 @@ _PRIORITY = [
     "q_zorder_layout",      # Morton-clustering census, oracle-backed
     "q_join_null_safe",     # <=> join, NULL group must match its dim row
     "q_stream_tumbling_append",  # append mode = state-eviction path, oracle-backed
+    "q_python_datasource_scan",  # Spark 4 Python DataSource, LCG-replayed oracle
     # re-prove queries whose implementation changed this round (the
     # last three also newly oracle-backed):
     "q_top_terms",         # TF-DF join broadcast -> shuffle_hash

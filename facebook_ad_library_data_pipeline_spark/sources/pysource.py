@@ -1,0 +1,129 @@
+"""Custom Python DataSource (the Spark 4 ``pyspark.sql.datasource``
+API): the engine's extension point for reading systems Spark has no
+built-in connector for — the Spark-first stand-in for the reference's
+bespoke scrape-ingest edge (SURVEY.md S1-S4: collect_raw_data.py's
+Playwright listener is exactly the kind of source a real deployment
+wraps in this API instead of a driver-side script).
+
+The source generates deterministic synthetic rows from a closed-form
+LCG keyed by the global row id, so the DuckDB oracle REPLAYS the whole
+source from `generate_series` — proving the partition-planned,
+executor-side Python read path end to end (every shard must produce
+exactly its closed-form rows or the hash goes red).
+
+Scale shape: `partitions()` plans one InputPartition per shard, each
+read entirely on an executor (no driver data path); a production
+source would map shards to remote files/key ranges the same way. The
+Python-iterator read is the slow-but-flexible path by design — real
+columnar sources should return Arrow batches; this demonstrates the
+planning contract, not a perf claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..registry import query
+
+SYNTH_SHARDS = 8
+SYNTH_ROWS_PER_SHARD = 20_000
+# Same public LCG family as the portable sketches: x -> (a·x + c) mod m
+SYNTH_A = 1103515245
+SYNTH_C = 12345
+SYNTH_M = 2147483648  # 2^31
+
+
+class SyntheticEventsDataSource(DataSource):
+    """Batch data source `synth_events`: `shards` × `rows_per_shard`
+    rows of (row_id, shard, value) with value = (a·row_id + c) mod m."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events"
+
+    def schema(self) -> str:
+        return "row_id bigint, shard int, value bigint"
+
+    def reader(self, schema) -> "SyntheticEventsReader":
+        return SyntheticEventsReader(
+            int(self.options.get("shards", SYNTH_SHARDS)),
+            int(self.options.get("rows_per_shard", SYNTH_ROWS_PER_SHARD)),
+        )
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, shards: int, rows_per_shard: int) -> None:
+        self.shards = shards
+        self.rows_per_shard = rows_per_shard
+
+    def partitions(self):  # one executor-side task per shard
+        return [InputPartition(i) for i in range(self.shards)]
+
+    def read(self, partition: InputPartition):
+        shard = partition.value
+        base = shard * self.rows_per_shard
+        for i in range(self.rows_per_shard):
+            row_id = base + i
+            yield (row_id, shard, (SYNTH_A * row_id + SYNTH_C) % SYNTH_M)
+
+
+_REGISTERED: set[str] = set()
+
+
+def register_synth_source(spark: SparkSession) -> None:
+    key = spark.sparkContext.applicationId
+    if key not in _REGISTERED:
+        spark.dataSource.register(SyntheticEventsDataSource)
+        _REGISTERED.add(key)
+
+
+_PYSOURCE_ORACLE = f"""
+WITH rows AS (
+    SELECT s.shard,
+           s.shard * {SYNTH_ROWS_PER_SHARD} + g.i AS row_id,
+           ({SYNTH_A} * (s.shard * {SYNTH_ROWS_PER_SHARD} + g.i) + {SYNTH_C})
+               % {SYNTH_M} AS value
+    FROM (SELECT unnest(range(0, {SYNTH_SHARDS})) AS shard) s,
+         unnest(range(0, {SYNTH_ROWS_PER_SHARD})) AS g(i)
+)
+SELECT shard,
+       count(*) AS n_rows,
+       min(row_id) AS first_row_id,
+       max(row_id) AS last_row_id,
+       sum(value) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM rows
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@query("q_python_datasource_scan", oracle=_PYSOURCE_ORACLE, tags=("scan", "source", "python"))
+def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the custom Python data source and aggregate per shard. The
+    oracle regenerates every row from the LCG closed form, so a defect
+    anywhere in the source contract — partition planning, option
+    parsing, the executor-side iterator — shifts a count or a sum and
+    hash-mismatches. (sf_dir is unused: the source IS the data.)"""
+    register_synth_source(spark)
+    df = (
+        spark.read.format("synth_events")
+        .option("shards", SYNTH_SHARDS)
+        .option("rows_per_shard", SYNTH_ROWS_PER_SHARD)
+        .load()
+    )
+    return (
+        df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("row_id").alias("first_row_id"),
+            F.max("row_id").alias("last_row_id"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("shard")
+    )
