@@ -121,6 +121,7 @@ _PRIORITY = [
     "q_join_null_safe",     # <=> join, NULL group must match its dim row
     "q_stream_tumbling_append",  # append mode = state-eviction path, oracle-backed
     "q_python_datasource_scan",  # Spark 4 Python DataSource, LCG-replayed oracle
+    "q_python_datasource_stream",  # SimpleDataSourceStreamReader, same oracle
     # re-prove queries whose implementation changed this round (the
     # last three also newly oracle-backed):
     "q_top_terms",         # TF-DF join broadcast -> shuffle_hash

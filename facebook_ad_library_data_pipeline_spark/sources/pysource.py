@@ -23,7 +23,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..registry import query
 
@@ -127,3 +132,87 @@ def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ------------------------------------------------- streaming variant
+
+STREAM_BATCH_ROWS = 40_000
+STREAM_TOTAL_ROWS = SYNTH_SHARDS * SYNTH_ROWS_PER_SHARD
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked micro-batch reads over the same closed-form LCG
+    row space: each trigger consumes the next STREAM_BATCH_ROWS global
+    row ids until the bounded range drains. readBetweenOffsets replays
+    any range exactly (the recovery contract), because rows are a pure
+    function of row_id — the property a real exactly-once source gets
+    from its upstream log."""
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def _rows(self, start: int, end: int):
+        for row_id in range(start, end):
+            yield (row_id, row_id // SYNTH_ROWS_PER_SHARD,
+                   (SYNTH_A * row_id + SYNTH_C) % SYNTH_M)
+
+    def read(self, start):
+        # A COPYABLE iterator (iter over a materialized list), never a
+        # generator: the prefetch wrapper copy.copy()s the cached
+        # iterator to serve planInputPartitions without exhausting it,
+        # and calls next() on the empty drain batch — list_iterators
+        # support both, generators neither.
+        s = start["offset"]
+        e = min(s + STREAM_BATCH_ROWS, STREAM_TOTAL_ROWS)
+        return iter(list(self._rows(s, e))), {"offset": e}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(list(self._rows(start["offset"], end["offset"])))
+
+
+class SyntheticEventsStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events_stream"
+
+    def schema(self) -> str:
+        return "row_id bigint, shard int, value bigint"
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader()
+
+
+def register_synth_stream_source(spark: SparkSession) -> None:
+    key = f"stream-{spark.sparkContext.applicationId}"
+    if key not in _REGISTERED:
+        spark.dataSource.register(SyntheticEventsStreamSource)
+        _REGISTERED.add(key)
+
+
+@query(
+    "q_python_datasource_stream",
+    oracle=_PYSOURCE_ORACLE,
+    tags=("scan", "source", "python", "streaming"),
+)
+def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python source as a STRUCTURED STREAM
+    (SimpleDataSourceStreamReader: initialOffset → per-trigger read →
+    offset commit), drained through ≥4 micro-batches into a complete-
+    mode aggregation. Same oracle as the batch scan: whatever the
+    micro-batch split, the drained stream must reproduce the closed
+    form exactly — proving offset tracking loses and duplicates
+    nothing. (sf_dir unused: the source IS the data.)"""
+    from ..streaming.events import run_stream_to_memory
+
+    register_synth_stream_source(spark)
+    stream = spark.readStream.format("synth_events_stream").load()
+    agg = stream.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("row_id").alias("first_row_id"),
+        F.max("row_id").alias("last_row_id"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    run_stream_to_memory(agg, "python_datasource_stream_out")
+    return spark.table("python_datasource_stream_out").orderBy("shard")
