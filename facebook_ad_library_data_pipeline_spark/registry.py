@@ -122,6 +122,7 @@ _PRIORITY = [
     "q_stream_tumbling_append",  # append mode = state-eviction path, oracle-backed
     "q_python_datasource_scan",  # Spark 4 Python DataSource, LCG-replayed oracle
     "q_python_datasource_stream",  # SimpleDataSourceStreamReader, same oracle
+    "q_python_datasink_roundtrip",  # custom Python sink, commit-protocol manifest
     # re-prove queries whose implementation changed this round (the
     # last three also newly oracle-backed):
     "q_top_terms",         # TF-DF join broadcast -> shuffle_hash

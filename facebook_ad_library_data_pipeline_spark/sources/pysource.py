@@ -23,11 +23,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from ..registry import query
@@ -216,3 +220,111 @@ def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_memory(agg, "python_datasource_stream_out")
     return spark.table("python_datasource_stream_out").orderBy("shard")
+
+
+# ------------------------------------------------- custom Python sink
+
+@dataclass
+class _SinkFileCommit(WriterCommitMessage):
+    path: str = ""
+    n_rows: int = 0
+
+
+class SyntheticJsonlSink(DataSource):
+    """Custom Python SINK (`DataSourceWriter`): each task writes its
+    partition to a uniquely-named JSONL file and returns the path in
+    its commit message; the driver-side commit() publishes ONLY the
+    committed paths into a `_MANIFEST` — the standard output-commit
+    protocol (task retries leave orphan files that the manifest never
+    references, so readers see exactly-once output)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> "SyntheticJsonlWriter":
+        return SyntheticJsonlWriter(self.options["path"])
+
+
+class SyntheticJsonlWriter(DataSourceWriter):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator) -> _SinkFileCommit:
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(out, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _SinkFileCommit(path=out, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        manifest = {
+            "files": sorted(m.path for m in messages if m.n_rows > 0),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+            _json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+@query(
+    "q_python_datasink_roundtrip",
+    oracle=_PYSOURCE_ORACLE,
+    tags=("sink", "source", "python"),
+)
+def q_python_datasink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source → custom SINK → read back the manifest's files →
+    aggregate: the full connector round trip through the Python
+    DataSource API, closed by the same LCG oracle. Only
+    manifest-listed files are read (the commit protocol's exactly-once
+    contract), so a task retry or orphan file cannot change the
+    result. (sf_dir unused: the source IS the data.)"""
+    import json as _json
+    import tempfile
+    from pathlib import Path
+
+    register_synth_source(spark)
+    sink_key = f"sink-{spark.sparkContext.applicationId}"
+    if sink_key not in _REGISTERED:
+        spark.dataSource.register(SyntheticJsonlSink)
+        _REGISTERED.add(sink_key)
+    out = Path(tempfile.mkdtemp(prefix="pysink_")) / "rows"
+    df = (
+        spark.read.format("synth_events")
+        .option("shards", SYNTH_SHARDS)
+        .option("rows_per_shard", SYNTH_ROWS_PER_SHARD)
+        .load()
+    )
+    df.write.format("synth_jsonl_sink").option("path", str(out)).mode("append").save()
+    manifest = _json.loads((out / "_MANIFEST").read_text())
+    back = spark.read.schema("row_id bigint, shard int, value bigint").json(
+        manifest["files"]
+    )
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("row_id").alias("first_row_id"),
+            F.max("row_id").alias("last_row_id"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("shard")
+    )
