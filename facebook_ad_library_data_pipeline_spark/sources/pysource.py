@@ -116,7 +116,7 @@ SELECT shard,
        count(*) AS n_rows,
        min(row_id) AS first_row_id,
        max(row_id) AS last_row_id,
-       sum(value) AS sum_value,
+       CAST(sum(value) AS BIGINT) AS sum_value,
        min(value) AS min_value,
        max(value) AS max_value
 FROM rows
