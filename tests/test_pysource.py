@@ -68,3 +68,47 @@ def test_stream_reader_replay_matches_prefetch():
     # drained source returns an empty batch with an unmoved offset
     it, off3 = r.read(off)
     assert list(it) == [] and off3 == off
+
+
+def test_python_stream_source_checkpoint_resume(spark, tmp_path):
+    """Real recovery: one micro-batch committed under a checkpoint,
+    then a RESTART from that checkpoint drains the rest — the resumed
+    query must start from the committed offset (initialOffset is only
+    read on first start) and the union of epochs must cover every
+    global row id exactly once: nothing lost, nothing duplicated."""
+    from facebook_ad_library_data_pipeline_spark.sources.pysource import (
+        STREAM_BATCH_ROWS,
+        STREAM_TOTAL_ROWS,
+        register_synth_stream_source,
+    )
+
+    register_synth_stream_source(spark)
+    sink = tmp_path / "rows"
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_epoch(df, epoch_id):
+        df.write.mode("overwrite").parquet(f"{sink}/epoch={epoch_id}")
+
+    stream = spark.readStream.format("synth_events_stream").load()
+    # phase 1: exactly ONE micro-batch, then stop
+    q = (
+        stream.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", ckpt)
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(str(sink)).count() == STREAM_BATCH_ROWS
+    # phase 2: restart from the SAME checkpoint, drain the remainder
+    q = (
+        stream.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(str(sink))
+    assert back.count() == STREAM_TOTAL_ROWS
+    assert back.select("row_id").distinct().count() == STREAM_TOTAL_ROWS
