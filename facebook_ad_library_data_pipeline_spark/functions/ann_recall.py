@@ -43,13 +43,18 @@ RECALL_FLOORS = {"lsh": 0.0, "ivf": 0.2, "ivf_pq": 0.1}
 # Floors are CAST AS DOUBLE: a bare 0.2 literal in VALUES is a DuckDB
 # DECIMAL, whose canonicalized string ("0.0") differs from Spark's
 # double ("0") — the driver would hash-mismatch on type formatting.
+# The output deliberately does NOT pin n_returned = 10: candidate
+# counts are data-dependent (an LSH probe set can hold < 10 vectors on
+# a regenerated corpus), which is the same red-rows-from-data-noise
+# class the floors were loosened to avoid; the detail DF and
+# tests/test_ann_recall.py still assert fullness at the fixture scale.
 _RECALL_ORACLE = (
     "SELECT * FROM (VALUES "
     + ", ".join(
-        f"('{m}', CAST(10 AS BIGINT), CAST({RECALL_FLOORS[m]} AS DOUBLE), TRUE)"
+        f"('{m}', CAST({RECALL_FLOORS[m]} AS DOUBLE), TRUE)"
         for m in sorted(ANN_METHODS)
     )
-    + ") AS t(method, n_returned, recall_floor, meets_floor) ORDER BY method"
+    + ") AS t(method, recall_floor, meets_floor) ORDER BY method"
 )
 
 
@@ -101,7 +106,6 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_recall_detail(spark, sf_dir)
         .select(
             "method",
-            "n_returned",
             floor[F.col("method")].alias("recall_floor"),
             (F.col("recall_at_10") >= floor[F.col("method")]).alias("meets_floor"),
         )

@@ -43,9 +43,17 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10
 
-_CONTRIB_SQL = """
+# Every non-exact constant is CAST AS DOUBLE in the SQL: a bare 2.2 in
+# DuckDB is a DECIMAL, and `tf * 2.2` (BIGINT × DECIMAL) computes in
+# EXACT decimal arithmetic before any cast — 1 ulp off Spark's double
+# multiply (verified: DuckDB 3*2.2/1.0 = 6.6, doubles give
+# 6.6000000000000005). The constants are derived from BM25_K1/BM25_B
+# in ONE place so the query and oracle cannot desynchronize.
+_CONTRIB_SQL = f"""
            ((n.n_docs - df.df + 0.5) / (df.df + 0.5))
-           * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl)))
+           * (tf.tf * CAST({BM25_K1 + 1} AS DOUBLE)
+              / (tf.tf + CAST({BM25_K1} AS DOUBLE)
+                 * ({1.0 - BM25_B} + {BM25_B} * dl.dl / n.avgdl)))
 """
 
 _BM25_ORACLE = f"""
@@ -132,8 +140,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
                 * (
                     F.col("tf")
-                    * 2.2
-                    / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+                    * (BM25_K1 + 1)
+                    / (
+                        F.col("tf")
+                        + BM25_K1
+                        * ((1.0 - BM25_B) + BM25_B * F.col("dl") / F.col("avgdl"))
+                    )
                 )
             ).alias("c"),
         )

@@ -181,10 +181,11 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     jvm = spark.sparkContext._jvm
     bais = jvm.java.io.ByteArrayInputStream(raw)
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
-    # Bounded driver fit: point-query the top heavy-hitter CANDIDATES,
-    # never an unbounded distinct key list (a high-cardinality key
-    # column would otherwise collect millions of rows). TakeOrdered by
-    # approximate frequency is a map-side top-k — no global sort.
+    # Bounded driver fit: point-query only the top-K keys by EXACT
+    # count (the soundness flag needs the exact counts anyway), never
+    # an unbounded distinct key list (a high-cardinality key column
+    # would otherwise collect millions of rows). orderBy+limit is a
+    # TakeOrderedAndProject heap — no global sort.
     max_keys = 1000
     exact = (
         ev.groupBy("event_type")

@@ -103,6 +103,24 @@ def register_synth_source(spark: SparkSession) -> None:
         _REGISTERED.add(key)
 
 
+def _shard_summary(df: DataFrame) -> DataFrame:
+    """The one aggregation spec all three connector queries share —
+    kept single-sourced so a column edit cannot desynchronize a
+    query from the common _PYSOURCE_ORACLE."""
+    return (
+        df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("row_id").alias("first_row_id"),
+            F.max("row_id").alias("last_row_id"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("shard")
+    )
+
+
 _PYSOURCE_ORACLE = f"""
 WITH rows AS (
     SELECT s.shard,
@@ -139,18 +157,7 @@ def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rows_per_shard", SYNTH_ROWS_PER_SHARD)
         .load()
     )
-    return (
-        df.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("row_id").alias("first_row_id"),
-            F.max("row_id").alias("last_row_id"),
-            F.sum("value").alias("sum_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
-        .orderBy("shard")
-    )
+    return _shard_summary(df)
 
 
 # ------------------------------------------------- streaming variant
@@ -225,15 +232,7 @@ def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_synth_stream_source(spark)
     stream = spark.readStream.format("synth_events_stream").load()
-    agg = stream.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min("row_id").alias("first_row_id"),
-        F.max("row_id").alias("last_row_id"),
-        F.sum("value").alias("sum_value"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
-    )
-    run_stream_to_memory(agg, "python_datasource_stream_out")
+    run_stream_to_memory(_shard_summary(stream), "python_datasource_stream_out")
     return spark.table("python_datasource_stream_out").orderBy("shard")
 
 
@@ -298,6 +297,13 @@ class SyntheticJsonlWriter(DataSourceWriter):
                 os.remove(m.path)
 
 
+def register_synth_sink(spark: SparkSession) -> None:
+    key = f"sink-{spark.sparkContext.applicationId}"
+    if key not in _REGISTERED:
+        spark.dataSource.register(SyntheticJsonlSink)
+        _REGISTERED.add(key)
+
+
 @query(
     "q_python_datasink_roundtrip",
     oracle=_PYSOURCE_ORACLE,
@@ -311,35 +317,34 @@ def q_python_datasink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract), so a task retry or orphan file cannot change the
     result. (sf_dir unused: the source IS the data.)"""
     import json as _json
+    import shutil
     import tempfile
     from pathlib import Path
 
     register_synth_source(spark)
-    sink_key = f"sink-{spark.sparkContext.applicationId}"
-    if sink_key not in _REGISTERED:
-        spark.dataSource.register(SyntheticJsonlSink)
-        _REGISTERED.add(sink_key)
-    out = Path(tempfile.mkdtemp(prefix="pysink_")) / "rows"
-    df = (
-        spark.read.format("synth_events")
-        .option("shards", SYNTH_SHARDS)
-        .option("rows_per_shard", SYNTH_ROWS_PER_SHARD)
-        .load()
-    )
-    df.write.format("synth_jsonl_sink").option("path", str(out)).mode("append").save()
-    manifest = _json.loads((out / "_MANIFEST").read_text())
-    back = spark.read.schema("row_id bigint, shard int, value bigint").json(
-        manifest["files"]
-    )
-    return (
-        back.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("row_id").alias("first_row_id"),
-            F.max("row_id").alias("last_row_id"),
-            F.sum("value").alias("sum_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
+    register_synth_sink(spark)
+    run_dir = Path(tempfile.mkdtemp(prefix="pysink_"))
+    try:
+        out = run_dir / "rows"
+        df = (
+            spark.read.format("synth_events")
+            .option("shards", SYNTH_SHARDS)
+            .option("rows_per_shard", SYNTH_ROWS_PER_SHARD)
+            .load()
         )
-        .orderBy("shard")
-    )
+        df.write.format("synth_jsonl_sink").option("path", str(out)).mode(
+            "append"
+        ).save()
+        manifest = _json.loads((out / "_MANIFEST").read_text())
+        back = spark.read.schema("row_id bigint, shard int, value bigint").json(
+            manifest["files"]
+        )
+        summary = _shard_summary(back)
+        # Materialize the 8-row summary NOW so the JSONL files can be
+        # deleted before returning — a lazy result would pin the tmp
+        # dir for the caller's lifetime and leak one dir per
+        # invocation (the sources/roundtrip.py lesson).
+        rows = summary.collect()
+        return spark.createDataFrame(rows, summary.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

@@ -16,16 +16,12 @@ from facebook_ad_library_data_pipeline_spark.sources.pysource import (
 
 
 def test_sink_manifest_excludes_orphans(spark, tmp_path):
-    register_synth_source(spark)
     from facebook_ad_library_data_pipeline_spark.sources.pysource import (
-        SyntheticJsonlSink,
-        _REGISTERED,
+        register_synth_sink,
     )
 
-    sink_key = f"sink-{spark.sparkContext.applicationId}"
-    if sink_key not in _REGISTERED:
-        spark.dataSource.register(SyntheticJsonlSink)
-        _REGISTERED.add(sink_key)
+    register_synth_source(spark)
+    register_synth_sink(spark)
     out = tmp_path / "rows"
     df = (
         spark.read.format("synth_events")
