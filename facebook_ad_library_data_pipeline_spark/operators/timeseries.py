@@ -199,3 +199,111 @@ def q_bool_string_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
         F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
     )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH marked AS (
+    SELECT event_id, user_id, ts, event_type, value,
+           last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attrib_ts,
+           last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attrib_type
+    FROM events
+)
+SELECT event_id, user_id, ts AS purchase_ts, value,
+       attrib_type, attrib_ts
+FROM marked
+WHERE event_type = 'purchase'
+"""
+
+
+@query("q_attribution_last_touch", oracle=_ATTRIBUTION_ORACLE, tags=("timeseries", "window"))
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the most
+    recent PRECEDING view or click by the same user (NULL when the
+    purchase is the user's first touchpoint). One windowed pass —
+    `last(..., ignorenulls)` over a rows-frame ending 1 PRECEDING — so
+    the plan is a single shuffle+sort on user_id with no join at all;
+    the funnel query above is the multi-step sibling, this is the
+    marketing-analytics primitive. Deterministic: the frame orders by
+    (ts, event_id), and per-user ts uniqueness is pinned by the
+    testdata-invariants test."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("attrib_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("attrib_type"),
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "value",
+        "attrib_type",
+        "attrib_ts",
+    )
+
+
+# orderkeys are contiguous in the testdata, so the gap detector runs
+# over a DETERMINISTICALLY thinned stream (drop keys ≡ 13 mod 97) —
+# the operator then must find exactly those holes.
+_GAPS_ORACLE = """
+WITH thinned AS (
+    SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 13
+),
+seq AS (
+    SELECT o_orderkey,
+           lead(o_orderkey) OVER (ORDER BY o_orderkey) AS next_key
+    FROM thinned
+)
+SELECT o_orderkey + 1 AS gap_start,
+       next_key - 1 AS gap_end,
+       next_key - o_orderkey - 1 AS n_missing
+FROM seq
+WHERE next_key - o_orderkey > 1
+ORDER BY gap_start
+"""
+
+
+@query("q_sequence_gaps", oracle=_GAPS_ORACLE, tags=("timeseries", "window", "quality"))
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection (missing-id audit): lead() over the key
+    order surfaces every hole as (gap_start, gap_end, n_missing) —
+    the standard completeness check for ingest pipelines with
+    monotonically assigned ids. A single global-ordered window: at
+    100 TB you run it per partition-day (gaps cannot span the
+    partitioning of an append-only id space) or range-partition the
+    key, keeping the same plan shape without a single-reducer sort."""
+    o = load_table(spark, sf_dir, "orders")
+    thinned = o.filter(F.col("o_orderkey") % 97 != 13).select("o_orderkey")
+    w = Window.orderBy("o_orderkey")
+    seq = thinned.select(
+        "o_orderkey", F.lead("o_orderkey").over(w).alias("next_key")
+    )
+    return (
+        seq.filter(F.col("next_key") - F.col("o_orderkey") > 1)
+        .select(
+            (F.col("o_orderkey") + 1).alias("gap_start"),
+            (F.col("next_key") - 1).alias("gap_end"),
+            (F.col("next_key") - F.col("o_orderkey") - 1).alias("n_missing"),
+        )
+        .orderBy("gap_start")
+    )
