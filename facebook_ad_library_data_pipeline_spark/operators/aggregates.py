@@ -341,3 +341,51 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+HIST_BUCKETS = 20
+
+
+_HISTOGRAM_ORACLE = f"""
+WITH bounds AS (
+    SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+),
+bucketed AS (
+    SELECT least(CAST(floor((o_totalprice - b.lo) * {HIST_BUCKETS}
+                            / (b.hi - b.lo)) AS BIGINT),
+                 {HIST_BUCKETS - 1}) AS bucket
+    FROM orders, bounds b
+)
+SELECT bucket, count(*) AS n_orders
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("q_histogram_prices", oracle=_HISTOGRAM_ORACLE, tags=("agg", "histogram"))
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals in 20 buckets — the
+    profiling primitive behind every dashboard distribution plot.
+    Bucket index is pure floor arithmetic over (min, max) — identical
+    doubles on both engines (the 1-row bounds aggregate broadcasts;
+    the max value clamps into the last bucket). Two passes at most:
+    bounds + bucketed count, both map-side-combined aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo")) * HIST_BUCKETS
+            / (F.col("hi") - F.col("lo"))
+        ).cast("long"),
+        F.lit(HIST_BUCKETS - 1),
+    )
+    return (
+        o.join(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("bucket")
+    )

@@ -125,6 +125,7 @@ _PRIORITY = [
     "q_python_datasink_roundtrip",  # custom Python sink, commit-protocol manifest
     "q_attribution_last_touch",  # windowed last-touch credit, no joins
     "q_sequence_gaps",           # missing-id audit via lead()
+    "q_histogram_prices",        # equi-width histogram, floor arithmetic
     # re-prove queries whose implementation changed this round (the
     # last three also newly oracle-backed):
     "q_top_terms",         # TF-DF join broadcast -> shuffle_hash
