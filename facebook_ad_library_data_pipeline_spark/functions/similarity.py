@@ -259,3 +259,117 @@ def q_ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     float OPERATIONS, not from avoiding floats)."""
     emb = _emb_double(spark, sf_dir).withColumn("bucket", bucket_col(F.col("emb")))
     return emb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+# ---------------------------------------------------------------------------
+# Full-corpus embedding-cosine near-dup pairs (banded hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+NEARDUP_BANDS = 2  # bands of 8 sign-bits each; planes 0..7 and 8..15
+NEARDUP_COS = 0.40
+
+
+def band_col(emb: Column, band: int) -> Column:
+    """8-bit hyperplane signature for one band: sign bits of planes
+    band*8 .. band*8+7 (same LCG plane family as bucket_col, which is
+    exactly band 0)."""
+    sig = F.lit(0)
+    for p in range(8):
+        dot = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(_plane_component(band * 8 + p, d)) for d in range(64)]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return sig
+
+
+def _band_sql(emb_expr: str, band: int) -> str:
+    """DuckDB twin of band_col — same constants, same summation order."""
+    dots = []
+    for p in range(8):
+        terms = " + ".join(
+            f"{emb_expr}[{d + 1}] * {_plane_component(band * 8 + p, d)!r}" for d in range(64)
+        )
+        dots.append(f"CASE WHEN ({terms}) >= 0 THEN {2**p} ELSE 0 END")
+    return "(" + " + ".join(dots) + ")"
+
+
+def _neardup_lsh_oracle() -> str:
+    bands_union = " UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band_idx, {_band_sql('v', b)} AS band_val FROM e"
+        for b in range(NEARDUP_BANDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bands AS ({bands_union}),
+cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND a.vec_id < b.vec_id)
+SELECT c.v1, c.v2,
+       round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+FROM cand c JOIN e x ON x.vec_id = c.v1 JOIN e y ON y.vec_id = c.v2
+WHERE list_cosine_similarity(x.v, y.v) >= {NEARDUP_COS}
+"""
+
+
+@query(
+    "q_embedding_neardup_lsh",
+    oracle=_neardup_lsh_oracle(),
+    tags=("llm", "dedup", "similarity"),
+)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the WHOLE corpus — the
+    semantic-dedup counterpart of MinHash (same banded-LSH shape as
+    q_minhash_lsh_pairs, but the signature is hyperplane sign bits, so
+    bucket collision probability tracks cosine, not Jaccard).
+    Candidates = pairs agreeing on ≥1 of {NEARDUP_BANDS} 8-bit bands;
+    exact cosine ≥ {NEARDUP_COS} filter on candidates only. Never
+    all-pairs: both banded sides shuffle on (band_idx, band_val) and
+    only bucket-mates meet. Oracle-backed end-to-end — the LCG planes
+    make every bucket, hence the candidate set, SQL-replayable.
+
+    Scale knob: 8 sign bits/band ⇒ 256 buckets/band, right-sized for
+    the test corpora (sf0.1 ≈ 2k vectors ⇒ ~8 rows/bucket). At 100 TB
+    you widen bands (16-20 planes) so expected occupancy stays O(rows/
+    buckets) constant — same move MinHash banding makes — and recall
+    for true near-dups (cos ≥ 0.95) stays high because each extra
+    plane only flips with probability θ/π ≈ 0.1. Planted-dup recall is
+    asserted in tests/test_similarity_neardup.py."""
+    emb = _emb_double(spark, sf_dir)
+    banded = emb.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        band_col(F.col("emb"), b).alias("band_val"),
+                    )
+                    for b in range(NEARDUP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "emb", "bb.band_idx", "bb.band_val")
+    left = banded.select(
+        F.col("vec_id").alias("v1"), F.col("emb").alias("e1"), "band_idx", "band_val"
+    )
+    right = banded.select(
+        F.col("vec_id").alias("v2"), F.col("emb").alias("e2"), "band_idx", "band_val"
+    )
+    cand = (
+        left.join(right.hint("shuffle_hash"), ["band_idx", "band_val"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", "e1", "e2")
+        .dropDuplicates(["v1", "v2"])
+    )
+    cos = cosine(F.col("e1"), F.col("e2"))
+    return cand.filter(cos >= NEARDUP_COS).select(
+        "v1", "v2", F.round(cos, 6).alias("cos_sim")
+    )

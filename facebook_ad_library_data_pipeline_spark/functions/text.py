@@ -325,3 +325,53 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_TERMS_K)
         .orderBy("source", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy quality score
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
+ent AS (SELECT doc_id,
+               sum(c) AS n_tok,
+               count(*) AS n_distinct,
+               round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+        FROM cnt GROUP BY doc_id)
+SELECT doc_id, n_tok, n_distinct, entropy FROM ent
+"""
+
+
+@query("q_token_entropy", oracle=_ENTROPY_ORACLE, tags=("llm", "text", "quality"))
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy — the diversity signal that
+    separates natural prose from boilerplate/spam (low entropy = a few
+    tokens dominate; a repetition-quality gate in the same family as
+    Gopher's duplicate-line fraction). H = ln(n) - Σ c·ln(c) / n over
+    per-token counts c, computed in that algebraic form so both engines
+    sum the SAME finite set of c·ln(c) terms — addition-order FP drift
+    is ~1e-13 against a round-to-6 output, far from any boundary.
+
+    Plan: explode → one shuffle on (doc_id, tok) for the count, then a
+    map-side-combinable rollup back to doc_id. At 100 TB both
+    aggregations partial-aggregate before the exchange, and the shuffle
+    key carries the token only once per distinct (doc, token) pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        fan_out(docs)
+        .select("doc_id", F.explode(tokens_col()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(
+                F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+            ).alias("entropy"),
+        )
+        .select("doc_id", "n_tok", "n_distinct", "entropy")
+    )

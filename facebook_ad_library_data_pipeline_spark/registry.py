@@ -64,6 +64,8 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.functions.ir",
     "facebook_ad_library_data_pipeline_spark.operators.fuzzy",
     "facebook_ad_library_data_pipeline_spark.operators.profile",
+    "facebook_ad_library_data_pipeline_spark.operators.splits",
+    "facebook_ad_library_data_pipeline_spark.functions.redact",
     "facebook_ad_library_data_pipeline_spark.streaming.events",
     "facebook_ad_library_data_pipeline_spark.streaming.joins",
     "facebook_ad_library_data_pipeline_spark.streaming.stateful",
@@ -126,6 +128,12 @@ _PRIORITY = [
     "q_attribution_last_touch",  # windowed last-touch credit, no joins
     "q_sequence_gaps",           # missing-id audit via lead()
     "q_histogram_prices",        # equi-width histogram, floor arithmetic
+    # new round-6 operators (third batch):
+    "q_embedding_neardup_lsh",  # banded hyperplane LSH over the whole corpus
+    "q_token_entropy",          # per-doc Shannon entropy quality signal
+    "q_kfold_assign",           # portable-hash k-fold census
+    "q_group_reservoir",        # deterministic per-group fixed-size sample
+    "q_pii_redact",             # native-regexp identifier scrubbing audit
     # re-prove queries whose implementation changed this round (the
     # last three also newly oracle-backed):
     "q_top_terms",         # TF-DF join broadcast -> shuffle_hash

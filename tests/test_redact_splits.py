@@ -1,0 +1,115 @@
+"""Unit tests for the redaction rules, split operators, and the
+embedding near-dup LSH — the fixture-level checks the registry sweep
+can't express (the sweep only proves oracle parity on real tables)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from facebook_ad_library_data_pipeline_spark.functions.redact import redact
+from facebook_ad_library_data_pipeline_spark.functions.similarity import (
+    NEARDUP_COS,
+    band_col,
+    cosine,
+)
+from facebook_ad_library_data_pipeline_spark.operators.splits import (
+    K_FOLDS,
+    RESERVOIR_K,
+    kfold_col,
+)
+
+
+def test_redact_rules_fixture(spark):
+    """Every rule fires on a synthetic PII corpus and the scrubbed text
+    contains none of the originals."""
+    rows = [
+        (1, "contact alice.smith+x@example.co.uk or bob@mail.org today"),
+        (2, "call 25-989-741-2988 or 212-555-0100 x"),  # 2nd: not 2-3-3/4-4 shape
+        (3, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (4, "order #1234567 for Customer#000000042"),
+        (5, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in redact(df).collect()}
+
+    assert out[1]["email_hits"] == 2
+    assert "[EMAIL]" in out[1]["text"] and "@" not in out[1]["text"]
+    assert out[2]["phone_hits"] == 1
+    assert "[PHONE]" in out[2]["text"] and "25-989-741-2988" not in out[2]["text"]
+    assert out[3]["ipv4_hits"] == 2
+    assert "192.168.0.1" not in out[3]["text"]
+    assert out[4]["account_id_hits"] == 2
+    assert out[4]["text"] == "order #[ID] for Customer#[ID]"
+    assert out[5]["text"] == rows[4][1]
+    assert all(out[5][f"{n}_hits"] == 0 for n in ("email", "phone", "ipv4", "account_id"))
+
+
+def test_kfold_total_and_balance(spark, sf_dir):
+    """Folds partition the corpus (no doc lost or double-assigned) and
+    the Knuth hash spreads them within 2x of perfectly even."""
+    from facebook_ad_library_data_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    sizes = (
+        docs.select(kfold_col("doc_id").alias("fold"))
+        .groupBy("fold")
+        .count()
+        .collect()
+    )
+    assert sorted(r["fold"] for r in sizes) == list(range(K_FOLDS))
+    assert sum(r["count"] for r in sizes) == n
+    for r in sizes:
+        assert n / K_FOLDS / 2 < r["count"] < n / K_FOLDS * 2
+
+
+def test_group_reservoir_is_stable_subset(spark, sf_dir):
+    """Exactly RESERVOIR_K rows per source (corpus has > K docs per
+    source) and two runs pick the identical set — determinism is the
+    whole point vs RNG reservoirs."""
+    from facebook_ad_library_data_pipeline_spark.operators.splits import q_group_reservoir
+
+    a = {(r["source"], r["doc_id"]) for r in q_group_reservoir(spark, sf_dir).collect()}
+    b = {(r["source"], r["doc_id"]) for r in q_group_reservoir(spark, sf_dir).collect()}
+    assert a == b
+    per_src = {}
+    for s, _ in a:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert all(v == RESERVOIR_K for v in per_src.values())
+
+
+def test_embedding_neardup_planted_dups(spark):
+    """Planted exact and near-exact duplicates are always recovered:
+    an exact dup agrees on every hyperplane sign, so it shares both
+    bands with certainty; a tiny perturbation leaves all 16 signs
+    unchanged for these fixtures (verified via band_col directly)."""
+    base = [0.5 if d % 3 else -0.25 for d in range(64)]
+    near = list(base)
+    near[0] += 1e-6  # cannot flip any plane sign at this magnitude
+    far = [(-1.0) ** d * (d + 1) / 64 for d in range(64)]
+    rows = [(0, base), (1, list(base)), (2, near), (3, far)]
+    df = spark.createDataFrame(rows, ["vec_id", "emb"]).select(
+        "vec_id", F.col("emb").cast("array<double>").alias("emb")
+    )
+
+    bands = df.select(
+        "vec_id", band_col(F.col("emb"), 0).alias("b0"), band_col(F.col("emb"), 1).alias("b1")
+    ).collect()
+    by_id = {r["vec_id"]: (r["b0"], r["b1"]) for r in bands}
+    assert by_id[0] == by_id[1] == by_id[2]
+
+    # The pair query shape on the fixture: banded self-join + cosine.
+    left = df.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"),
+                     band_col(F.col("emb"), 0).alias("band_val"))
+    right = df.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
+                      band_col(F.col("emb"), 0).alias("band_val"))
+    pairs = (
+        left.join(right, "band_val")
+        .filter(F.col("v1") < F.col("v2"))
+        .filter(cosine(F.col("e1"), F.col("e2")) >= NEARDUP_COS)
+        .select("v1", "v2")
+        .collect()
+    )
+    got = {(r["v1"], r["v2"]) for r in pairs}
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    assert not any(3 in p for p in got)
