@@ -66,7 +66,8 @@ def redact(df: DataFrame, text_col: str = "text") -> DataFrame:
 _REDACT_ORACLE = r"""
 SELECT c_mktsegment,
        count(*) AS n_rows,
-       sum(CASE WHEN regexp_matches(c_name, '#\d{6,}') THEN 1 ELSE 0 END) AS rows_redacted,
+       CAST(sum(CASE WHEN regexp_matches(c_name, '#\d{6,}') THEN 1 ELSE 0 END)
+            AS BIGINT) AS rows_redacted,
        min(regexp_replace(c_name, '#\d{6,}', '#[ID]', 'g')) AS sample_redacted
 FROM customer
 GROUP BY c_mktsegment

@@ -340,7 +340,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets) constant — same move MinHash banding makes — and recall
     for true near-dups (cos ≥ 0.95) stays high because each extra
     plane only flips with probability θ/π ≈ 0.1. Planted-dup recall is
-    asserted in tests/test_similarity_neardup.py."""
+    asserted in tests/test_redact_splits.py."""
     emb = _emb_double(spark, sf_dir)
     banded = emb.select(
         "vec_id",

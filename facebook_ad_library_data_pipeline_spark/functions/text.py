@@ -335,7 +335,7 @@ _ENTROPY_ORACLE = """
 WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
 ent AS (SELECT doc_id,
-               sum(c) AS n_tok,
+               CAST(sum(c) AS BIGINT) AS n_tok,
                count(*) AS n_distinct,
                round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
         FROM cnt GROUP BY doc_id)

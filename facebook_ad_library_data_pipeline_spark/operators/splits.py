@@ -55,7 +55,7 @@ _KFOLD_ORACLE = f"""
 SELECT (((doc_id + {_FOLD_SALT}) * {_FOLD_KNUTH}) % {_FOLD_MOD32}) % {K_FOLDS} AS fold,
        source,
        count(*) AS n_docs,
-       sum(n_chars) AS sum_chars
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY 1, 2
 """

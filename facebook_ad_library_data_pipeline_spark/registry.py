@@ -134,6 +134,11 @@ _PRIORITY = [
     "q_kfold_assign",           # portable-hash k-fold census
     "q_group_reservoir",        # deterministic per-group fixed-size sample
     "q_pii_redact",             # native-regexp identifier scrubbing audit
+    # round-6 streaming outer-join matrix + bounded-state dedup:
+    "q_stream_left_outer_join",   # watermark-evicted null padding, SQL-replayed
+    "q_stream_full_outer_join",   # both sides' eviction schedules pinned
+    "q_left_interval_join",       # batch twin of the left-outer stream
+    "q_stream_dedup_watermark",   # dropDuplicatesWithinWatermark eviction path
     # re-prove queries whose implementation changed this round (the
     # last three also newly oracle-backed):
     "q_top_terms",         # TF-DF join broadcast -> shuffle_hash

@@ -309,3 +309,20 @@ def q_stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_counts(events)
     run_stream_to_memory(agg, "stream_tumbling_append_out", output_mode="append")
     return spark.table("stream_tumbling_append_out")
+
+
+@query("q_stream_dedup_watermark", oracle=_DEDUP_ORACLE, tags=("streaming", "dedup"))
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark — the bounded-state dedup variant:
+    unlike dropDuplicates (whose key state lives forever), each key's
+    state is dropped once the watermark passes its event time + delay,
+    so state is O(keys per watermark window), the only dedup a 100
+    TB/day stream can afford. Every event_id in the testdata is unique
+    (pinned by tests/test_testdata_invariants.py), so both variants
+    emit every event exactly once and share the distinct-count oracle;
+    the semantic difference is purely the eviction schedule."""
+    events = load_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = events.dropDuplicatesWithinWatermark(["event_id"])
+    counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    run_stream_to_memory(counted, "stream_dedup_wm_out")
+    return spark.table("stream_dedup_wm_out")

@@ -35,6 +35,7 @@ QUERIES = (
     "q_dup_span_docs",
     "q_neardup_components",
     "q_fuzzy_join_edit1",
+    "q_embedding_neardup_lsh",
 )
 REP = 10
 REP_OFFSET = 10_000_000
@@ -61,7 +62,15 @@ def replicate_corpus(spark, sf_dir: str) -> str:
     distance-0 replica pairs per name are candidates the levenshtein
     verify must reject)."""
     out = tempfile.mkdtemp(prefix="scale10x_")
-    for table, key in (("documents", "doc_id"), ("customer", "c_custkey")):
+    # Embedding replicas keep their VECTOR (only vec_id is offset):
+    # every replica pair is an exact cosine-1 near-dup landing in the
+    # same bucket of BOTH bands — the adversarial hot-bucket case for
+    # the banded hyperplane join (true pairs grow ~45x rows).
+    for table, key in (
+        ("documents", "doc_id"),
+        ("customer", "c_custkey"),
+        ("embeddings", "vec_id"),
+    ):
         df = load_table(spark, sf_dir, table)
         cols = [c for c in df.columns if c != key]
         replicated = df.select(
@@ -85,14 +94,16 @@ def main():
     spark = get_spark("scale-evidence")
     registry = load_all()
     n_base = load_table(spark, sf_dir, "documents").count()
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
     rep_dir = replicate_corpus(spark, sf_dir)
 
     print("| query | corpus | docs | output rows | shuffle-write records | wall s |")
     print("|---|---|---|---|---|---|")
     rows = {}
     for name in QUERIES:
-        for label, d, n in ((f"{os.path.basename(sf_dir)}", sf_dir, n_base),
-                            (f"{REP}x replicated", rep_dir, n_base * REP)):
+        base_n = n_emb if name == "q_embedding_neardup_lsh" else n_base
+        for label, d, n in ((f"{os.path.basename(sf_dir)}", sf_dir, base_n),
+                            (f"{REP}x replicated", rep_dir, base_n * REP)):
             n_out, shuf, dt = run(spark, registry, name, d)
             rows[(name, label)] = (n_out, shuf, dt)
             print(f"| {name} | {label} | {n} | {n_out} | {shuf} | {dt:.1f} |")

@@ -183,12 +183,16 @@ def test_funnel_single_key_partitioning(spark, sf_dir):
 
 
 def test_pixel_stats_is_pure_map(spark, sf_dir):
-    # encode->decode->stats is embarrassingly parallel: no exchange at
-    # all beyond the scan (mapInPandas rides the scan partitioning).
+    # encode->decode->stats is embarrassingly parallel: the only
+    # allowed exchange is fan_out's ROUND-ROBIN rebalance of the
+    # narrow single-split local scan (a no-op at real scale) — never a
+    # keyed shuffle, which would mean the decode stopped being a map.
     from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
 
-    df = REGISTRY["q_multimodal_pixel_stats"].fn(spark, sf_dir)
-    assert "Exchange" not in formatted_plan(df)
+    for name in ("q_multimodal_pixel_stats", "q_png_pixel_stats", "q_jpeg_pixel_stats"):
+        plan = formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "hashpartitioning" not in plan.lower(), name
+        assert "rangepartitioning" not in plan.lower(), name
 
 
 def test_bucketed_join_no_exchange_on_key(spark, sf_dir):
@@ -231,3 +235,37 @@ def test_fuzzy_variant_join_not_broadcast(spark, sf_dir):
     df = REGISTRY["q_fuzzy_join_edit1"].fn(spark, sf_dir)
     assert has_node(df, "ShuffledHashJoin")
     assert not has_node(df, "BroadcastHashJoin")
+
+
+def test_embedding_neardup_band_join_not_broadcast(spark, sf_dir):
+    # the banded corpus self-join must shuffle on (band_idx, band_val)
+    # — broadcasting either exploded side would be the q_top_terms
+    # class of scale killer (corpus-sized build side).
+    df = REGISTRY["q_embedding_neardup_lsh"].fn(spark, sf_dir)
+    assert has_node(df, "ShuffledHashJoin")
+    assert not has_node(df, "BroadcastHashJoin")
+
+
+def test_pii_redact_stays_jvm_side(spark, sf_dir):
+    # the regexp pipeline must be pure native expressions: no Python
+    # evaluation node anywhere, and the scan prunes to the 2 used
+    # columns of customer's 5.
+    df = REGISTRY["q_pii_redact"].fn(spark, sf_dir)
+    assert not has_node(df, "ArrowEvalPython")
+    assert not has_node(df, "BatchEvalPython")
+    assert not has_node(df, "MapInPandas")
+    assert scan_column_counts(df) == [2]
+
+
+def test_kfold_assign_no_pre_agg_shuffle(spark, sf_dir):
+    # fold is a scan-side projection: exactly ONE exchange (the rollup
+    # itself), never a repartition before it.
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    import re
+
+    df = REGISTRY["q_kfold_assign"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # formatted mode mentions each node twice (tree + detail); count
+    # distinct exchange NODES via the numbered detail entries.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
