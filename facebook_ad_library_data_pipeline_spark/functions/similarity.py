@@ -363,13 +363,16 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = banded.select(
         F.col("vec_id").alias("v2"), F.col("emb").alias("e2"), "band_idx", "band_val"
     )
-    cand = (
+    cos = cosine(F.col("e1"), F.col("e2"))
+    # Cosine BEFORE distinct: a pair colliding in both bands is scored
+    # twice (bounded 2x CPU), but the dedup shuffle then carries only
+    # the tiny >=threshold survivor set of (v1, v2, cos) triples — not
+    # every candidate with two 64-double payloads attached (~1 KB/row,
+    # which would make the distinct the dominant exchange at scale).
+    return (
         left.join(right.hint("shuffle_hash"), ["band_idx", "band_val"])
         .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", "e1", "e2")
+        .filter(cos >= NEARDUP_COS)
+        .select("v1", "v2", F.round(cos, 6).alias("cos_sim"))
         .dropDuplicates(["v1", "v2"])
-    )
-    cos = cosine(F.col("e1"), F.col("e2"))
-    return cand.filter(cos >= NEARDUP_COS).select(
-        "v1", "v2", F.round(cos, 6).alias("cos_sim")
     )

@@ -307,3 +307,93 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+ZSCORE_WINDOW = 49  # trailing rows per (event_type) stream, current excluded
+ZSCORE_THRESHOLD = 3.0
+
+# Cross-engine determinism: the rolling sum and sum-of-squares are
+# EXACT decimals (value cast to DECIMAL(18,6); 18,6 × 18,6 products
+# carry scale 12 within precision 38 — no rounding in either engine),
+# so both engines convert the IDENTICAL rationals to double and then
+# run the IDENTICAL correctly-rounded IEEE ops (÷, ×, −, sqrt): z is
+# bit-equal, and the |z| > 3 cut can never flip between engines.
+_ZSCORE_ORACLE = f"""
+WITH w AS (
+    SELECT event_id, event_type, ts, value,
+           count(*)           OVER frame AS cnt,
+           sum(CAST(value AS DECIMAL(18,6)))  OVER frame AS s,
+           sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                              OVER frame AS sq
+    FROM events
+    WINDOW frame AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING)
+),
+z AS (
+    SELECT event_id, event_type, ts, value,
+           (value - CAST(s AS DOUBLE) / {ZSCORE_WINDOW}) /
+           sqrt(({ZSCORE_WINDOW} * CAST(sq AS DOUBLE) -
+                 CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+                ({ZSCORE_WINDOW} * {ZSCORE_WINDOW - 1})) AS zscore
+    FROM w
+    WHERE cnt = {ZSCORE_WINDOW}
+      AND ({ZSCORE_WINDOW} * CAST(sq AS DOUBLE) -
+           CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) > 0
+)
+SELECT event_id, event_type, ts, value, round(zscore, 6) AS zscore
+FROM z
+WHERE abs(zscore) > {ZSCORE_THRESHOLD}
+"""
+
+
+@query("q_rolling_zscore", oracle=_ZSCORE_ORACLE, tags=("timeseries", "window", "quality"))
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    trailing {ZSCORE_WINDOW} events of its type (current row excluded —
+    an outlier must not contaminate its own baseline), emitting the
+    |z| > {ZSCORE_THRESHOLD} anomalies. The monitoring primitive for a
+    pipeline's value streams. One shuffle on event_type; the frame is
+    incremental per partition. At 100 TB the stream key would be
+    (event_type, day-bucket) to bound partition width — the frame
+    logic is unchanged. Determinism note above the oracle: decimal
+    moments → identical doubles → identical IEEE z in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-ZSCORE_WINDOW, -1)
+    )
+    dec = F.col("value").cast(DECIMAL_T)
+    w = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(frame).alias("cnt"),
+        F.sum(dec).over(frame).alias("s"),
+        F.sum(dec * dec).over(frame).alias("sq"),
+    )
+    n = F.lit(float(ZSCORE_WINDOW))
+    s_d = F.col("s").cast("double")
+    sq_d = F.col("sq").cast("double")
+    var_num = n * sq_d - s_d * s_d
+    z = (F.col("value") - s_d / n) / F.sqrt(var_num / (n * F.lit(float(ZSCORE_WINDOW - 1))))
+    # Filter on the UNROUNDED z (matching the oracle, whose WHERE sees
+    # the subquery column, not the rounded alias), then round for
+    # display — a z at 3.0000004 must not round itself out of the cut.
+    return (
+        w.filter((F.col("cnt") == ZSCORE_WINDOW) & (var_num > 0))
+        .withColumn("z_raw", z)
+        .filter(F.abs(F.col("z_raw")) > ZSCORE_THRESHOLD)
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.round(F.col("z_raw"), 6).alias("zscore"),
+        )
+    )

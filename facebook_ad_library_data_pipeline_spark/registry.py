@@ -134,6 +134,7 @@ _PRIORITY = [
     "q_kfold_assign",           # portable-hash k-fold census
     "q_group_reservoir",        # deterministic per-group fixed-size sample
     "q_pii_redact",             # native-regexp identifier scrubbing audit
+    "q_rolling_zscore",         # decimal-exact rolling anomaly detection
     # round-6 streaming outer-join matrix + bounded-state dedup:
     "q_stream_left_outer_join",   # watermark-evicted null padding, SQL-replayed
     "q_stream_full_outer_join",   # both sides' eviction schedules pinned
