@@ -65,6 +65,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.operators.fuzzy",
     "facebook_ad_library_data_pipeline_spark.operators.profile",
     "facebook_ad_library_data_pipeline_spark.operators.splits",
+    "facebook_ad_library_data_pipeline_spark.operators.pagerank",
     "facebook_ad_library_data_pipeline_spark.functions.redact",
     "facebook_ad_library_data_pipeline_spark.streaming.events",
     "facebook_ad_library_data_pipeline_spark.streaming.joins",
@@ -135,6 +136,7 @@ _PRIORITY = [
     "q_group_reservoir",        # deterministic per-group fixed-size sample
     "q_pii_redact",             # native-regexp identifier scrubbing audit
     "q_rolling_zscore",         # decimal-exact rolling anomaly detection
+    "q_pagerank_neardup",       # iterative weighted mass propagation, unrolled-CTE oracle
     # round-6 streaming outer-join matrix + bounded-state dedup:
     "q_stream_left_outer_join",   # watermark-evicted null padding, SQL-replayed
     "q_stream_full_outer_join",   # both sides' eviction schedules pinned

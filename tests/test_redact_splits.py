@@ -113,3 +113,16 @@ def test_embedding_neardup_planted_dups(spark):
     got = {(r["v1"], r["v2"]) for r in pairs}
     assert {(0, 1), (0, 2), (1, 2)} <= got
     assert not any(3 in p for p in got)
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """On the symmetric near-dup graph (deg >= 1 everywhere, so no
+    dangling mass) total PageRank mass is conserved: sum of ranks = 1
+    up to FP dust. Also: every rank positive and bounded by 1."""
+    from facebook_ad_library_data_pipeline_spark.operators.pagerank import q_pagerank_neardup
+
+    rows = q_pagerank_neardup(spark, sf_dir).collect()
+    assert rows, "near-dup graph unexpectedly empty"
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-3, total
+    assert all(0 < r["rank"] < 1 for r in rows)
