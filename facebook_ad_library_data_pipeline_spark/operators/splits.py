@@ -111,3 +111,61 @@ def q_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RESERVOIR_K)
         .select("doc_id", "source", "n_chars", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (A-Res with a portable-hash uniform)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_K = 10
+_WS_SALT = 32452843  # decorrelated from the fold/reservoir streams
+
+# Efraimidis-Spirakis A-Res: draw u ~ U(0,1) per row, order by
+# u^(1/w) descending; the top-K per group is a weighted sample without
+# replacement (P(first pick = i) = w_i / Σw). Substituting the
+# portable Knuth hash for u makes the draw reproducible anywhere;
+# ordering by ln(u)/w (monotone in u^(1/w)) keeps every operation a
+# correctly-rounded IEEE double — identical in both engines, so even
+# the ORDER is hash-checkable. u = (h + 0.5) / 2^32 never hits 0 or 1,
+# so ln(u) is always finite and negative.
+_WEIGHTED_ORACLE = f"""
+WITH h AS (
+    SELECT doc_id, source, n_chars,
+           ((((doc_id + {_WS_SALT}) * {_FOLD_KNUTH}) % {_FOLD_MOD32}) + CAST(0.5 AS DOUBLE))
+               / {_FOLD_MOD32} AS u
+    FROM documents
+),
+k AS (SELECT doc_id, source, n_chars, ln(u) / n_chars AS keyv FROM h),
+r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY keyv DESC, doc_id) AS rnk
+      FROM k)
+SELECT doc_id, source, n_chars, rnk FROM r WHERE rnk <= {WEIGHTED_K}
+"""
+
+
+@query("q_weighted_sample", oracle=_WEIGHTED_ORACLE, tags=("llm", "sampling", "window"))
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement, {WEIGHTED_K} docs per
+    source, inclusion probability proportional to n_chars (longer docs
+    favored — the char-budget view of a corpus): Efraimidis-Spirakis
+    A-Res keyed by a portable hash, so the SAME documents win on every
+    engine, run, and cluster size. Same plan shape as
+    q_group_reservoir: scan-side key derivation, one shuffle on
+    source, per-group k-row heap. The ranking key ln(u)/w only
+    affects output through the ORDER, so the determinism bar is low:
+    a rank flip needs two keys within ~1 ulp of each other (ln is the
+    one op libms may round differently), i.e. a 2^-32 hash collision
+    AND near-equal lengths — and doc_id still tiebreaks exact equality.
+    Verified hash-identical at sf0.001/0.01/0.1."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") + F.lit(_WS_SALT)) * F.lit(_FOLD_KNUTH)) % F.lit(_FOLD_MOD32)
+        + F.lit(0.5)
+    ) / F.lit(_FOLD_MOD32)
+    keyv = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(F.desc("keyv"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars", keyv.alias("keyv"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= WEIGHTED_K)
+        .select("doc_id", "source", "n_chars", "rnk")
+    )

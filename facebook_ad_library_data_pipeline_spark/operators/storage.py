@@ -245,3 +245,89 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+# ----------------------------------------------- dynamic partition pruning
+
+_DPP_TIERS = {"purchase": "gold", "click": "gold", "view": "bronze",
+              "signup": "bronze", "refund": "bronze"}
+
+
+def tier_dim_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Tiny (event_type, tier) dim as a parquet table — DPP needs a
+    runtime build side; an in-memory LocalRelation can constant-fold
+    away the very subquery under test."""
+    key = (spark.sparkContext.applicationId, sf_dir, "tier_dim")
+    out = _PART_CACHE.get(key)
+    if out is None:
+        out = str(Path(tempfile.gettempdir()) / "spark_graft_part" / "tier_dim")
+        if not Path(out, "_SUCCESS").exists():
+            spark.createDataFrame(
+                sorted(_DPP_TIERS.items()), ["event_type", "tier"]
+            ).coalesce(1).write.mode("overwrite").parquet(out)
+        _PART_CACHE[key] = out
+    return out
+
+
+_DPP_ORACLE = f"""
+WITH dim(event_type, tier) AS (VALUES {", ".join(f"('{k}', '{v}')" for k, v in sorted(_DPP_TIERS.items()))})
+SELECT e.event_type,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events e JOIN dim USING (event_type)
+WHERE dim.tier = 'gold'
+GROUP BY e.event_type
+"""
+
+
+@query("q_dynamic_partition_pruning", oracle=_DPP_ORACLE, tags=("scan", "storage", "prune", "join"))
+def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is partitioned by
+    event_type, the dim filter (tier = 'gold') is NOT expressible as a
+    static partition predicate — Catalyst injects the broadcast's key
+    set as a runtime partition filter (dynamicpruningexpression in the
+    plan, asserted in tests/test_plans.py), so the fact scan reads only
+    the gold partitions' directories. THE mechanism that makes
+    fact-to-dim star joins read 2 of 10,000 date partitions at 100 TB."""
+    events = spark.read.parquet(partitioned_events_dir(spark, sf_dir))
+    dim = spark.read.parquet(tier_dim_dir(spark, sf_dir))
+    return (
+        events.join(F.broadcast(dim.filter(F.col("tier") == "gold")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+# ------------------------------------------------------- bucket pruning
+
+LOOKUP_CUSTKEY = 42
+
+
+_BUCKET_PRUNE_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_custkey = {LOOKUP_CUSTKEY}
+"""
+
+
+@query("q_bucket_pruned_lookup", oracle=_BUCKET_PRUNE_ORACLE, tags=("scan", "storage", "bucketing", "prune"))
+def q_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on the bucket key of the bucketed orders table:
+    Spark prunes the scan to the ONE bucket that can hold the key
+    (SelectedBucketsCount: 1 out of {N_BUCKETS}, plan-asserted) — the
+    needle-in-100-TB access path that bucketing buys beyond
+    shuffle-free joins: O(data/buckets) read for O(1) keys."""
+    # The planner auto-disables bucketed scans it sees no JOIN benefit
+    # for ("Bucketed: false (disabled by query planner)"), which also
+    # forfeits bucket pruning; turning the auto-disable off makes every
+    # bucketed read bucket-aware (harmless for the join query — its
+    # scan is bucketed either way).
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    o_name, _ = bucketed_tables(spark, sf_dir)
+    return (
+        spark.table(o_name)
+        .filter(F.col("o_custkey") == LOOKUP_CUSTKEY)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )

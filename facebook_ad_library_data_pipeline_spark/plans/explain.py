@@ -35,3 +35,9 @@ def has_node(df: DataFrame, node: str) -> bool:
 def scan_column_counts(df: DataFrame) -> list[int]:
     """Number of columns each parquet scan actually reads."""
     return [s.count(":") for s in read_schemas(df)]
+
+
+def simple_plan(df: DataFrame) -> str:
+    """queryExecution().simpleString() — carries scan details
+    (SelectedBucketsCount, Bucketed:) that formatted mode elides."""
+    return df._jdf.queryExecution().simpleString()

@@ -137,6 +137,9 @@ _PRIORITY = [
     "q_pii_redact",             # native-regexp identifier scrubbing audit
     "q_rolling_zscore",         # decimal-exact rolling anomaly detection
     "q_pagerank_neardup",       # iterative weighted mass propagation, unrolled-CTE oracle
+    "q_weighted_sample",        # A-Res weighted sampling by portable hash
+    "q_dynamic_partition_pruning",  # runtime star-join partition filter
+    "q_bucket_pruned_lookup",       # 1-of-N bucket point lookup
     # round-6 streaming outer-join matrix + bounded-state dedup:
     "q_stream_left_outer_join",   # watermark-evicted null padding, SQL-replayed
     "q_stream_full_outer_join",   # both sides' eviction schedules pinned

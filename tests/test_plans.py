@@ -269,3 +269,20 @@ def test_kfold_assign_no_pre_agg_shuffle(spark, sf_dir):
     # formatted mode mentions each node twice (tree + detail); count
     # distinct exchange NODES via the numbered detail entries.
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    # the dim's tier filter must inject a runtime partition filter on
+    # the fact scan — the 2-of-10,000-partitions star-join mechanism.
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["q_dynamic_partition_pruning"].fn(spark, sf_dir)
+    assert "dynamicpruning" in formatted_plan(df).lower()
+
+
+def test_bucket_pruning_selects_one_bucket(spark, sf_dir):
+    from facebook_ad_library_data_pipeline_spark.operators.storage import N_BUCKETS
+    from facebook_ad_library_data_pipeline_spark.plans.explain import simple_plan
+
+    df = REGISTRY["q_bucket_pruned_lookup"].fn(spark, sf_dir)
+    assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in simple_plan(df)

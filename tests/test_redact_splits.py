@@ -126,3 +126,24 @@ def test_pagerank_mass_conservation(spark, sf_dir):
     total = sum(r["rank"] for r in rows)
     assert abs(total - 1.0) < 1e-3, total
     assert all(0 < r["rank"] < 1 for r in rows)
+
+
+def test_weighted_sample_favors_long_docs(spark, sf_dir):
+    """A-Res with weight = n_chars must overrepresent long documents:
+    the sample's mean length exceeds the corpus mean (deterministic
+    given fixed testdata), and exactly WEIGHTED_K rows emit per source."""
+    from facebook_ad_library_data_pipeline_spark.catalog import load_table
+    from facebook_ad_library_data_pipeline_spark.operators.splits import (
+        WEIGHTED_K,
+        q_weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    rows = q_weighted_sample(spark, sf_dir).collect()
+    per_src = {}
+    for r in rows:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert all(v == WEIGHTED_K for v in per_src.values())
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
