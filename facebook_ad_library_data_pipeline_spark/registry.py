@@ -140,6 +140,8 @@ _PRIORITY = [
     "q_weighted_sample",        # A-Res weighted sampling by portable hash
     "q_dynamic_partition_pruning",  # runtime star-join partition filter
     "q_bucket_pruned_lookup",       # 1-of-N bucket point lookup
+    "q_session_dynamic_gap",        # per-event-gap sessionization
+    "q_stream_session_dynamic",     # its real-stream twin (merging state, varying gap)
     # round-6 streaming outer-join matrix + bounded-state dedup:
     "q_stream_left_outer_join",   # watermark-evicted null padding, SQL-replayed
     "q_stream_full_outer_join",   # both sides' eviction schedules pinned

@@ -326,3 +326,101 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     run_stream_to_memory(counted, "stream_dedup_wm_out")
     return spark.table("stream_dedup_wm_out")
+
+
+# --------------------------------------- dynamic-gap session windows (r06)
+
+# Per-event gap: interaction events (view/click) time out fast, money
+# events hold the session open longer. Semantics: each event claims
+# [ts, ts + gap(event)); overlapping claims per user MERGE into one
+# session — richer than fixed-gap islands, because the gap that
+# extends a session is the PREVIOUS event's, not a global constant.
+_DYN_GAPS = {"view": 600, "click": 600, "purchase": 1800, "error": 300,
+             "signup": 900}
+_DYN_GAP_DEFAULT = 600  # unseen future types: both engines must agree
+
+_DYN_GAP_CASE = "CASE event_type " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(_DYN_GAPS.items())
+) + f" ELSE {_DYN_GAP_DEFAULT} END"
+
+# Islands twin: a new session starts when this event's ts is >= the
+# running max of every PRIOR event's (ts + its own gap) — the merge
+# rule restated over a running max instead of Spark's interval-union
+# state. window end excl. ⇒ `>=`.
+_DYN_SESSION_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, ts, ts + to_seconds({_DYN_GAP_CASE}) AS claim_end
+    FROM events
+),
+m AS (
+    SELECT user_id, ts,
+           max(claim_end) OVER (PARTITION BY user_id ORDER BY ts, claim_end
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_reach
+    FROM e
+),
+isl AS (
+    SELECT user_id, ts,
+           CASE WHEN prev_reach IS NULL OR ts >= prev_reach THEN 1 ELSE 0 END AS new_s
+    FROM m
+),
+g AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM isl
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       count(*) AS n_events
+FROM g
+GROUP BY user_id, sid
+"""
+
+
+def dynamic_session_stats(events: DataFrame) -> DataFrame:
+    """Shared batch/stream transform: per-event-gap sessionization."""
+    gap = F.concat(
+        F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in sorted(_DYN_GAPS.items()) for x in kv]
+                ),
+                F.col("event_type"),
+            ),
+            F.lit(_DYN_GAP_DEFAULT),
+        ).cast("string"),
+        F.lit(" seconds"),
+    )
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query("q_session_dynamic_gap", oracle=_DYN_SESSION_ORACLE, tags=("window", "session", "timeseries"))
+def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: session_window with a PER-EVENT gap
+    expression (interaction events close after 10 min, purchases hold
+    30, signup 15, errors 5) — sessions are unions of overlapping
+    per-event claims, which a fixed-gap lag-island query cannot
+    express. Oracle: the merge rule restated as a running max of prior
+    claim ends. Same one-shuffle-on-user plan shape as the fixed-gap
+    session."""
+    return dynamic_session_stats(load_table(spark, sf_dir, "events"))
+
+
+@query("q_stream_session_dynamic", oracle=_DYN_SESSION_ORACLE, tags=("streaming", "session"))
+def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dynamic-gap sessionization as a REAL streaming query — the
+    merging-session state store where the merge distance itself varies
+    per event. Complete mode on the bounded source must converge to
+    the batch result exactly; shares q_session_dynamic_gap's oracle."""
+    events = load_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    run_stream_to_memory(dynamic_session_stats(events), "stream_session_dyn_out")
+    return spark.table("stream_session_dyn_out")
