@@ -397,3 +397,99 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("z_raw"), 6).alias("zscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak-concurrency sweep (max concurrent sessions per day)
+# ---------------------------------------------------------------------------
+
+# Sweep-line over session intervals [start, last_event + 1 µs): +1 at
+# start, −1 at end; concurrency = running sum in (t, delta) order; the
+# capacity-planning metric every event platform reports. Ties are
+# deterministic: at equal t the −1 sorts first (delta ASC), i.e. a
+# session ending exactly when another starts never double-counts, and
+# reordering equal (t, delta) rows permutes identical prefix values
+# only — max is order-free.
+#
+# SCALE: the naive sweep is one global-ordered running sum = a single
+# partition. This is the two-pass segmented form instead: per-day net
+# change → tiny cross-day running offset (≤ thousands of days,
+# broadcast) → within-day running sum partitioned by day + offset. The
+# window key (day) bounds partition width at any corpus size.
+_CONCURRENCY_ORACLE = """
+WITH sess AS (
+    SELECT user_id,
+           min(ts) AS s_start,
+           max(ts) + INTERVAL 1 MICROSECOND AS s_end
+    FROM (
+        SELECT user_id, ts,
+               sum(island) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                      + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS island
+            FROM events
+        )
+    )
+    GROUP BY user_id, sid
+),
+deltas AS (
+    SELECT s_start AS t, 1 AS delta FROM sess
+    UNION ALL
+    SELECT s_end AS t, -1 AS delta FROM sess
+),
+d AS (SELECT t, delta, CAST(date_trunc('day', t) AS TIMESTAMP) AS day FROM deltas),
+day_net AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM d GROUP BY day),
+day_off AS (
+    SELECT day,
+           CAST(coalesce(sum(net) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS off
+    FROM day_net
+),
+run AS (
+    SELECT d.day,
+           o.off + sum(d.delta) OVER (PARTITION BY d.day ORDER BY d.t, d.delta
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+    FROM d JOIN day_off o USING (day)
+)
+SELECT day, CAST(max(conc) AS BIGINT) AS max_concurrent
+FROM run
+GROUP BY day
+"""
+
+
+@query("q_peak_concurrency", oracle=_CONCURRENCY_ORACLE, tags=("timeseries", "window", "agg"))
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent 30-min-gap sessions per day, via the segmented
+    sweep described above (never a single global window: per-day nets
+    roll into a tiny cross-day offset table, and the heavy running sum
+    partitions by day)."""
+    from ..streaming.events import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = session_stats(ev).select(
+        F.col("session_start").alias("s_start"),
+        (F.col("last_event_ts") + F.expr("INTERVAL 1 MICROSECOND")).alias("s_end"),
+    )
+    deltas = sess.select(F.col("s_start").alias("t"), F.lit(1).alias("delta")).unionByName(
+        sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    d = deltas.withColumn("day", F.date_trunc("day", "t"))
+    day_net = d.groupBy("day").agg(F.sum("delta").cast("long").alias("net"))
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    day_off = day_net.select(
+        "day", F.coalesce(F.sum("net").over(w_days), F.lit(0)).cast("long").alias("off")
+    )
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy(F.asc("t"), F.asc("delta"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = d.join(F.broadcast(day_off), "day").select(
+        "day", (F.col("off") + F.sum("delta").over(w_day)).alias("conc")
+    )
+    return run.groupBy("day").agg(F.max("conc").cast("long").alias("max_concurrent"))

@@ -142,6 +142,7 @@ _PRIORITY = [
     "q_bucket_pruned_lookup",       # 1-of-N bucket point lookup
     "q_session_dynamic_gap",        # per-event-gap sessionization
     "q_stream_session_dynamic",     # its real-stream twin (merging state, varying gap)
+    "q_peak_concurrency",           # segmented sweep-line, never a global window
     # round-6 streaming outer-join matrix + bounded-state dedup:
     "q_stream_left_outer_join",   # watermark-evicted null padding, SQL-replayed
     "q_stream_full_outer_join",   # both sides' eviction schedules pinned
