@@ -424,3 +424,33 @@ def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     run_stream_to_memory(dynamic_session_stats(events), "stream_session_dyn_out")
     return spark.table("stream_session_dyn_out")
+
+
+@query("q_stream_available_now", oracle=_TUMBLING_ORACLE, tags=("streaming", "window"))
+def q_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling agg driven by Trigger.AvailableNow — the BACKFILL
+    trigger: process everything currently available (possibly as
+    several rate-limited micro-batches), then stop on its own, with
+    offsets checkpoint-compatible with a later continuous run. The
+    operational mode for "catch the table up, then switch to live".
+    Drain semantics must reproduce the batch oracle exactly, same as
+    processAllAvailable — what's under test is the self-terminating
+    trigger path."""
+    events = load_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = tumbling_counts(events)
+    spark.sparkContext._jvm.System.gc()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_available_now_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("stream_available_now_out")

@@ -29,3 +29,15 @@ def test_rows_only_runs(name, spark, sf_dir):
     df = q.fn(spark, sf_dir)
     assert df.columns, f"{name}: no columns"
     assert df.count() >= 0
+
+
+def test_priority_list_sane():
+    """_PRIORITY drives which 50 queries get driver evidence: no
+    duplicates, every name registered, and the list covers at least a
+    full 50-row window so registration order never leaks in."""
+    from facebook_ad_library_data_pipeline_spark.registry import _PRIORITY
+
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entries"
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    assert not missing, f"priority names not registered: {missing}"
+    assert len(_PRIORITY) >= 50
