@@ -58,3 +58,30 @@ def test_documents_ascii_for_byte_feature_oracle(sf_dir):
         [str(sf_dir / "documents.parquet")],
     ).fetchone()[0]
     assert n_bad == 0, f"{sf_dir}: {n_bad} docs with non-ASCII text"
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS, ids=[p.name for p in _SF_DIRS])
+def test_outer_join_oracle_inputs_nonempty(sf_dir):
+    # The stream outer-join oracles derive the final watermark from
+    # least(max view ts, max purchase ts); an empty side turns it NULL
+    # and silently suppresses every null-padded row. Fail loudly if a
+    # regeneration drops either event_type.
+    con = duckdb.connect()
+    ev = f"read_parquet('{sf_dir}/events.parquet')"
+    n = con.sql(
+        f"SELECT count(*) FILTER (WHERE event_type = 'view'), "
+        f"count(*) FILTER (WHERE event_type = 'purchase') FROM {ev}"
+    ).fetchone()
+    assert n[0] > 0 and n[1] > 0, f"{sf_dir.name}: views={n[0]} purchases={n[1]}"
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS, ids=[p.name for p in _SF_DIRS])
+def test_documents_positive_length_for_weighted_sample(sf_dir):
+    # q_weighted_sample divides ln(u) by n_chars; n_chars = 0 would put
+    # engine-specific infinity/NULL semantics on the ranking path.
+    con = duckdb.connect()
+    n_bad = con.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE n_chars IS NULL OR n_chars <= 0"
+    ).fetchone()[0]
+    assert n_bad == 0, f"{sf_dir.name}: {n_bad} docs with non-positive n_chars"
