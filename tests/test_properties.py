@@ -119,3 +119,88 @@ def test_topk_is_k_maxima_of_filter(spark, rows, k):
     # top-k ⊆ filtered set
     filtered_pos = {r.pos for r in filtered.collect()}
     assert all(r.pos in filtered_pos for r in top)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),        # group
+            st.integers(min_value=1, max_value=500),      # weight (n_chars)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_kfold_partitions_any_keyspace(spark, rows):
+    """kfold_col is a total function: every key lands in exactly one
+    fold in [0, K), whatever the id distribution (including dense,
+    sparse, and adversarial Knuth-multiple keys)."""
+    from facebook_ad_library_data_pipeline_spark.operators.splits import K_FOLDS, kfold_col
+
+    df = spark.createDataFrame(
+        [(i * 104729 + g, g, w) for i, (g, w) in enumerate(rows)],
+        "doc_id long, grp long, w long",
+    )
+    out = df.select("doc_id", kfold_col("doc_id").alias("fold")).collect()
+    assert len(out) == len(rows)
+    assert all(0 <= r["fold"] < K_FOLDS for r in out)
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=6), min_size=2, max_size=12)
+)
+@SETTINGS
+def test_token_entropy_bounds(spark, counts):
+    """0 <= H <= ln(n_distinct) for any token multiset, with equality
+    at uniform counts — the Shannon bound, checked through the real
+    Spark expression chain."""
+    import math
+
+    toks = " ".join(f"t{i}" for i, c in enumerate(counts) for _ in range(c))
+    df = spark.createDataFrame([(1, toks)], "doc_id long, text string")
+    from facebook_ad_library_data_pipeline_spark.functions.text import tokens_col
+
+    cnt = (
+        df.select("doc_id", F.explode(tokens_col()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row = (
+        cnt.groupBy("doc_id")
+        .agg(
+            (F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")).alias("h"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .collect()[0]
+    )
+    assert -1e-9 <= row["h"] <= math.log(row["n_distinct"]) + 1e-9
+    if len(set(counts)) == 1:
+        assert abs(row["h"] - math.log(len(counts))) < 1e-9
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(1, 200)),  # (start, length)
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_sweepline_matches_bruteforce(spark, intervals):
+    """The segmented sweep's max concurrency equals the brute-force
+    point-wise maximum over interval endpoints, for arbitrary interval
+    sets (the q_peak_concurrency core, minus the session derivation)."""
+    from pyspark.sql import Window
+
+    rows = [(s, s + l) for s, l in intervals]
+    df = spark.createDataFrame(rows, "s long, e long")
+    deltas = df.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        df.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.orderBy(F.asc("t"), F.asc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    got = deltas.select(F.sum("d").over(w).alias("c")).agg(F.max("c")).collect()[0][0]
+    brute = max(
+        sum(1 for (s, e) in rows if s <= t < e) for (s, e) in rows for t in (s,)
+    )
+    assert got == brute
