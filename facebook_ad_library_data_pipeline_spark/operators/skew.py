@@ -25,12 +25,21 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with an 8-way salted key: dim rows replicated per salt
     (explode of a literal range — cheap for a dim), fact rows salted by
-    a deterministic hash of their whole row position-independent key."""
+    a deterministic hash of the WHOLE fact row — not of the join key.
+    Salting by the key would send every row of a hot key to the SAME
+    salt bucket (hash(hot_key) is one value), defeating the entire
+    point; hashing all columns spreads a hot key across the SALT
+    buckets as long as any non-key column varies, while staying
+    deterministic (same input -> same routing, so re-runs are stable
+    and the join OUTPUT is identical either way — the salt only
+    routes). Measured in scripts/skew_evidence.py: the straggler task
+    under a 90%-hot key drops ~SALT-fold."""
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))
     )
     salted_fact = fact.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(fact_key)), F.lit(SALT)).cast("int")
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(SALT)).cast("int"),
     )
     out = salted_fact.join(
         salted_dim,
