@@ -128,8 +128,8 @@ _PRIORITY = [
     "q_python_datasink_roundtrip",  # custom Python sink, commit-protocol manifest
     "q_attribution_last_touch",  # windowed last-touch credit, no joins
     "q_sequence_gaps",           # missing-id audit via lead()
-    "q_histogram_prices",        # equi-width histogram, floor arithmetic
     # new round-6 operators (third batch):
+    "q_dedup_incremental",      # delta probes the historical band index
     "q_embedding_neardup_lsh",  # banded hyperplane LSH over the whole corpus
     "q_token_entropy",          # per-doc Shannon entropy quality signal
     "q_kfold_assign",           # portable-hash k-fold census
@@ -161,6 +161,7 @@ _PRIORITY = [
     "q_group_reservoir",
     "q_bucket_pruned_lookup",
     "q_stream_available_now",  # same oracle as q_stream_tumbling (driver-green r05)
+    "q_histogram_prices",      # plain floor bucketing, locally oracle-checked
     # ---- remaining ~36 slots: registration order follows, which
     # front-loads the r01/r02-vintage parity operators (flagship,
     # transform, quality, dedup, report, joins ...) — re-proving the

@@ -139,11 +139,16 @@ def test_q21_semi_anti_decorrelation(spark, sf_dir):
     assert has_node(df, "TakeOrderedAndProject")
 
 
-def test_dup_span_postings_join_not_broadcast(spark, sf_dir):
-    # shared-span postings join back on the span key: must shuffle-hash,
-    # never broadcast an exploded inverted index (same rule as Jaccard).
+def test_dup_span_df_is_windowed_single_exchange(spark, sf_dir):
+    # document frequency comes from a whole-partition window over the
+    # span hash (one exchange), NOT a groupBy + join-back of the
+    # exploded inverted index — and nothing exploded is ever broadcast.
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
     df = REGISTRY["q_dup_span_docs"].fn(spark, sf_dir)
-    assert has_node(df, "ShuffledHashJoin")
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert plan.lower().count("hashpartitioning(s") <= 1, plan
 
 
 def test_top_terms_df_side_not_broadcast(spark, sf_dir):
