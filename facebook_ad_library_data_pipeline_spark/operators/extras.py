@@ -142,6 +142,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (re-running the job must pick the same documents; DuckDB's oracle
 # picks them too). Salt decorrelates from q_shard_assign's hash.
 _SAMPLE_KNUTH = 2654435761
+_SAMPLE_MOD31 = 2147483648  # pre-reduce before the multiply: ANSI-safe at any id
 _SAMPLE_MOD32 = 4294967296
 _SAMPLE_SALT = 7919
 _SAMPLE_DENOM = 10000
@@ -168,7 +169,8 @@ def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     never flips decisions on existing rows."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
-        ((F.col("doc_id") + _SAMPLE_SALT) * F.lit(_SAMPLE_KNUTH)) % _SAMPLE_MOD32
+        (((F.col("doc_id") + _SAMPLE_SALT) % _SAMPLE_MOD31) * F.lit(_SAMPLE_KNUTH))
+        % _SAMPLE_MOD32
     ) % _SAMPLE_DENOM
     rate = None
     for k, v in _SAMPLE_RATES.items():

@@ -35,27 +35,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from .dedup_near import JACCARD_THRESHOLD, shared_jaccard_pairs
+from .dedup_near import _SHINGLE_EXPLODED_SQL, JACCARD_THRESHOLD, shared_jaccard_pairs
 
 PR_ITERS = 12
 PR_DAMPING = 0.85
 PR_CHECKPOINT_EVERY = 4
 
+# The edge derivation is dedup_near's shared shingle->pairs CTE chain
+# VERBATIM (one definition — a change to the shingle rule or the
+# threshold updates this oracle with it), extended with the graph CTEs.
 _EDGES_CTE = f"""
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT doc_id,
-              CASE WHEN len(t) >= 3
-                   THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
-                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                   ELSE [] END AS shingles
-       FROM toks),
-ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
-                 any_value(a.n) AS n1, any_value(b.n) AS n2
-          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id),
+{_SHINGLE_EXPLODED_SQL},
 edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-          WHERE inter * 1.0 / (n1 + n2 - inter) >= {JACCARD_THRESHOLD}),
+          JOIN sizes sa ON d1 = sa.doc_id
+          JOIN sizes sb ON d2 = sb.doc_id
+          WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}),
 sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
 nn AS (SELECT count(*) AS n FROM deg),
@@ -68,8 +62,8 @@ def _pagerank_oracle() -> str:
     for i in range(1, PR_ITERS + 1):
         steps.append(
             f"r{i} AS (SELECT s.dst AS node,\n"
-            f"  CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)\n"
-            f"  + CAST(0.85 AS DOUBLE) * sum(p.r / d.deg) AS r\n"
+            f"  CAST({1 - PR_DAMPING:.2f} AS DOUBLE) / (SELECT n FROM nn)\n"
+            f"  + CAST({PR_DAMPING:.2f} AS DOUBLE) * sum(p.r / d.deg) AS r\n"
             f"  FROM sym s JOIN r{i - 1} p ON s.src = p.node\n"
             f"  JOIN deg d ON s.src = d.node\n"
             f"  GROUP BY s.dst)"
@@ -117,7 +111,10 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("r") / F.col("deg")).alias("mass"))
             .select(
                 F.col("dst").alias("node"),
-                (F.lit(0.15) / F.lit(n) + F.lit(0.85) * F.col("mass")).alias("r"),
+                (
+                    F.lit(round(1 - PR_DAMPING, 2)) / F.lit(n)
+                    + F.lit(PR_DAMPING) * F.col("mass")
+                ).alias("r"),
             )
         )
         if i % PR_CHECKPOINT_EVERY == 0 and i < PR_ITERS:

@@ -36,6 +36,14 @@ K_FOLDS = 5
 # (7919) and the sharder's streams so fold ≠ f(sample bucket).
 _FOLD_KNUTH = 2654435761
 _FOLD_MOD32 = 4294967296
+# Keys are pre-reduced mod 2^31 BEFORE the Knuth multiply: (2^31-1) *
+# 2654435761 = 5.7e18 < 2^63-1, so the product can never overflow
+# BIGINT — Spark 4 runs ANSI mode (overflow THROWS, not wraps) and
+# DuckDB errors too, so an unreduced key beyond ~3.47e9 (well inside a
+# 100 TB corpus's id space) would kill the query in both engines. The
+# reduction is the identity for keys under 2^31, so small-corpus
+# outputs are unchanged.
+_MOD31 = 2147483648
 _FOLD_SALT = 104729
 
 RESERVOIR_K = 7
@@ -48,7 +56,8 @@ def kfold_col(key, k: int = K_FOLDS, salt: int = _FOLD_SALT):
     Pure BIGINT arithmetic → identical in Spark, DuckDB, or a bash
     one-liner; adding rows never moves existing rows between folds."""
     key = F.col(key) if isinstance(key, str) else key
-    return ((key + F.lit(salt)) * F.lit(_FOLD_KNUTH)) % F.lit(_FOLD_MOD32) % F.lit(k)
+    red = (key + F.lit(salt)) % F.lit(_MOD31)
+    return (red * F.lit(_FOLD_KNUTH)) % F.lit(_FOLD_MOD32) % F.lit(k)
 
 
 _KFOLD_ORACLE = f"""
@@ -103,7 +112,9 @@ def q_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions). One shuffle on source; the window keeps a k-row heap
     per group rather than sorting each group's full data."""
     docs = load_table(spark, sf_dir, "documents")
-    hv = ((F.col("doc_id") + F.lit(_RES_SALT)) * F.lit(_FOLD_KNUTH)) % F.lit(_FOLD_MOD32)
+    hv = (
+        ((F.col("doc_id") + F.lit(_RES_SALT)) % F.lit(_MOD31)) * F.lit(_FOLD_KNUTH)
+    ) % F.lit(_FOLD_MOD32)
     w = Window.partitionBy("source").orderBy(F.asc("hv"), F.asc("doc_id"))
     return (
         docs.select("doc_id", "source", "n_chars", hv.alias("hv"))
@@ -158,7 +169,8 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verified hash-identical at sf0.001/0.01/0.1."""
     docs = load_table(spark, sf_dir, "documents")
     u = (
-        ((F.col("doc_id") + F.lit(_WS_SALT)) * F.lit(_FOLD_KNUTH)) % F.lit(_FOLD_MOD32)
+        (((F.col("doc_id") + F.lit(_WS_SALT)) % F.lit(_MOD31)) * F.lit(_FOLD_KNUTH))
+        % F.lit(_FOLD_MOD32)
         + F.lit(0.5)
     ) / F.lit(_FOLD_MOD32)
     keyv = F.log(u) / F.col("n_chars")

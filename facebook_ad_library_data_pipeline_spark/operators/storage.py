@@ -256,11 +256,20 @@ _DPP_TIERS = {"purchase": "gold", "click": "gold", "view": "bronze",
 def tier_dim_dir(spark: SparkSession, sf_dir: str) -> str:
     """Tiny (event_type, tier) dim as a parquet table — DPP needs a
     runtime build side; an in-memory LocalRelation can constant-fold
-    away the very subquery under test."""
+    away the very subquery under test. The path embeds a digest of the
+    tier map itself (the same staleness guard partitioned_events_dir
+    gets from the source mtime): editing _DPP_TIERS must rewrite the
+    parquet, or the oracle's inline VALUES would diverge from a stale
+    cached dim."""
+    import hashlib
+
     key = (spark.sparkContext.applicationId, sf_dir, "tier_dim")
     out = _PART_CACHE.get(key)
     if out is None:
-        out = str(Path(tempfile.gettempdir()) / "spark_graft_part" / "tier_dim")
+        digest = hashlib.md5(repr(sorted(_DPP_TIERS.items())).encode()).hexdigest()[:10]
+        out = str(
+            Path(tempfile.gettempdir()) / "spark_graft_part" / f"tier_dim_{digest}"
+        )
         if not Path(out, "_SUCCESS").exists():
             spark.createDataFrame(
                 sorted(_DPP_TIERS.items()), ["event_type", "tier"]
@@ -321,9 +330,11 @@ def q_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free joins: O(data/buckets) read for O(1) keys."""
     # The planner auto-disables bucketed scans it sees no JOIN benefit
     # for ("Bucketed: false (disabled by query planner)"), which also
-    # forfeits bucket pruning; turning the auto-disable off makes every
-    # bucketed read bucket-aware (harmless for the join query — its
-    # scan is bucketed either way).
+    # forfeits bucket pruning. Our tuned session (session.py) turns the
+    # auto-disable off at build time so shared-session plans never
+    # depend on query order; this defensive set covers DRIVER-built
+    # cold sessions, which plan lazily (at their own collect), so a
+    # restore-before-return would undo the property under test.
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     o_name, _ = bucketed_tables(spark, sf_dir)
     return (

@@ -415,6 +415,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SHARDS = 16
 _KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 * phi)
 _MOD32 = 4294967296
+_MOD31 = 2147483648  # pre-reduce the key so the multiply can never overflow BIGINT (ANSI)
 
 
 _SHARD_ORACLE = f"""
@@ -448,7 +449,7 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB it is one hash shuffle wide, and the balance diagnostic is
     the thing you alert on before burning a training run."""
     docs = load_table(spark, sf_dir, "documents")
-    shard = ((F.col("doc_id") * F.lit(_KNUTH)) % _MOD32) % N_SHARDS
+    shard = (((F.col("doc_id") % _MOD31) * F.lit(_KNUTH)) % _MOD32) % N_SHARDS
     d = docs.select(
         shard.cast("long").alias("shard"),
         "doc_id",

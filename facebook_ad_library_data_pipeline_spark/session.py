@@ -48,6 +48,12 @@ def get_spark(app_name: str = "facebook_ad_library_data_pipeline_spark") -> Spar
         # it on to read measured shuffle metrics from the REST API
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Bucketed scans stay bucket-aware even for plain lookups (the
+        # planner otherwise auto-disables them and forfeits bucket
+        # PRUNING); set at session build so shared-session plans are
+        # independent of query execution order (q_bucket_pruned_lookup
+        # also sets it defensively for driver-built cold sessions).
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
         # rejects; read as long nanos and convert in the catalog loader
         # (truncating to micros, matching DuckDB's ns→µs behavior).

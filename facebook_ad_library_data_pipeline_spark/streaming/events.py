@@ -173,7 +173,11 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "complete", partitions: str = "4"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    partitions: str = "4",
+    available_now: bool = False,
 ) -> None:
     """Drive a streaming aggregation to completion against the bounded
     file source (processAllAvailable) and land it in a memory sink.
@@ -196,14 +200,18 @@ def run_stream_to_memory(
     spark.sparkContext._jvm.System.gc()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    writer = stream_df.writeStream.outputMode(output_mode).format("memory").queryName(name)
+    if available_now:
+        # Trigger.AvailableNow: the query drains what exists and STOPS
+        # ITSELF — the backfill path; await its self-termination
+        # instead of processAllAvailable.
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
     try:
-        q.processAllAvailable()
+        if available_now:
+            q.awaitTermination()
+        else:
+            q.processAllAvailable()
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -438,19 +446,5 @@ def q_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger path."""
     events = load_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = tumbling_counts(events)
-    spark.sparkContext._jvm.System.gc()
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("stream_available_now_out")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    run_stream_to_memory(agg, "stream_available_now_out", available_now=True)
     return spark.table("stream_available_now_out")

@@ -49,7 +49,9 @@ def join_stage_straggler_ms(spark, since_stage: int) -> tuple[int, int]:
         s for s in stages
         if s["stageId"] > since_stage and s["status"] == "COMPLETE"
     ]
-    last = max((s["stageId"] for s in cand), default=since_stage)
+    if not cand:  # REST listing lag — better a missing cell than a crash
+        return -1, since_stage
+    last = max(s["stageId"] for s in cand)
     join_stage = max(cand, key=lambda s: s.get("shuffleReadBytes", 0))
     q = json.load(
         urllib.request.urlopen(
@@ -75,17 +77,16 @@ def main() -> None:
     # force the shuffle-join path: a 100-row dim would otherwise broadcast
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-    def run(label, df):
+    def run(df):
         t0 = time.perf_counter()
         df.groupBy().agg(F.sum(F.col("v") + F.col("w")).alias("s")).collect()
-        dt = time.perf_counter() - t0
-        return dt
+        return time.perf_counter() - t0
 
     results = {}
     last_stage = -1
 
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-    dt = run("baseline", fact.join(dim.hint("shuffle_hash"), "k"))
+    dt = run(fact.join(dim.hint("shuffle_hash"), "k"))
     mx, last_stage = join_stage_straggler_ms(spark, last_stage)
     results["baseline (no AQE skew)"] = (dt, mx)
 
@@ -96,11 +97,18 @@ def main() -> None:
     )
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     # AQE skew-split applies to sort-merge joins
-    dt = run("aqe", fact.join(dim.hint("merge"), "k"))
+    dt = run(fact.join(dim.hint("merge"), "k"))
     mx, last_stage = join_stage_straggler_ms(spark, last_stage)
     results["aqe skew-split (SMJ)"] = (dt, mx)
 
-    dt = run("salted", salted_join(fact, dim, "k", "k"))
+    # CRITICAL: reset the AQE-strategy confs first — the salted run must
+    # measure SALTING, not AQE skew-splitting layered on top of it
+    # (caught in review: the first published numbers had both active).
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    dt = run(salted_join(fact, dim, "k", "k"))
     mx, last_stage = join_stage_straggler_ms(spark, last_stage)
     results["salted_join (8-way)"] = (dt, mx)
 

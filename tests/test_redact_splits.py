@@ -147,3 +147,16 @@ def test_weighted_sample_favors_long_docs(spark, sf_dir):
     assert all(v == WEIGHTED_K for v in per_src.values())
     sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_portable_hash_survives_huge_keys(spark):
+    """The Knuth-multiply sites pre-reduce keys mod 2^31, so ids far
+    beyond the 32-bit range (a 100 TB corpus's id space) must neither
+    overflow under ANSI mode nor escape the fold range."""
+    from facebook_ad_library_data_pipeline_spark.operators.splits import K_FOLDS
+
+    df = spark.createDataFrame(
+        [(5_000_000_000,), (9_000_000_000_000,), (0,)], "doc_id long"
+    )
+    out = df.select(kfold_col("doc_id").alias("fold")).collect()
+    assert all(0 <= r["fold"] < K_FOLDS for r in out)
