@@ -62,3 +62,39 @@ def q_json_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# ------------------------------------------------- VARIANT (Spark 4)
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q_variant_json", oracle=_VARIANT_ORACLE, tags=("json", "scalar", "agg"))
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed path
+    extraction (variant_get with a target type) WITHOUT declaring a
+    schema up front — the ingestion posture for payloads whose shape
+    drifts (vs q_json_extract's declared-schema from_json, which is
+    the right call once the shape is known). A missing path yields
+    NULL, not an error — counted here to pin that semantic. At 100 TB
+    the win is parse-once: the variant column stores pre-parsed binary,
+    so N downstream extractions don't re-tokenize the JSON text N
+    times. Oracle: DuckDB replays the same paths over the JSON text."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("variant_get(v, '$.k', 'long')")).alias("sum_k"),
+        F.sum(
+            F.when(F.expr("variant_get(v, '$.missing', 'string')").isNull(), 1).otherwise(0)
+        ).alias("n_missing"),
+    )

@@ -124,3 +124,36 @@ def q_sql_lateral_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines choose the same row."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_LATERAL_LATEST)
+
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+HAVING count(*) > 10
+"""
+
+
+@query("q_sql_pipe_syntax", oracle=_PIPE_ORACLE, tags=("sql", "agg"))
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same filter→aggregate→having chain through Spark 4's SQL
+    PIPE syntax (`FROM t |> WHERE |> AGGREGATE |> WHERE`) — operators
+    compose top-to-bottom in execution order instead of SQL's
+    inside-out clause nesting. Must hit identical physical plans and
+    identical results as the ANSI form: pipe syntax is sugar over the
+    same logical plan, which the shared oracle proves."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                         AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n > 10
+        """
+    )

@@ -105,13 +105,11 @@ _PRIORITY = [
     "q_png_pixel_stats",   # stdlib-zlib PNG decode, oracle-backed
     "q_jpeg_pixel_stats",  # baseline JPEG codec, DC closed-form oracle
     "q_observe_reconcile",  # U2: observe() metrics row, oracle-checked
-    "q_knn_join",           # exact batch kNN join, oracle-backed
     "q_knn_join_lsh",       # multi-probe LSH batch kNN join, oracle-backed
     "q_ann_recall",        # recall@10 floors, oracle-pinned since r06
     # new round-6 operators (second batch):
     "q_bm25_topk",          # BM25 ranking, rational idf, oracle-backed
     "q_fuzzy_join_edit1",   # deletion-neighborhood edit-1 join
-    "q_profile_columns",    # per-column null/distinct census
     # approx family upgraded rows-only -> tolerance-flag oracles (r06):
     "q_approx_distinct",
     "q_percentiles",
@@ -129,6 +127,8 @@ _PRIORITY = [
     "q_attribution_last_touch",  # windowed last-touch credit, no joins
     "q_sequence_gaps",           # missing-id audit via lead()
     # new round-6 operators (third batch):
+    "q_variant_json",           # Spark 4 VARIANT: schemaless typed path access
+    "q_sql_pipe_syntax",        # Spark 4 SQL pipe operators, ANSI-form oracle
     "q_dedup_incremental",      # delta probes the historical band index
     "q_embedding_neardup_lsh",  # banded hyperplane LSH over the whole corpus
     "q_token_entropy",          # per-doc Shannon entropy quality signal
@@ -162,6 +162,8 @@ _PRIORITY = [
     "q_bucket_pruned_lookup",
     "q_stream_available_now",  # same oracle as q_stream_tumbling (driver-green r05)
     "q_histogram_prices",      # plain floor bucketing, locally oracle-checked
+    "q_knn_join",              # exact batch kNN shape = embedding_topk (green r02) + window top-k
+    "q_profile_columns",       # column census, locally oracle-checked
     # ---- remaining ~36 slots: registration order follows, which
     # front-loads the r01/r02-vintage parity operators (flagship,
     # transform, quality, dedup, report, joins ...) — re-proving the
