@@ -114,7 +114,6 @@ _PRIORITY = [
     "q_approx_distinct",
     "q_percentiles",
     "q_hll_partial_merge",
-    "q_countmin_heavy_hitters",
     # real-stream twins completing the streaming window matrix (r06):
     "q_stream_sliding",
     "q_stream_session",
@@ -145,6 +144,7 @@ _PRIORITY = [
     "q_stream_left_outer_join",   # watermark-evicted null padding, SQL-replayed
     "q_stream_full_outer_join",   # both sides' eviction schedules pinned
     "q_stream_dedup_watermark",   # dropDuplicatesWithinWatermark eviction path
+    "q_stream_semi_join",         # emit-once-on-match state, EXISTS oracle
     # re-prove queries whose implementation changed this round (the
     # last three also newly oracle-backed):
     "q_top_terms",         # TF-DF join broadcast -> shuffle_hash
@@ -164,6 +164,7 @@ _PRIORITY = [
     "q_histogram_prices",      # plain floor bucketing, locally oracle-checked
     "q_knn_join",              # exact batch kNN shape = embedding_topk (green r02) + window top-k
     "q_profile_columns",       # column census, locally oracle-checked
+    "q_countmin_heavy_hitters",  # 4th tolerance-flag sketch; 3 siblings hold window slots
     # ---- remaining ~36 slots: registration order follows, which
     # front-loads the r01/r02-vintage parity operators (flagship,
     # transform, quality, dedup, report, joins ...) — re-proving the

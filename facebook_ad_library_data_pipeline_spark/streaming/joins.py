@@ -325,3 +325,56 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = full_conversion_join(views, purchases)
     run_stream_to_memory(out, "stream_full_outer_join_out", output_mode="append")
     return spark.table("stream_full_outer_join_out")
+
+
+# ------------------------------------------- left-semi stream-stream join
+
+# Semi emits a view AT MOST once, when its first purchase match
+# arrives; unmatched views simply never emit (no watermark eviction
+# rule enters the OUTPUT, unlike the outer joins — state still evicts
+# on the same schedule, it just produces nothing). The oracle is
+# therefore a plain EXISTS over the interval condition.
+_STREAM_SEMI_ORACLE = """
+SELECT a.event_id AS view_id, a.user_id AS user_id, a.ts AS view_ts
+FROM events a
+WHERE a.event_type = 'view'
+  AND EXISTS (
+      SELECT 1 FROM events b
+      WHERE b.event_type = 'purchase'
+        AND b.user_id = a.user_id
+        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+  )
+"""
+
+
+@query("q_stream_semi_join", oracle=_STREAM_SEMI_ORACLE, tags=("streaming", "join", "interval"))
+def q_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-SEMI stream-stream interval join — completes the streaming
+    join-type matrix (inner / left-outer / full-outer / semi): views
+    that converted within 30 min, emitted exactly once apiece with no
+    purchase payload. The dedup-on-match is state-store work (the left
+    row is marked matched and never re-emitted), which a batch EXISTS
+    reproduces exactly — making this the one stream-stream join whose
+    oracle needs NO watermark rule."""
+    events = load_events_stream(spark, sf_dir)
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    out = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_semi",
+    ).select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    run_stream_to_memory(out, "stream_semi_join_out", output_mode="append")
+    return spark.table("stream_semi_join_out")
