@@ -28,7 +28,10 @@ from ..registry import query
 # half-redacts.
 REDACT_RULES: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    ("phone", r"\d{2,3}[- .]\d{3}[- .]\d{3,4}[- .]\d{4}", "[PHONE]"),
+    # Two alternatives: 4-group international shapes (CC-AAA-BBB-NNNN)
+    # and the 3-group NANP 3-3-4 (212-555-0100) — the most common US
+    # written form, which the 4-group-only rule silently missed.
+    ("phone", r"\d{2,3}[- .]\d{3}[- .]\d{3,4}[- .]\d{4}|\d{3}[- .]\d{3}[- .]\d{4}", "[PHONE]"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
     ("account_id", r"#\d{6,}", "#[ID]"),
 ]

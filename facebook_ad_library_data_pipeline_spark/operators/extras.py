@@ -151,7 +151,7 @@ _SAMPLE_RATES = {"en": 2500, "de": 10000, "fr": 10000, "es": 10000, "zh": 10000}
 _SAMPLE_DET_ORACLE = f"""
 SELECT doc_id, lang, source, n_chars
 FROM documents
-WHERE (((doc_id + {_SAMPLE_SALT}) * {_SAMPLE_KNUTH}) % {_SAMPLE_MOD32})
+WHERE ((((doc_id + {_SAMPLE_SALT}) % {_SAMPLE_MOD31}) * {_SAMPLE_KNUTH}) % {_SAMPLE_MOD32})
       % {_SAMPLE_DENOM}
       < CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items())}
         ELSE 0 END

@@ -51,17 +51,23 @@ _RES_SALT = 15485863
 
 
 def kfold_col(key, k: int = K_FOLDS, salt: int = _FOLD_SALT):
-    """Portable fold id in [0, k): ((key + salt) * knuth) mod 2^32 mod k.
+    """Portable fold id in [0, k):
+    (((key + salt) mod 2^31) * knuth) mod 2^32 mod k.
 
-    Pure BIGINT arithmetic → identical in Spark, DuckDB, or a bash
-    one-liner; adding rows never moves existing rows between folds."""
+    The mod-2^31 pre-reduction is part of the function (not an
+    implementation detail): it bounds the multiplicand so the product
+    fits in BIGINT on every engine, and the oracle twins apply the SAME
+    reduction so impl and oracle stay one function over the full id
+    space. Pure BIGINT arithmetic → identical in Spark, DuckDB, or a
+    bash one-liner; adding rows never moves existing rows between
+    folds."""
     key = F.col(key) if isinstance(key, str) else key
     red = (key + F.lit(salt)) % F.lit(_MOD31)
     return (red * F.lit(_FOLD_KNUTH)) % F.lit(_FOLD_MOD32) % F.lit(k)
 
 
 _KFOLD_ORACLE = f"""
-SELECT (((doc_id + {_FOLD_SALT}) * {_FOLD_KNUTH}) % {_FOLD_MOD32}) % {K_FOLDS} AS fold,
+SELECT (((((doc_id + {_FOLD_SALT}) % {_MOD31}) * {_FOLD_KNUTH}) % {_FOLD_MOD32})) % {K_FOLDS} AS fold,
        source,
        count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -92,7 +98,7 @@ def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESERVOIR_ORACLE = f"""
 WITH h AS (
     SELECT doc_id, source, n_chars,
-           (((doc_id + {_RES_SALT}) * {_FOLD_KNUTH}) % {_FOLD_MOD32}) AS hv
+           ((((doc_id + {_RES_SALT}) % {_MOD31}) * {_FOLD_KNUTH}) % {_FOLD_MOD32}) AS hv
     FROM documents
 ),
 r AS (
@@ -142,7 +148,7 @@ _WS_SALT = 32452843  # decorrelated from the fold/reservoir streams
 _WEIGHTED_ORACLE = f"""
 WITH h AS (
     SELECT doc_id, source, n_chars,
-           ((((doc_id + {_WS_SALT}) * {_FOLD_KNUTH}) % {_FOLD_MOD32}) + CAST(0.5 AS DOUBLE))
+           (((((doc_id + {_WS_SALT}) % {_MOD31}) * {_FOLD_KNUTH}) % {_FOLD_MOD32}) + CAST(0.5 AS DOUBLE))
                / {_FOLD_MOD32} AS u
     FROM documents
 ),

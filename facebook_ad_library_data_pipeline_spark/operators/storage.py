@@ -35,7 +35,8 @@ from ..registry import query
 N_BUCKETS = 8
 
 _BUCKET_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
-_PART_CACHE: dict[tuple[str, str], str] = {}
+# Keyed by (applicationId, sf_dir) or (applicationId, sf_dir, artifact).
+_PART_CACHE: dict[tuple[str, ...], str] = {}
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -260,20 +261,33 @@ def tier_dim_dir(spark: SparkSession, sf_dir: str) -> str:
     tier map itself (the same staleness guard partitioned_events_dir
     gets from the source mtime): editing _DPP_TIERS must rewrite the
     parquet, or the oracle's inline VALUES would diverge from a stale
-    cached dim."""
+    cached dim. Concurrent-app safe: the dir is written under a
+    per-call unique temp name and atomically rename()d into the shared
+    digest path — two apps racing both produce identical bytes and the
+    loser just discards its copy (the r06-advice fix for the non-atomic
+    `_SUCCESS`-existence-then-overwrite race)."""
     import hashlib
+    import os
+    import shutil
 
     key = (spark.sparkContext.applicationId, sf_dir, "tier_dim")
     out = _PART_CACHE.get(key)
     if out is None:
         digest = hashlib.md5(repr(sorted(_DPP_TIERS.items())).encode()).hexdigest()[:10]
-        out = str(
-            Path(tempfile.gettempdir()) / "spark_graft_part" / f"tier_dim_{digest}"
-        )
+        base = Path(tempfile.gettempdir()) / "spark_graft_part"
+        out = str(base / f"tier_dim_{digest}")
         if not Path(out, "_SUCCESS").exists():
+            base.mkdir(parents=True, exist_ok=True)
+            stage = tempfile.mkdtemp(prefix=f"tier_dim_{digest}_stage_", dir=base)
             spark.createDataFrame(
                 sorted(_DPP_TIERS.items()), ["event_type", "tier"]
-            ).coalesce(1).write.mode("overwrite").parquet(out)
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            try:
+                os.rename(stage, out)
+            except OSError:
+                # Another app renamed first; contents are digest-equal,
+                # so drop our staged copy and use theirs.
+                shutil.rmtree(stage, ignore_errors=True)
         _PART_CACHE[key] = out
     return out
 
@@ -330,15 +344,20 @@ def q_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free joins: O(data/buckets) read for O(1) keys."""
     # The planner auto-disables bucketed scans it sees no JOIN benefit
     # for ("Bucketed: false (disabled by query planner)"), which also
-    # forfeits bucket pruning. Our tuned session (session.py) turns the
-    # auto-disable off at build time so shared-session plans never
-    # depend on query order; this defensive set covers DRIVER-built
-    # cold sessions, which plan lazily (at their own collect), so a
-    # restore-before-return would undo the property under test.
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    o_name, _ = bucketed_tables(spark, sf_dir)
+    # forfeits bucket pruning. The override must hold at PLAN time —
+    # which for a driver-built cold session is its own later collect —
+    # so instead of mutating the caller's conf (the r06-advice
+    # side-effect: one registry query silently changing every later
+    # bucketed plan on a user session), scope it to a CHILD session:
+    # newSession() shares the SparkContext and catalog (the bucketed
+    # table is visible) but has isolated conf, so the returned
+    # DataFrame plans bucket-aware while the caller's session is
+    # untouched.
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    o_name, _ = bucketed_tables(scoped, sf_dir)
     return (
-        spark.table(o_name)
+        scoped.table(o_name)
         .filter(F.col("o_custkey") == LOOKUP_CUSTKEY)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     )

@@ -421,7 +421,7 @@ _MOD31 = 2147483648  # pre-reduce the key so the multiply can never overflow BIG
 _SHARD_ORACLE = f"""
 WITH d AS (
     SELECT doc_id,
-           ((doc_id * {_KNUTH}) % {_MOD32}) % {N_SHARDS} AS shard,
+           (((doc_id % {_MOD31}) * {_KNUTH}) % {_MOD32}) % {N_SHARDS} AS shard,
            len(string_split(text, ' ')) AS n_tokens
     FROM documents
 ),

@@ -87,7 +87,31 @@ _QUERY_MODULES = [
 # double-proven r01/r02 queries last). Rotate this list each round to
 # move the remaining unchecked tail through the window.
 _PRIORITY = [
-    # ---- round-6 window ----
+    # ---- round-7 window ----
+    # The 7 queries with zero driver rows after six rounds (VERDICT r06
+    # item 1) — the final rotation: with these, all registered queries
+    # have driver evidence:
+    "q_bucket_pruned_lookup",
+    "q_group_reservoir",
+    "q_histogram_prices",
+    "q_knn_join",
+    "q_left_interval_join",
+    "q_profile_columns",
+    "q_stream_available_now",
+    "q_countmin_heavy_hitters",
+    # New round-7 operators:
+    "q_python_datasource_stream_part",  # partition-planned stream reader (r06 scale-killer fix)
+    # Queries whose implementation or oracle changed this round (the
+    # r06-advice mod-2^31 oracle alignment + side-effect-free bucket
+    # lookup + atomic tier-dim write) — re-prove through the driver:
+    "q_kfold_assign",
+    "q_weighted_sample",
+    "q_sample_deterministic",
+    "q_shard_assign",
+    "q_pii_redact",
+    "q_dynamic_partition_pruning",
+    # ---- round-6 window (proven r06; follows for re-proof in leftover
+    # slots) ----
     # The 7 queries with zero driver rows after five rounds (VERDICT r05
     # item 2) — three of them upgraded this round from rows-only to
     # oracle-backed (portable md5 hash family; SQL-replayed LCG planes):
@@ -131,12 +155,8 @@ _PRIORITY = [
     "q_dedup_incremental",      # delta probes the historical band index
     "q_embedding_neardup_lsh",  # banded hyperplane LSH over the whole corpus
     "q_token_entropy",          # per-doc Shannon entropy quality signal
-    "q_kfold_assign",           # portable-hash k-fold census
-    "q_pii_redact",             # native-regexp identifier scrubbing audit
     "q_rolling_zscore",         # decimal-exact rolling anomaly detection
     "q_pagerank_neardup",       # iterative weighted mass propagation, unrolled-CTE oracle
-    "q_weighted_sample",        # A-Res weighted sampling by portable hash
-    "q_dynamic_partition_pruning",  # runtime star-join partition filter
     "q_session_dynamic_gap",        # per-event-gap sessionization
     "q_stream_session_dynamic",     # its real-stream twin (merging state, varying gap)
     "q_peak_concurrency",           # segmented sweep-line, never a global window
@@ -151,21 +171,7 @@ _PRIORITY = [
     "q_ann_lsh_topk",      # multi-probe LSH, SQL-replayed buckets
     "q_minhash_lsh_pairs",  # portable family + exact band-tuple join
     "q_simhash_pairs",      # portable family
-    # ---- below the 50-row window this round (least-incremental driver
-    # evidence: left_interval is transitively covered by the inner twin
-    # (hash-green r05) + the stream left-outer oracle; reservoir by the
-    # kfold/weighted hash-sampling family; bucket lookup's real claim
-    # is its SelectedBucketsCount plan test). All three stay
-    # oracle-checked locally every CI run. ----
-    "q_left_interval_join",
-    "q_group_reservoir",
-    "q_bucket_pruned_lookup",
-    "q_stream_available_now",  # same oracle as q_stream_tumbling (driver-green r05)
-    "q_histogram_prices",      # plain floor bucketing, locally oracle-checked
-    "q_knn_join",              # exact batch kNN shape = embedding_topk (green r02) + window top-k
-    "q_profile_columns",       # column census, locally oracle-checked
-    "q_countmin_heavy_hitters",  # 4th tolerance-flag sketch; 3 siblings hold window slots
-    # ---- remaining ~36 slots: registration order follows, which
+    # ---- remaining slots: registration order follows, which
     # front-loads the r01/r02-vintage parity operators (flagship,
     # transform, quality, dedup, report, joins ...) — re-proving the
     # oldest evidence against this round's regenerated testdata. ----

@@ -108,3 +108,53 @@ def test_python_stream_source_checkpoint_resume(spark, tmp_path):
     back = spark.read.parquet(str(sink))
     assert back.count() == STREAM_TOTAL_ROWS
     assert back.select("row_id").distinct().count() == STREAM_TOTAL_ROWS
+
+
+def test_partitioned_stream_reader_plans_shard_cuts():
+    """partitions(start, end) must split the admitted row-id range on
+    shard boundaries (one shard per InputPartition, no gaps/overlaps)
+    and the offset cursor must drain the bounded row space in
+    STREAM_BATCH_ROWS steps — driver does bookkeeping only; every row
+    is produced in read(partition) on executors."""
+    from facebook_ad_library_data_pipeline_spark.sources.pysource import (
+        STREAM_BATCH_ROWS,
+        STREAM_TOTAL_ROWS,
+        SyntheticEventsPartitionedStreamReader,
+    )
+
+    r = SyntheticEventsPartitionedStreamReader()
+    assert r.initialOffset() == {"offset": 0}
+    # Cursor advances in batch-sized steps and clamps at the end.
+    seen = [0]
+    while seen[-1] < STREAM_TOTAL_ROWS:
+        seen.append(r.latestOffset()["offset"])
+    assert seen[1] - seen[0] == STREAM_BATCH_ROWS
+    assert seen[-1] == STREAM_TOTAL_ROWS
+
+    # A range spanning 2.5 shards cuts into exactly 3 single-shard parts.
+    parts = r.partitions(
+        {"offset": SYNTH_ROWS_PER_SHARD // 2}, {"offset": SYNTH_ROWS_PER_SHARD * 3}
+    )
+    spans = [(p.start, p.end) for p in parts]
+    assert spans == [
+        (SYNTH_ROWS_PER_SHARD // 2, SYNTH_ROWS_PER_SHARD),
+        (SYNTH_ROWS_PER_SHARD, SYNTH_ROWS_PER_SHARD * 2),
+        (SYNTH_ROWS_PER_SHARD * 2, SYNTH_ROWS_PER_SHARD * 3),
+    ]
+    # No gaps/overlaps, each confined to one shard.
+    for (s, e) in spans:
+        assert (e - 1) // SYNTH_ROWS_PER_SHARD == s // SYNTH_ROWS_PER_SHARD
+
+    # read() is a pure function of the partition — executor-safe — and
+    # reproduces the LCG closed form.
+    batch = next(iter(r.read(parts[0])))
+    import numpy as np
+
+    rid = batch.column("row_id").to_numpy()
+    val = batch.column("value").to_numpy()
+    assert rid[0] == SYNTH_ROWS_PER_SHARD // 2 and len(rid) == SYNTH_ROWS_PER_SHARD // 2
+    assert (val == (1103515245 * rid + 12345) % 2147483648).all()
+
+    # Empty admit range still yields one (empty) partition.
+    empty = r.partitions({"offset": 5}, {"offset": 5})
+    assert len(empty) == 1 and empty[0].start == empty[0].end

@@ -24,7 +24,7 @@ def test_redact_rules_fixture(spark):
     contains none of the originals."""
     rows = [
         (1, "contact alice.smith+x@example.co.uk or bob@mail.org today"),
-        (2, "call 25-989-741-2988 or 212-555-0100 x"),  # 2nd: not 2-3-3/4-4 shape
+        (2, "call 25-989-741-2988 or 212-555-0100 x"),  # 4-group intl + NANP 3-3-4
         (3, "server at 192.168.0.1 and 10.0.0.255 responded"),
         (4, "order #1234567 for Customer#000000042"),
         (5, "clean text with no identifiers at all"),
@@ -34,8 +34,9 @@ def test_redact_rules_fixture(spark):
 
     assert out[1]["email_hits"] == 2
     assert "[EMAIL]" in out[1]["text"] and "@" not in out[1]["text"]
-    assert out[2]["phone_hits"] == 1
+    assert out[2]["phone_hits"] == 2
     assert "[PHONE]" in out[2]["text"] and "25-989-741-2988" not in out[2]["text"]
+    assert "212-555-0100" not in out[2]["text"]
     assert out[3]["ipv4_hits"] == 2
     assert "192.168.0.1" not in out[3]["text"]
     assert out[4]["account_id_hits"] == 2
@@ -160,3 +161,36 @@ def test_portable_hash_survives_huge_keys(spark):
     )
     out = df.select(kfold_col("doc_id").alias("fold")).collect()
     assert all(0 <= r["fold"] < K_FOLDS for r in out)
+
+
+def test_portable_hash_oracle_parity_huge_keys(spark):
+    """The oracle SQL twins now apply the SAME mod-2^31 pre-reduction
+    as the Spark side, so for ids beyond 2^31 both engines compute the
+    identical fold/sample decision (the r06-advice gap: the unreduced
+    oracle diverged AND overflowed BIGINT)."""
+    import duckdb
+
+    from facebook_ad_library_data_pipeline_spark.operators.splits import (
+        _FOLD_KNUTH,
+        _FOLD_MOD32,
+        _FOLD_SALT,
+        _MOD31,
+    )
+
+    ids = [0, 1, 2**31 - 1, 2**31, 5_000_000_000, 9_000_000_000_000]
+    spark_out = {
+        r["doc_id"]: r["fold"]
+        for r in spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        .select("doc_id", kfold_col("doc_id").alias("fold"))
+        .collect()
+    }
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            f"""SELECT doc_id,
+                       (((((doc_id + {_FOLD_SALT}) % {_MOD31}) * {_FOLD_KNUTH})
+                          % {_FOLD_MOD32})) % {K_FOLDS} AS fold
+                FROM (SELECT unnest({ids}::BIGINT[]) AS doc_id)"""
+        ).fetchall()
+    )
+    assert spark_out == duck
