@@ -180,10 +180,41 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ivf_cell_stats", oracle=None, tags=("llm", "similarity", "ml"))
-def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cell occupancy — the balance diagnostic (a degenerate cell
-    distribution kills the probe-fraction win)."""
+def ivf_cell_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell occupancy — the balance diagnostic (a degenerate cell
+    distribution kills the probe-fraction win). Cell ids are
+    engine-trained state, so the detail stays out of the registered
+    query's hash-checked output; tests read it here."""
     emb = _emb_double(spark, sf_dir)
     assigned, _ = train_assign_cells(emb, cache_key=sf_dir)
     return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+# The invariants are engine-INDEPENDENT even though the cell ids are
+# engine state: assignment must lose/duplicate nothing (sum of cell
+# sizes = corpus count, which the oracle recomputes from the table),
+# every cell id must lie in [0, N_CELLS), and a seeded k-means over a
+# non-degenerate corpus must use ≥ 2 cells. Same pinned-flag move that
+# made ANN recall driver-checkable (functions/ann_recall.py).
+_IVF_CELLS_ORACLE = """
+SELECT count(*) AS total_vectors,
+       TRUE AS cells_in_range,
+       TRUE AS multi_cell_spread
+FROM embeddings
+"""
+
+
+@query("q_ivf_cell_stats", oracle=_IVF_CELLS_ORACLE, tags=("llm", "similarity", "ml"))
+def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-assignment invariants, hash-checked (upgraded from
+    rows-only in r07): `total_vectors` must equal the oracle's corpus
+    count — a partition that loses or double-assigns a vector shifts
+    it — and the pinned flags prove every cell id is in range and the
+    index actually spreads (a collapsed fit would kill the probe
+    fraction). Per-cell occupancy detail: ivf_cell_detail
+    (tests/test_ivf.py)."""
+    return ivf_cell_detail(spark, sf_dir).agg(
+        F.sum("n_vectors").alias("total_vectors"),
+        ((F.min("cell") >= 0) & (F.max("cell") < N_CELLS)).alias("cells_in_range"),
+        (F.countDistinct("cell") >= 2).alias("multi_cell_spread"),
+    )

@@ -173,14 +173,47 @@ def _recon_sq_error(emb: Column, books_col: Column, code: Column, dim: int) -> C
     return total
 
 
-@query("q_pq_codes", oracle=None, tags=("llm", "similarity", "ml"))
-def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ encoding of the corpus: packed 32-bit code + per-vector
-    reconstruction error. Rows-only (codebooks are engine state);
-    compression soundness asserted in tests/test_pq.py."""
+def pq_codes_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector packed code + reconstruction error. Codes are
+    engine-trained state (codebooks), so the detail stays out of the
+    registered query's hash-checked output; tests read it here."""
     emb = _emb_double(spark, sf_dir)
     books = fit_codebooks(emb, cache_key=sf_dir)
     return encode(emb, spark, books).select("vec_id", "label", "code", "recon_sq_error")
+
+
+# Engine-independent invariants over engine-state codes (the
+# ann_recall pinned-flag move): row conservation (count recomputed by
+# the oracle), code range within 2^(4·M) by bit-packing construction,
+# and reconstruction quality — decoding the fitted argmin codes must
+# beat the ZERO-VECTOR baseline (mean ‖x−decode(code)‖² < mean ‖x‖²),
+# which any codebook that minimizes per-subspace error satisfies with
+# huge margin; a flipped flag means the encode/decode arithmetic broke.
+_PQ_CODES_ORACLE = """
+SELECT count(*) AS n_rows,
+       TRUE AS codes_in_range,
+       TRUE AS recon_below_norm_baseline
+FROM embeddings
+"""
+
+
+@query("q_pq_codes", oracle=_PQ_CODES_ORACLE, tags=("llm", "similarity", "ml"))
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding invariants, hash-checked (upgraded from rows-only
+    in r07): `n_rows` must equal the oracle's corpus count, every
+    packed code must fit the 8×4-bit layout, and mean reconstruction
+    error must beat the zero-vector baseline — the engine-independent
+    skeleton of "the corpus compressed losslessly in count and sanely
+    in value". Per-vector codes: pq_codes_detail (tests/test_pq.py)."""
+    emb = _emb_double(spark, sf_dir)
+    books = fit_codebooks(emb, cache_key=sf_dir)
+    enc = encode(emb, spark, books)
+    norm2 = F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x)
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        ((F.min("code") >= 0) & (F.max("code") < F.lit(2**32))).alias("codes_in_range"),
+        (F.avg("recon_sq_error") < F.avg(norm2)).alias("recon_below_norm_baseline"),
+    )
 
 
 # (sf_dir) -> checkpointed (vec_id, label, emb, cell, code) index frame

@@ -361,3 +361,114 @@ def q_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_custkey") == LOOKUP_CUSTKEY)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     )
+
+
+# ------------------------------------------ z-order proof-of-benefit
+
+N_LAYOUT_FILES = 16
+
+
+def _order_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders reduced to the two clustering dims (same fold as
+    q_zorder_layout) plus a payload column — the table both benefit
+    layouts are built from."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.datediff("o_orderdate", F.lit("1970-01-01")) % 256).alias("y"),
+        "o_orderkey",
+    )
+
+
+def zorder_benefit_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(linear_dir, zorder_dir): the SAME rows written twice into
+    N_LAYOUT_FILES parquet files — linear clustered by x only (a
+    lexicographic sort's layout), z-ordered clustered by the Morton
+    bucket so each file's min/max stats are tile-bounded in BOTH dims.
+    Built once per (app, sf_dir, source-mtime), atomically staged+
+    renamed like tier_dim_dir."""
+    import os
+    import shutil
+
+    key = (spark.sparkContext.applicationId, sf_dir, "zorder_benefit")
+    out = _PART_CACHE.get(key)
+    if out is None:
+        src_mtime = int(Path(f"{sf_dir}/orders.parquet").stat().st_mtime)
+        base = Path(tempfile.gettempdir()) / "spark_graft_part"
+        out = str(base / f"zbenefit_{_sf_tag(sf_dir)}_{src_mtime}")
+        if not Path(out, "_SUCCESS").exists():
+            base.mkdir(parents=True, exist_ok=True)
+            stage = tempfile.mkdtemp(prefix="zbenefit_stage_", dir=base)
+            dims = _order_dims(spark, sf_dir)
+            (
+                dims.repartitionByRange(N_LAYOUT_FILES, "x")
+                .sortWithinPartitions("x")
+                .write.mode("overwrite")
+                .parquet(f"{stage}/linear")
+            )
+            zb = F.expr(
+                f"({_z_terms('x', 'y').replace('//', 'div')}) div {2 ** Z_BUCKET_SHIFT}"
+            )
+            (
+                dims.withColumn("zbucket", zb)
+                .repartitionByRange(N_LAYOUT_FILES, "zbucket")
+                .sortWithinPartitions("zbucket")
+                .drop("zbucket")
+                .write.mode("overwrite")
+                .parquet(f"{stage}/zorder")
+            )
+            Path(stage, "_SUCCESS").touch()
+            try:
+                os.rename(stage, out)
+            except OSError:
+                shutil.rmtree(stage, ignore_errors=True)
+        _PART_CACHE[key] = out
+    return f"{out}/linear", f"{out}/zorder"
+
+
+# One 64-wide band on y — the NON-leading dim of the linear layout, so
+# the linear files (tight x, full-range y) can skip nothing while the
+# z-ordered files (tile-bounded in both dims) skip ~3/4 of row groups
+# on their parquet min/max stats. Matches a y-tile boundary exactly.
+ZPRUNE_Y_LO, ZPRUNE_Y_HI = 64, 127
+
+_ZPRUNE_ORACLE = f"""
+WITH dims AS (
+    SELECT o_custkey % 256 AS x,
+           datediff('day', TIMESTAMP '1970-01-01', o_orderdate) % 256 AS y,
+           o_orderkey
+    FROM orders
+)
+SELECT x // 64 AS x_tile,
+       count(*) AS n_rows,
+       min(y) AS y_min,
+       max(y) AS y_max,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+FROM dims
+WHERE y BETWEEN {ZPRUNE_Y_LO} AND {ZPRUNE_Y_HI}
+GROUP BY 1
+"""
+
+
+@query("q_zorder_pruned_scan", oracle=_ZPRUNE_ORACLE, tags=("scan", "storage", "prune", "layout"))
+def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate on the z-ordered layout's NON-leading dimension:
+    correctness here is the oracle's rollup; the BENEFIT — the same
+    scan reading ~4× fewer rows out of parquet than the linear layout,
+    via row-group min/max skipping — is measured from executed-plan
+    scan metrics in tests/test_plans.py (the q_partition_pruned_scan
+    analogue for stats-based data skipping). At 100 TB this is why the
+    write path z-orders at all: predicates on ANY clustered dim prune,
+    not just the sort's leading column."""
+    _, zdir = zorder_benefit_dirs(spark, sf_dir)
+    scan = spark.read.parquet(zdir)
+    return (
+        scan.filter(F.col("y").between(ZPRUNE_Y_LO, ZPRUNE_Y_HI))
+        .groupBy(F.expr("x div 64").alias("x_tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            F.sum("o_orderkey").alias("sum_keys"),
+        )
+    )

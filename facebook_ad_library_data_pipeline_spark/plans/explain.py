@@ -41,3 +41,33 @@ def simple_plan(df: DataFrame) -> str:
     """queryExecution().simpleString() — carries scan details
     (SelectedBucketsCount, Bucketed:) that formatted mode elides."""
     return df._jdf.queryExecution().simpleString()
+
+
+def scan_metrics(df: DataFrame) -> list[dict]:
+    """Executed-plan metrics of every parquet scan node (numFiles,
+    numOutputRows, ...). The caller must have EXECUTED this exact
+    DataFrame (e.g. via .collect()) first — metrics accumulate on the
+    QueryExecution that ran, and a .count() builds a different one.
+    Descends through AQE wrappers (AdaptiveSparkPlanExec.executedPlan,
+    *QueryStageExec.plan) which hide scan nodes from children()."""
+    out: list[dict] = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if "Scan" in node.nodeName():
+            metrics = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                metrics[kv._1()] = kv._2().value()
+            out.append(metrics)
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        elif "QueryStage" in cls:
+            walk(node.plan())
+        else:
+            for i in range(node.children().length()):
+                walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

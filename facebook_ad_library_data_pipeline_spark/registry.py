@@ -101,6 +101,11 @@ _PRIORITY = [
     "q_countmin_heavy_hitters",
     # New round-7 operators:
     "q_python_datasource_stream_part",  # partition-planned stream reader (r06 scale-killer fix)
+    "q_video_frame_decode",  # real SGVC container + per-frame BMP decode, closed-form oracle
+    "q_zorder_pruned_scan",  # z-layout row-group skipping, benefit measured in test_plans
+    # rows-only -> pinned-invariant oracle upgrades (r07):
+    "q_ivf_cell_stats",
+    "q_pq_codes",
     # Queries whose implementation or oracle changed this round (the
     # r06-advice mod-2^31 oracle alignment + side-effect-free bucket
     # lookup + atomic tier-dim write) — re-prove through the driver:
@@ -118,9 +123,7 @@ _PRIORITY = [
     "q_minhash_signatures",
     "q_simhash_fingerprints",
     "q_ann_bucket_stats",
-    "q_ivf_cell_stats",
     "q_lang_id_udf",
-    "q_pq_codes",
     "q_sample_stratified",
     # r05's one red row, fixed (hist array -> 16 scalar columns) and
     # since upgraded to a full oracle (exact-integer-moment features):

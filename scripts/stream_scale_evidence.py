@@ -1,0 +1,183 @@
+"""Streaming state-bound evidence (SCALE_EVIDENCE.md, round 7).
+
+Claim under test: in the watermarked stream-stream interval join
+(q_stream_stream_join's shape), state-store retention is bounded by
+the WATERMARK WINDOW, not by stream length — a 10× longer stream must
+not grow peak state ~10×.
+
+Method: take sf0.1's events and build a 10× stream by time-shifting
+ten replicas end-to-end (same event density, 10× the time span, ids
+offset so every replica is distinct). Both streams are written as
+time-ordered file slices and driven with maxFilesPerTrigger=1; the
+slice count scales with stream length (a live firehose triggers on a
+fixed cadence, so a 10×-longer stream runs 10× more micro-batches of
+the SAME time span — holding batch count fixed instead would conflate
+per-batch ingest with retained state). Peak/final state rows and
+cumulative evictions are read from
+StreamingQueryProgress.stateOperators — Spark's own state-store
+metrics, measured not asserted.
+
+Usage: python scripts/stream_scale_evidence.py [sf_dir]
+Prints the markdown table for SCALE_EVIDENCE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from facebook_ad_library_data_pipeline_spark.catalog import load_table
+from facebook_ad_library_data_pipeline_spark.session import get_spark
+from facebook_ad_library_data_pipeline_spark.streaming.joins import view_purchase_pairs
+
+N_SLICES = 20  # micro-batches per run (one file slice each)
+
+
+def write_sliced(df, out_dir: Path, n_slices: int) -> int:
+    """Write df as n_slices single-file parquet slices in ts order with
+    strictly increasing mtimes, so the file stream source replays them
+    as an ordered sequence of micro-batches."""
+    out_dir.mkdir(parents=True)
+    total = df.count()
+    # ntile gives equal-size, ts-ordered slices without computing
+    # explicit range boundaries.
+    from pyspark.sql import Window
+
+    sliced = df.withColumn(
+        "slice", F.ntile(n_slices).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, n_slices + 1):
+        part_dir = out_dir / f"slice_{i:03d}"
+        (
+            sliced.filter(F.col("slice") == i)
+            .drop("slice")
+            .coalesce(1)
+            .write.parquet(str(part_dir))
+        )
+        ts = time.time()
+        for f in part_dir.rglob("*.parquet"):
+            os.utime(f, (ts, ts))
+        time.sleep(0.02)
+    # flatten: the stream source watches one dir of parquet files
+    flat = out_dir / "flat"
+    flat.mkdir()
+    k = 0
+    for part_dir in sorted(out_dir.glob("slice_*")):
+        for f in sorted(part_dir.rglob("*.parquet")):
+            k += 1
+            dest = flat / f"{k:04d}.parquet"
+            os.rename(f, dest)
+            ts = time.time()
+            os.utime(dest, (ts, ts))
+            time.sleep(0.02)
+    return total
+
+
+def run_join_stream(spark, flat_dir: Path, schema) -> dict:
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat_dir))
+    )
+    views = events.filter(F.col("event_type") == "view").withWatermark("ts", "1 hour")
+    purchases = events.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    )
+    out = view_purchase_pairs(views, purchases)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    name = f"state_evidence_{flat_dir.parent.name}"
+    t0 = time.perf_counter()
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    wall = time.perf_counter() - t0
+    peak_state = 0
+    final_state = 0
+    removed = 0
+    input_rows = 0
+    batches = 0
+    for p in q.recentProgress:
+        batches += 1
+        input_rows += int(p["numInputRows"])
+        for so in p["stateOperators"]:
+            peak_state = max(peak_state, int(so["numRowsTotal"]))
+            final_state = int(so["numRowsTotal"])
+            removed += int(so["numRowsRemoved"])
+    n_out = spark.table(name).count()
+    q.stop()
+    return dict(
+        input_rows=input_rows,
+        batches=batches,
+        out_rows=n_out,
+        peak_state=peak_state,
+        final_state=final_state,
+        evicted=removed,
+        wall=wall,
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("stream_scale_evidence")
+    # recentProgress keeps only the last N entries by default (20); we
+    # need every micro-batch's state metrics.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", str(N_SLICES * 15))
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.max("event_id").alias("mx")
+    ).collect()[0]
+    span_sec = int((bounds.hi - bounds.lo).total_seconds()) + 3600
+    base = Path(tempfile.mkdtemp(prefix="stream_scale_"))
+
+    # 1× stream: the events as-is.
+    one_dir = base / "one"
+    n1 = write_sliced(ev, one_dir, N_SLICES)
+
+    # 10× stream: ten time-shifted replicas laid end-to-end — same
+    # density, 10× the span. A replica's ids are offset so rows stay
+    # distinct; user_id is NOT offset (the join key distribution is
+    # unchanged, as a longer real stream's would be).
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(k * (bounds.mx + 1))).alias("event_id"),
+            "user_id",
+            "event_type",
+            (F.col("ts") + F.expr(f"INTERVAL {k * span_sec} SECONDS")).alias("ts"),
+        )
+        for k in range(10)
+    ]
+    ten = parts[0]
+    for p in parts[1:]:
+        ten = ten.unionByName(p)
+    ten_dir = base / "ten"
+    n10 = write_sliced(ten, ten_dir, N_SLICES * 10)
+
+    schema = spark.read.parquet(str(one_dir / "flat")).schema
+    r1 = run_join_stream(spark, one_dir / "flat", schema)
+    r10 = run_join_stream(spark, ten_dir / "flat", schema)
+
+    print("| stream | input rows | micro-batches | join rows | peak state rows |"
+          " final state rows | evicted rows | wall s |")
+    print("|---|---|---|---|---|---|---|---|")
+    for label, r in (("1× (sf0.1 events)", r1), ("10× span, same density", r10)):
+        print(
+            f"| {label} | {r['input_rows']} | {r['batches']} | {r['out_rows']} "
+            f"| {r['peak_state']} | {r['final_state']} | {r['evicted']} "
+            f"| {r['wall']:.1f} |"
+        )
+    growth = r10["peak_state"] / max(1, r1["peak_state"])
+    print(f"\npeak-state growth at 10× input: {growth:.2f}× "
+          f"(bounded-by-watermark claim holds if ≪ 10×)")
+
+
+if __name__ == "__main__":
+    main()

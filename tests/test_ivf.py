@@ -31,7 +31,9 @@ def test_ivf_topk_sound_vs_bruteforce(spark, sf_dir):
 def test_ivf_cells_partition_corpus(spark, sf_dir):
     from facebook_ad_library_data_pipeline_spark.catalog import load_table
 
-    stats = REGISTRY["q_ivf_cell_stats"].fn(spark, sf_dir).collect()
+    from facebook_ad_library_data_pipeline_spark.functions.ivf import ivf_cell_detail
+
+    stats = ivf_cell_detail(spark, sf_dir).collect()
     assert sum(r.n_vectors for r in stats) == load_table(spark, sf_dir, "embeddings").count()
     assert 1 < len(stats) <= 16
 

@@ -194,3 +194,47 @@ def test_jpeg_pixel_stats_oracle_match(spark, sf_dir, duck):
 
     q = load_all()["q_jpeg_pixel_stats"]
     assert_matches_oracle(q.fn(spark, sf_dir), q.oracle, duck)
+
+
+def test_video_container_contract():
+    """SGVC container: round-trips frames byte-exact, rejects bad magic
+    and truncated frames (no silent salvage)."""
+    import pytest
+
+    from facebook_ad_library_data_pipeline_spark.multimodal.media import (
+        decode_video_container,
+        encode_video_container,
+    )
+
+    frames = [b"alpha", b"", b"0123456789" * 7]
+    payload = encode_video_container(frames)
+    back = list(decode_video_container(payload))
+    assert back == [(0, b"alpha"), (1, b""), (2, b"0123456789" * 7)]
+
+    with pytest.raises(ValueError, match="magic"):
+        list(decode_video_container(b"XXXX" + payload[4:]))
+    with pytest.raises(ValueError, match="truncated"):
+        list(decode_video_container(payload[:-3]))
+
+
+def test_video_fixture_decode_is_lossless(spark):
+    """A fixture frame encoded to BMP inside the container and decoded
+    back must be pixel-identical (BMP is lossless), and the sampled
+    stats must reflect the original pixels exactly."""
+    import numpy as np
+
+    from facebook_ad_library_data_pipeline_spark.multimodal.bmp import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+    from facebook_ad_library_data_pipeline_spark.multimodal.media import (
+        _video_fixture_pixels,
+        decode_video_container,
+        encode_video_container,
+    )
+
+    px = _video_fixture_pixels(3, 5)
+    payload = encode_video_container([encode_bmp24(px)])
+    ((idx, fb),) = list(decode_video_container(payload))
+    assert idx == 0
+    assert np.array_equal(decode_bmp24(fb), px)

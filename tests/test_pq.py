@@ -10,7 +10,9 @@ REGISTRY = load_all()
 
 
 def test_pq_codes_pack_and_reconstruct(spark, sf_dir):
-    rows = REGISTRY["q_pq_codes"].fn(spark, sf_dir).collect()
+    from facebook_ad_library_data_pipeline_spark.functions.pq import pq_codes_detail
+
+    rows = pq_codes_detail(spark, sf_dir).collect()
     from facebook_ad_library_data_pipeline_spark.catalog import load_table
 
     assert len(rows) == load_table(spark, sf_dir, "embeddings").count()
