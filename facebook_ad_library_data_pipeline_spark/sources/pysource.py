@@ -256,6 +256,16 @@ class SyntheticEventsPartitionedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         s, e = start["offset"], end["offset"]
+        # Restart safety: after a checkpoint recovery Spark re-plans
+        # from the committed offsets (observed call order: partitions(
+        # committed, committed) precedes the first latestOffset), while
+        # a fresh reader instance's cursor is back at 0. Floor the
+        # cursor on every planned range so latestOffset resumes FROM
+        # the checkpoint instead of re-admitting (and then re-skipping)
+        # already-committed ranges — without this, processAllAvailable
+        # on a restarted bounded stream sees latestOffset ≤ committed
+        # and declares the stream drained before it is.
+        self._cur = max(getattr(self, "_cur", 0), e)
         parts = []
         while s < e:
             # Cut at the next shard boundary so each partition's rows

@@ -136,3 +136,160 @@ def q_stream_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# --------------------------- transformWithStateInPandas (Spark 4 API)
+
+# The SUCCESSOR stateful API: where applyInPandasWithState gives one
+# untyped state tuple, transformWithStateInPandas gives a
+# StatefulProcessor with NAMED, TYPED state variables (ValueState /
+# ListState / MapState, optional TTL and timers) managed individually
+# in the state store — the API a long-lived production pipeline should
+# target (fine-grained state eviction, schema evolution per variable).
+# This operator exercises a composite: a ValueState for the running
+# totals plus a MapState keyed by event_type for the per-type
+# breakdown — the shape the single-tuple API forces you to flatten by
+# hand.
+
+EVENT_TYPES = ("click", "purchase", "refund", "signup", "view")
+
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+    + [StructField(f"n_{t}", LongType()) for t in EVENT_TYPES]
+)
+
+
+from pyspark.sql.streaming import StatefulProcessor
+
+
+class UserEngagementProcessor(StatefulProcessor):
+    """StatefulProcessor: per-user engagement totals in a ValueState +
+    per-event-type counts in a MapState. The base-class import is
+    protobuf-free — only the runtime's state-server worker needs
+    google.protobuf (gated in tws_runtime_available)."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "n_events bigint, total_cents bigint"
+        )
+        self._by_type = handle.getMapState(
+            "by_type", "event_type string", "n bigint"
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+        n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            # integer-cent fold: order-independent across micro-batches,
+            # so the SQL oracle reproduces it exactly (functions/money.py
+            # reasoning, Python-side)
+            cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+            for etype, cnt in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._by_type.getValue((etype,))[0]
+                    if self._by_type.containsKey((etype,))
+                    else 0
+                )
+                self._by_type.updateValue((etype,), (prev + int(cnt),))
+        self._totals.update((n, cents))
+        counts = {
+            f"n_{t}": [
+                self._by_type.getValue((t,))[0]
+                if self._by_type.containsKey((t,))
+                else 0
+            ]
+            for t in EVENT_TYPES
+        }
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                **counts,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_engagement_tws(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserEngagementProcessor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+_TWS_ORACLE = f"""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+           AS total_value,
+       {", ".join(
+           f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+           for t in EVENT_TYPES
+       )}
+FROM events
+GROUP BY user_id
+"""
+
+
+def tws_runtime_available() -> bool:
+    """transformWithStateInPandas runs its state protocol over
+    protobuf (pyspark's transform_with_state_driver_worker imports
+    google.protobuf); this container doesn't ship it, and the
+    environment rules forbid installing it. Gate the REGISTRATION on
+    the import so the driver never sees a guaranteed-crash query;
+    the operator itself is complete and unit-tested via a fake state
+    handle (tests/test_streaming.py) so the fold logic is proven even
+    where the runtime can't start."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement via transformWithStateInPandas — the Spark 4
+    typed-state successor API (named ValueState + MapState variables,
+    the taxonomy's 8th pandas-execution kind). Same bounded source and
+    order-independent integer-cent fold as q_stream_stateful_user, so
+    the drained stream hash-matches the relational oracle exactly —
+    including the MapState-backed per-event-type breakdown. Registered
+    only when tws_runtime_available() (see there)."""
+    events = load_events_stream(spark, sf_dir)
+    out = user_engagement_tws(events)
+    run_stream_to_memory(
+        out, "stream_tws_out", output_mode="update", partitions="8"
+    )
+    latest = spark.table("stream_tws_out")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        latest.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+if tws_runtime_available():
+    q_stream_transform_with_state = query(
+        "q_stream_transform_with_state",
+        oracle=_TWS_ORACLE,
+        tags=("streaming", "stateful", "pandas-udf"),
+    )(q_stream_transform_with_state)

@@ -237,3 +237,80 @@ def test_stream_stateful_user_equals_batch(spark, sf_dir):
         assert sn == bn, f"user {uid}: n_events {sn} != {bn}"
         assert abs(sv - bv) < 0.005, f"user {uid}: total_value {sv} != {bv}"
         assert st == bt, f"user {uid}: last_event_type {st} != {bt}"
+
+
+def test_tws_processor_fold_is_batch_split_invariant():
+    """The transformWithStateInPandas processor's fold, driven through
+    a fake typed-state handle (the documented ValueState/MapState API):
+    feeding the same rows as one batch or split across three must
+    produce the identical final snapshot, and that snapshot must equal
+    the plain pandas groupby — the property that makes the streaming
+    query oracle-checkable. (The live runtime needs google.protobuf,
+    absent in this container — see tws_runtime_available.)"""
+    import numpy as np
+    import pandas as pd
+
+    from facebook_ad_library_data_pipeline_spark.streaming.stateful import (
+        UserEngagementProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeMapState:
+        def __init__(self):
+            self._m = {}
+
+        def containsKey(self, k):
+            return tuple(k) in self._m
+
+        def getValue(self, k):
+            return self._m[tuple(k)]
+
+        def updateValue(self, k, v):
+            self._m[tuple(k)] = tuple(v)
+
+    class FakeHandle:
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return FakeValueState()
+
+        def getMapState(self, name, kschema, vschema, ttlDurationMs=None):
+            return FakeMapState()
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "user_id": 42,
+            "event_type": rng.choice(["view", "click", "purchase"], size=30),
+            "value": rng.uniform(0, 50, size=30).round(3),
+        }
+    )
+
+    def run(batches):
+        proc = UserEngagementProcessor()
+        proc.init(FakeHandle())
+        out = None
+        for b in batches:
+            out = pd.concat(list(proc.handleInputRows((42,), iter([b]), None)))
+        return out.iloc[-1]
+
+    whole = run([pdf])
+    split = run([pdf.iloc[:7], pdf.iloc[7:19], pdf.iloc[19:]])
+    assert whole.equals(split)
+    assert whole["n_events"] == 30
+    cents = int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+    assert whole["total_value"] == cents / 100.0
+    counts = pdf["event_type"].value_counts()
+    for t in ("view", "click", "purchase"):
+        assert whole[f"n_{t}"] == counts.get(t, 0)
+    assert whole["n_signup"] == 0 and whole["n_refund"] == 0
