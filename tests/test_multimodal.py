@@ -238,3 +238,24 @@ def test_video_fixture_decode_is_lossless(spark):
     ((idx, fb),) = list(decode_video_container(payload))
     assert idx == 0
     assert np.array_equal(decode_bmp24(fb), px)
+
+
+def test_video_container_roundtrip_property():
+    """Hypothesis: ANY list of frame payloads (including empty frames
+    and empty lists) round-trips through the SGVC container
+    byte-exactly with correct indices."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from facebook_ad_library_data_pipeline_spark.multimodal.media import (
+        decode_video_container,
+        encode_video_container,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.binary(max_size=300), max_size=12))
+    def check(frames):
+        back = list(decode_video_container(encode_video_container(frames)))
+        assert back == list(enumerate(frames))
+
+    check()
