@@ -157,3 +157,149 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE n > 10
         """
     )
+
+
+# Ancestor chains over a derived binary-tree hierarchy on customer
+# keys (parent(k) = k div 2, root = 1): synthetic but deterministic —
+# the org-chart/BOM/graph-reachability RECURSION SHAPE with pure
+# integer arithmetic both engines evaluate identically. Rollup by
+# chain depth keeps the output small while every recursive row feeds
+# a count/sum, so a lost or duplicated iteration shifts the hash.
+_RECURSIVE_ORACLE = """
+WITH RECURSIVE anc(c_custkey, node, depth) AS (
+    SELECT c_custkey, c_custkey, 0 FROM customer
+    UNION ALL
+    SELECT c_custkey, node // 2, depth + 1 FROM anc WHERE node > 1
+)
+SELECT depth,
+       count(*) AS n_rows,
+       count(DISTINCT node) AS n_distinct_nodes,
+       CAST(sum(node) AS BIGINT) AS sum_nodes,
+       CAST(sum(CASE WHEN node = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_root
+FROM anc
+GROUP BY depth
+"""
+
+_SQL_RECURSIVE_SPARK = """
+WITH RECURSIVE anc(c_custkey, node, depth) AS (
+    SELECT c_custkey, c_custkey, 0 FROM customer
+    UNION ALL
+    SELECT c_custkey, node div 2, depth + 1 FROM anc WHERE node > 1
+)
+SELECT depth,
+       count(*) AS n_rows,
+       count(DISTINCT node) AS n_distinct_nodes,
+       CAST(sum(node) AS BIGINT) AS sum_nodes,
+       CAST(sum(CASE WHEN node = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_root
+FROM anc
+GROUP BY depth
+"""
+
+
+@query("q_sql_recursive_cte", oracle=_RECURSIVE_ORACLE, tags=("sql", "iterative"))
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4): walk every customer's ancestor chain
+    up the derived parent(k) = k div 2 binary tree to the root and
+    roll the chains up by depth — the third iterative-algorithm shape
+    in the repo, this time expressed IN SQL and executed by the
+    engine's own recursion operator (UnionLoop) rather than a
+    hand-unrolled driver loop (PageRank) or a min-label fixpoint
+    (connected components). Each iteration is one self-referencing
+    step whose frontier shrinks as chains hit the root; at scale this
+    is the BOM-explosion / org-rollup / graph-reachability workhorse,
+    and Spark's implementation keeps every step a distributed plan
+    (the anchor's partitioning carries through the loop). Integer div
+    is the only arithmetic, so DuckDB's WITH RECURSIVE replays the
+    recursion bit-for-bit."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_RECURSIVE_SPARK)
+
+
+# ------------------------------------------------ Spark 4 collations
+
+_COLLATION_ORACLE = """
+WITH mixed AS (
+    SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS lang_mixed,
+           n_chars
+    FROM documents
+)
+SELECT lower(lang_mixed) AS lang_ci,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM mixed
+GROUP BY lower(lang_mixed)
+"""
+
+
+@query("q_sql_collation", oracle=_COLLATION_ORACLE, tags=("sql", "text", "agg"))
+def q_sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 `COLLATE UTF8_LCASE`): a
+    mixed-case language column (every even doc upper-cased) groups
+    case-INSENSITIVELY under the collated key — 'EN' and 'en' are ONE
+    group to the hash aggregate itself, no lower() normalization pass
+    in the grouping. The oracle replays with explicit lower() (DuckDB
+    has no UTF8_LCASE), which is exactly the equivalence collations
+    promise: collation at the type level = normalization at the
+    expression level, minus the rewrite. Output emits lower(key)
+    because the group's representative variant is engine-chosen.
+    At scale collation rides the same hash shuffle as any group-by —
+    the collation key is computed scan-side."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH mixed AS (
+            SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+                       COLLATE UTF8_LCASE AS lang_mixed,
+                   n_chars
+            FROM documents
+        )
+        SELECT lower(lang_mixed) AS lang_ci,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM mixed
+        GROUP BY lang_mixed
+        """
+    )
+
+
+# ------------------------------------------------ Spark 4 SQL scripting
+
+_SCRIPTING_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CASE WHEN o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above_half_max
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_sql_scripting", oracle=_SCRIPTING_ORACLE, tags=("sql", "scripting"))
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN…END): DECLARE a session variable,
+    SET it from a scalar query, branch on it with IF/ELSE, and use it
+    in the final statement — procedural control flow entirely inside
+    the SQL front end (the migration path for warehouse stored
+    procedures). The script's last statement is the result; the oracle
+    replays the data flow with a scalar subquery, proving the variable
+    plumbing changes nothing about the answer. Each statement is still
+    a full Catalyst-planned distributed query — scripting sequences
+    plans, it does not row-loop."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE half_max DOUBLE DEFAULT 0;
+          SET half_max = (SELECT max(o_totalprice) / 2 FROM orders);
+          IF half_max IS NULL THEN
+            SET half_max = 0;
+          END IF;
+          SELECT o_orderpriority,
+                 count(*) AS n,
+                 CAST(sum(CASE WHEN o_totalprice > half_max THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_above_half_max
+          FROM orders
+          GROUP BY o_orderpriority;
+        END
+        """
+    )

@@ -103,6 +103,10 @@ _PRIORITY = [
     "q_python_datasource_stream_part",  # partition-planned stream reader (r06 scale-killer fix)
     "q_video_frame_decode",  # real SGVC container + per-frame BMP decode, closed-form oracle
     "q_zorder_pruned_scan",  # z-layout row-group skipping, benefit measured in test_plans
+    "q_sql_recursive_cte",   # Spark 4 WITH RECURSIVE (UnionLoop), DuckDB-replayed recursion
+    "q_udtf_polymorphic_ngrams",  # analyze()-derived dynamic UDTF schema
+    "q_sql_collation",       # UTF8_LCASE collated grouping, lower()-replayed oracle
+    "q_sql_scripting",       # BEGIN/END variables + IF, scalar-subquery-replayed oracle
     # rows-only -> pinned-invariant oracle upgrades (r07):
     "q_ivf_cell_stats",
     "q_pq_codes",

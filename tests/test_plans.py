@@ -331,3 +331,17 @@ def test_zorder_layout_prunes_nonleading_dim(spark, sf_dir):
     # the linear layout reads essentially everything.
     assert z_scanned < lin_scanned
     assert z_scanned <= lin_scanned / 2, (z_scanned, lin_scanned)
+
+
+def test_recursive_cte_uses_engine_recursion(spark, sf_dir):
+    """q_sql_recursive_cte must execute through Spark's native
+    recursion operator (UnionLoop) — the point of the query is the
+    engine-evaluated fixpoint, not a hand-unrolled union."""
+    from facebook_ad_library_data_pipeline_spark.operators.sql_frontend import (
+        q_sql_recursive_cte,
+    )
+
+    from facebook_ad_library_data_pipeline_spark.plans.explain import simple_plan
+
+    df = q_sql_recursive_cte(spark, sf_dir)
+    assert "unionloop" in simple_plan(df).lower()
