@@ -124,14 +124,67 @@ def q_lang_id_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", detect_lang_udf("text").alias("detected_lang"))
 
 
-@query("q_sample_stratified", oracle=None, tags=("sampling",))
-def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sample (sampleBy, fixed seed): smaller fraction for
-    the dominant stratum — the data-mix rebalancing primitive. Sampling
-    is engine-specific → rows-only; proportions asserted in tests."""
+SAMPLE_FRACTIONS = {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+# The Bernoulli draw's tolerance ceiling for the one downsampled
+# stratum: distinguishes 0.25 from "downsampling silently not applied"
+# (rate 1.0) with ~5σ headroom even at sf0.001's ~22 en docs
+# (P(rate > 0.75 | p=0.25, n=22) ≈ 1e-8), so the flag can't flake on a
+# regenerated corpus yet flips on the real regression class.
+SAMPLE_EN_RATE_CEIL = 0.75
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampleBy draw itself (fixed seed): smaller fraction for the
+    dominant stratum — the data-mix rebalancing primitive. Row sets
+    are RNG-engine state; proportions asserted in tests and in the
+    registered census below."""
     docs = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
-    return docs.sampleBy("lang", fractions, seed=42)
+    return docs.sampleBy("lang", SAMPLE_FRACTIONS, seed=42)
+
+
+# Full-rate strata are DETERMINISTIC under sampleBy (rand ∈ [0,1) is
+# always < 1.0), so their sampled counts equal the table counts — the
+# oracle recomputes those exactly; only the Bernoulli-downsampled 'en'
+# stratum is genuinely random, and it carries a pinned tolerance flag
+# instead of a count (the ann_recall move applied to RNG sampling).
+_SAMPLE_STRAT_ORACLE = """
+SELECT lang,
+       CASE WHEN lang = 'en' THEN NULL ELSE count(*) END AS n_exact,
+       TRUE AS sampled_ok
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("q_sample_stratified", oracle=_SAMPLE_STRAT_ORACLE, tags=("sampling",))
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-sample census, hash-checked (upgraded from rows-only
+    in r07): runs the real sampleBy draw, then checks per stratum that
+    (a) every full-rate stratum kept EXACTLY its table count — emitted
+    as the count itself, which the oracle recomputes — and (b) the
+    downsampled 'en' stratum's realized rate stayed under
+    SAMPLE_EN_RATE_CEIL (NULL count: the draw is RNG state). A
+    sampler that drops rows from a full stratum, leaks the wrong
+    stratum into the downsample, or stops downsampling flips a value
+    the driver hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_full"))
+    samp = stratified_sample(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_samp")
+    )
+    j = full.join(samp, "lang", "left").withColumn(
+        "n_samp", F.coalesce("n_samp", F.lit(0))
+    )
+    is_en = F.col("lang") == "en"
+    return j.select(
+        "lang",
+        F.when(is_en, F.lit(None).cast("long")).otherwise(F.col("n_samp")).alias("n_exact"),
+        F.when(
+            is_en, F.col("n_samp") <= F.lit(SAMPLE_EN_RATE_CEIL) * F.col("n_full")
+        )
+        .otherwise(F.col("n_samp") == F.col("n_full"))
+        .alias("sampled_ok"),
+    )
 
 
 # Portable-hash sampling (the deterministic twin of sampleBy): keep a

@@ -31,9 +31,11 @@ def test_lang_udf_matches_native_heuristic(spark, sf_dir):
 def test_stratified_sample_downsamples_dominant(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     orig = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    from facebook_ad_library_data_pipeline_spark.operators.extras import stratified_sample
+
     sampled = {
         r.lang: r.n
-        for r in REGISTRY["q_sample_stratified"].fn(spark, sf_dir)
+        for r in stratified_sample(spark, sf_dir)
         .groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     # non-en strata kept whole; en downsampled to roughly a quarter
