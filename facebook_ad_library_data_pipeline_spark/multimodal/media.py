@@ -617,3 +617,205 @@ def q_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the narrow doc_id scan across cores before the Python codec."""
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
     return docs.mapInPandas(_video_roundtrip_stats, schema=VIDEO_STATS_SCHEMA)
+
+
+# ------------------------------------------------- audio (WAV) decode
+
+# Completes the image/audio/video triad with a REAL audio codec
+# (multimodal/wav.py: RIFF/WAVE PCM16, pure stdlib+numpy). Same
+# fixture discipline as the image/video queries: deterministic stereo
+# int16 waveforms encoded to actual WAV bytes, decoded back inside
+# mapInPandas, exact integer sample statistics the oracle reproduces
+# in closed form.
+AUDIO_RATE = 8000
+AUDIO_BASE_SAMPLES = 200
+AUDIO_SAMPLES_MOD = 50
+
+
+def _audio_n_samples(doc_id: int) -> int:
+    return AUDIO_BASE_SAMPLES + doc_id % AUDIO_SAMPLES_MOD
+
+
+def _audio_fixture_samples(doc_id: int):
+    """(n, 2) int16 stereo sawtooth: channel c sample i =
+    ((doc_id·31 + c·7 + i·13) mod 4096) − 2048 — varies per doc,
+    channel, and position, so a channel swap, off-by-one, or
+    endianness break shifts a mean/peak and goes red."""
+    import numpy as np
+
+    n = _audio_n_samples(doc_id)
+    i = np.arange(n, dtype=np.int64)[:, None]
+    c = np.arange(2, dtype=np.int64)[None, :]
+    return (((doc_id * 31 + c * 7 + i * 13) % 4096) - 2048).astype(np.int16)
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate long, "
+    "mean_l double, mean_r double, peak_l long, peak_r long"
+)
+
+
+def _audio_roundtrip_stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    from .wav import decode_wav_pcm16, encode_wav_pcm16
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            payload = encode_wav_pcm16(_audio_fixture_samples(doc_id), AUDIO_RATE)
+            samples, rate = decode_wav_pcm16(payload)
+            s = samples.astype("int64")
+            n = s.shape[0]
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "n_samples": n,
+                    "sample_rate": rate,
+                    "mean_l": int(s[:, 0].sum()) / n,
+                    "mean_r": int(s[:, 1].sum()) / n,
+                    "peak_l": int(abs(s[:, 0]).max()),
+                    "peak_r": int(abs(s[:, 1]).max()),
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_samples", "sample_rate",
+                "mean_l", "mean_r", "peak_l", "peak_r",
+            ],
+        )
+
+
+def _audio_chan_sql(c: int) -> str:
+    return f"((doc_id * 31 + {c * 7} + i * 13) % 4096) - 2048"
+
+
+_AUDIO_ORACLE = f"""
+WITH s AS (
+    SELECT d.doc_id,
+           i.i AS i,
+           {_audio_chan_sql(0)} AS l,
+           {_audio_chan_sql(1)} AS r
+    FROM documents d,
+         generate_series(0, {AUDIO_BASE_SAMPLES + AUDIO_SAMPLES_MOD - 1}) AS i(i)
+    WHERE i.i < {AUDIO_BASE_SAMPLES} + d.doc_id % {AUDIO_SAMPLES_MOD}
+)
+SELECT doc_id,
+       count(*) AS n_samples,
+       {AUDIO_RATE} AS sample_rate,
+       CAST(avg(l) AS DOUBLE) AS mean_l,
+       CAST(avg(r) AS DOUBLE) AS mean_r,
+       CAST(max(abs(l)) AS BIGINT) AS peak_l,
+       CAST(max(abs(r)) AS BIGINT) AS peak_r
+FROM s
+GROUP BY doc_id
+"""
+
+
+@query("q_audio_pcm_stats", oracle=_AUDIO_ORACLE, tags=("llm", "multimodal"))
+def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked: per doc, encode a
+    deterministic stereo int16 waveform to actual RIFF/WAVE PCM bytes
+    and decode them back (chunk walk, fmt validation, interleaved
+    sample reshape — multimodal/wav.py), emitting exact per-channel
+    sample statistics DuckDB reproduces in closed form. With this the
+    multimodal matrix covers image (BMP/PNG/JPEG), video (SGVC
+    container), AND audio with in-tree codecs. Same 100 TB shape:
+    binary payloads in parquet, embarrassingly parallel mapInPandas,
+    no shuffle; fan_out spreads the narrow scan before the Python
+    codec."""
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
+    return docs.mapInPandas(_audio_roundtrip_stats, schema=AUDIO_STATS_SCHEMA)
+
+
+# ------------------------------------------------- image resize
+
+RESIZE_W, RESIZE_H = 5, 4  # 15×12 fixture → 5×4 (exact 3× decimation)
+
+
+def resize_nearest(px, out_h: int, out_w: int):
+    """Nearest-neighbor resize: dst(y, x) = src(⌊y·H/out_h⌋, ⌊x·W/out_w⌋)
+    — the standard NN index map, pure integer arithmetic (vectorized
+    fancy indexing, no interpolation), so the resampled pixel set is
+    exactly predictable for any geometry."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    iy = (np.arange(out_h) * h) // out_h
+    ix = (np.arange(out_w) * w) // out_w
+    return px[iy[:, None], ix[None, :]]
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width long, height long, mean_r double, mean_g double, mean_b double"
+)
+
+
+def _resize_roundtrip_stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    n_px = RESIZE_W * RESIZE_H
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            decoded = decode_bmp24(encode_bmp24(synth_pixels(doc_id)))
+            small = resize_nearest(decoded, RESIZE_H, RESIZE_W).astype("int64")
+            s = small.sum(axis=(0, 1))
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "width": RESIZE_W,
+                    "height": RESIZE_H,
+                    "mean_r": int(s[0]) / n_px,
+                    "mean_g": int(s[1]) / n_px,
+                    "mean_b": int(s[2]) / n_px,
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+        )
+
+
+def _resize_mean_sql(c: int) -> str:
+    # src index map for the 12→4 / 15→5 geometry: y' = (y*12)//4 = 3y,
+    # x' = (x*15)//5 = 3x — restated generically so a geometry edit
+    # that breaks the closed form fails loudly in the oracle.
+    return (
+        f"CAST(avg((doc_id * 7 + ((y * {IMG_H}) // {RESIZE_H}) * 31"
+        f" + ((x * {IMG_W}) // {RESIZE_W}) * 13 + {c * 5}) % 256) AS DOUBLE)"
+    )
+
+
+_RESIZE_ORACLE = f"""
+WITH px AS (
+    SELECT d.doc_id, y.y, x.x
+    FROM documents d,
+         generate_series(0, {RESIZE_H - 1}) AS y(y),
+         generate_series(0, {RESIZE_W - 1}) AS x(x)
+)
+SELECT doc_id,
+       {RESIZE_W} AS width,
+       {RESIZE_H} AS height,
+       {_resize_mean_sql(0)} AS mean_r,
+       {_resize_mean_sql(1)} AS mean_g,
+       {_resize_mean_sql(2)} AS mean_b
+FROM px
+GROUP BY doc_id
+"""
+
+
+@query("q_image_resize", oracle=_RESIZE_ORACLE, tags=("llm", "multimodal"))
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE through the real codec path: encode the fixture to
+    BMP, decode, nearest-neighbor-resample 15×12 → 5×4 (the standard
+    ⌊dst·src/out⌋ index map), emit resized channel means the oracle
+    reproduces by applying the same index map to the pixel closed
+    form. Covers the mandated decode → RESIZE → feature shape (a
+    thumbnail/embedding-preprocessing pass); swap resize_nearest for a
+    filtered resampler without touching the Spark plumbing. Same
+    mapInPandas posture as every decode query."""
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
+    return docs.mapInPandas(_resize_roundtrip_stats, schema=RESIZE_SCHEMA)

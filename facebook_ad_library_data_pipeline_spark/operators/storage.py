@@ -472,3 +472,71 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("sum_keys"),
         )
     )
+
+
+# ------------------------------------------------------- compaction
+
+COMPACT_SMALL_FILES = 40
+COMPACT_TARGET_FILES = 4
+
+
+@query(
+    "q_compaction",
+    oracle=f"""
+SELECT {COMPACT_SMALL_FILES} AS n_files_before,
+       {COMPACT_TARGET_FILES} AS n_files_after,
+       count(*) AS n_rows,
+       TRUE AS rows_conserved,
+       TRUE AS files_reduced
+FROM orders
+""",
+    tags=("storage", "maintenance"),
+)
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance pass every
+    append-heavy 100 TB dataset needs (streaming sinks and frequent
+    batch appends produce K-byte files whose per-file open/footer cost
+    eventually dominates scans): rewrite a {COMPACT_SMALL_FILES}-file
+    layout into {COMPACT_TARGET_FILES} right-sized files and prove
+    row-exact conservation. File counts are DETERMINISTIC (explicit
+    repartition on write, AQE does not coalesce user-specified
+    numbers), so the oracle pins them alongside the table's row count;
+    `rows_conserved` compares pre/post counts computed from the actual
+    layouts. In production the file-count knob is target-size-driven
+    (total_bytes / 128 MB); the rewrite shape — one round-robin
+    shuffle, no key semantics — is the same."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    work = Path(tempfile.mkdtemp(prefix="compact_"))
+    try:
+        small = work / "small"
+        o.repartition(COMPACT_SMALL_FILES).write.parquet(str(small))
+        before = spark.read.parquet(str(small))
+        n_files_before = len(list(small.glob("part-*.parquet")))
+        compacted = work / "compacted"
+        before.repartition(COMPACT_TARGET_FILES).write.parquet(str(compacted))
+        after = spark.read.parquet(str(compacted))
+        n_files_after = len(list(compacted.glob("part-*.parquet")))
+        n_before = before.count()
+        n_after = after.count()
+        row = [
+            (
+                n_files_before,
+                n_files_after,
+                n_after,
+                n_before == n_after,
+                n_files_after < n_files_before,
+            )
+        ]
+        return spark.createDataFrame(
+            row,
+            "n_files_before int, n_files_after int, n_rows bigint, "
+            "rows_conserved boolean, files_reduced boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -107,6 +107,9 @@ _PRIORITY = [
     "q_udtf_polymorphic_ngrams",  # analyze()-derived dynamic UDTF schema
     "q_sql_collation",       # UTF8_LCASE collated grouping, lower()-replayed oracle
     "q_sql_scripting",       # BEGIN/END variables + IF, scalar-subquery-replayed oracle
+    "q_audio_pcm_stats",     # real RIFF/WAVE PCM16 codec round trip, closed-form oracle
+    "q_image_resize",        # decode -> nearest-neighbor resize -> stats, index-map oracle
+    "q_compaction",          # small-files rewrite, pinned file counts + row conservation
     # rows-only -> pinned-invariant oracle upgrades (r07):
     "q_ivf_cell_stats",
     "q_pq_codes",

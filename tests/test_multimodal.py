@@ -259,3 +259,60 @@ def test_video_container_roundtrip_property():
         assert back == list(enumerate(frames))
 
     check()
+
+
+def test_wav_codec_roundtrip_and_contract():
+    """PCM16 WAV: mono and stereo round-trip sample-exact; the decoder
+    walks past unknown chunks; bad magic / truncation / non-PCM raise."""
+    import numpy as np
+    import pytest
+
+    from facebook_ad_library_data_pipeline_spark.multimodal.wav import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    mono = (np.arange(-50, 50, dtype=np.int16)) * 300
+    payload = encode_wav_pcm16(mono, 44100)
+    back, rate = decode_wav_pcm16(payload)
+    assert rate == 44100 and back.shape == (100, 1)
+    assert np.array_equal(back[:, 0], mono)
+
+    stereo = np.stack([mono, mono[::-1]], axis=1)
+    back2, _ = decode_wav_pcm16(encode_wav_pcm16(stereo))
+    assert np.array_equal(back2, stereo)
+
+    # tolerate an unknown chunk between fmt and data (LIST of 3 bytes,
+    # padded to 4 per RIFF)
+    import struct
+
+    p = encode_wav_pcm16(mono)
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc\x00"
+    patched = p[:fmt_end] + extra + p[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    back3, _ = decode_wav_pcm16(patched)
+    assert np.array_equal(back3[:, 0], mono)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_pcm16(b"XXXX" + p[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav_pcm16(p[:-5])
+    with pytest.raises(ValueError, match="expected int16"):
+        encode_wav_pcm16(mono.astype(np.int32))
+
+
+def test_resize_nearest_general_geometry():
+    """resize_nearest must implement the standard NN index map for
+    non-integer scale factors too (7×5 → 3×2), picking exactly
+    src[⌊y·7/3⌋, ⌊x·5/2⌋]."""
+    import numpy as np
+
+    from facebook_ad_library_data_pipeline_spark.multimodal.media import resize_nearest
+
+    src = np.arange(7 * 5 * 3, dtype=np.uint8).reshape(7, 5, 3)
+    out = resize_nearest(src, 3, 2)
+    iy = [(y * 7) // 3 for y in range(3)]
+    ix = [(x * 5) // 2 for x in range(2)]
+    expect = src[np.array(iy)[:, None], np.array(ix)[None, :]]
+    assert np.array_equal(out, expect)
