@@ -98,3 +98,41 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.expr("variant_get(v, '$.missing', 'string')").isNull(), 1).otherwise(0)
         ).alias("n_missing"),
     )
+
+
+# ---------------------------------------------------------- XML extract
+
+_XML_ORACLE = """
+SELECT c_mktsegment AS segment,
+       count(*) AS n,
+       CAST(sum(c_custkey) AS BIGINT) AS sum_keys,
+       CAST(sum(c_nationkey) AS BIGINT) AS sum_nations
+FROM customer
+"""
+
+
+@query("q_xml_extract", oracle=_XML_ORACLE + "GROUP BY c_mktsegment", tags=("xml", "scalar"))
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (`from_xml`, Spark 4's XML scalar
+    function): serialize each customer into an XML fragment, parse it
+    back with a declared schema, and aggregate the PARSED fields — a
+    full encode→parse round trip whose oracle computes the same rollup
+    straight from the source columns, so any parse loss (dropped
+    element, type coercion, entity mangling) shifts a sum. All
+    JVM-side expressions (concat + from_xml), scan-side map at 100 TB
+    — the shape for ingesting XML feeds (sitemaps, legacy exports)
+    without a preprocessing hop."""
+    cust = load_table(spark, sf_dir, "customer")
+    xml = F.concat(
+        F.lit("<c><k>"), F.col("c_custkey"),
+        F.lit("</k><n>"), F.col("c_nationkey"),
+        F.lit("</n><seg>"), F.col("c_mktsegment"), F.lit("</seg></c>"),
+    )
+    parsed = cust.select(
+        F.from_xml(xml, "k BIGINT, n BIGINT, seg STRING").alias("x")
+    ).select("x.*")
+    return parsed.groupBy(F.col("seg").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_keys"),
+        F.sum("n").alias("sum_nations"),
+    )

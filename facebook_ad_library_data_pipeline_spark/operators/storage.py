@@ -540,3 +540,38 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------- aggregate pushdown scan
+
+_AGG_PUSH_ORACLE = """
+SELECT min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key,
+       count(*) AS n_rows
+FROM orders
+"""
+
+
+@query("q_agg_pushdown_scan", oracle=_AGG_PUSH_ORACLE, tags=("scan", "storage", "agg"))
+def q_agg_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX/COUNT answered from parquet FOOTER STATISTICS, zero data
+    pages read: on the DataSource V2 path with
+    `spark.sql.parquet.aggregatePushdown`, the whole aggregation is
+    pushed into the scan (`PushedAggregation: [MIN(..), MAX(..),
+    COUNT(*)]`, plan-asserted in tests/test_plans.py) — at 100 TB the
+    difference between touching every row group's pages and touching
+    only their metadata. Scoped to a child session (the V2-source and
+    pushdown confs must hold at plan time; the caller's conf is never
+    mutated — same pattern as q_bucket_pruned_lookup). Restriction
+    worth knowing: footer-stats pushdown only fires for whole-table
+    aggregates with no row filter — a WHERE clause silently reverts to
+    a normal scan, which is why the plan test exists."""
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.sources.useV1SourceList", "")
+    scoped.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    o = load_table(scoped, sf_dir, "orders")
+    return o.agg(
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

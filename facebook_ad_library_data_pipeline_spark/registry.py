@@ -110,6 +110,9 @@ _PRIORITY = [
     "q_audio_pcm_stats",     # real RIFF/WAVE PCM16 codec round trip, closed-form oracle
     "q_image_resize",        # decode -> nearest-neighbor resize -> stats, index-map oracle
     "q_compaction",          # small-files rewrite, pinned file counts + row conservation
+    "q_agg_pushdown_scan",   # min/max/count from parquet footer stats (PushedAggregation)
+    "q_stream_tumbling_rocksdb",  # RocksDB state-store provider, same oracle as default store
+    "q_xml_extract",         # from_xml round trip, source-column-replayed oracle
     # rows-only -> pinned-invariant oracle upgrades (r07):
     "q_ivf_cell_stats",
     "q_pq_codes",

@@ -448,3 +448,25 @@ def q_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_counts(events)
     run_stream_to_memory(agg, "stream_available_now_out", available_now=True)
     return spark.table("stream_available_now_out")
+
+
+@query("q_stream_tumbling_rocksdb", oracle=_TUMBLING_ORACLE, tags=("streaming", "state-store"))
+def q_stream_tumbling_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window stream on the ROCKSDB state-store provider —
+    the production state backend at 100 TB/day: the default HDFS-backed
+    store keeps every key in executor heap (state size caps at memory),
+    while RocksDB spills to local disk with incremental changelog
+    checkpointing, so state scales with SSD, not heap. Same
+    transformation, same oracle as q_stream_tumbling: the provider is
+    pure configuration (session-scoped here via a child session, so a
+    registry query never mutates the caller's conf), and the identical
+    hash proves the swap changes durability mechanics, not results."""
+    scoped = spark.newSession()
+    scoped.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    events = load_events_stream(scoped, sf_dir).withWatermark("ts", "1 hour")
+    agg = tumbling_counts(events)
+    run_stream_to_memory(agg, "stream_tumbling_rocksdb_out")
+    return scoped.table("stream_tumbling_rocksdb_out")

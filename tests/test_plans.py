@@ -345,3 +345,19 @@ def test_recursive_cte_uses_engine_recursion(spark, sf_dir):
 
     df = q_sql_recursive_cte(spark, sf_dir)
     assert "unionloop" in simple_plan(df).lower()
+
+
+def test_agg_pushdown_reaches_parquet_footer(spark, sf_dir):
+    """q_agg_pushdown_scan's whole point is PushedAggregation — the
+    min/max/count answered from footer stats, not data pages. Assert
+    the pushed list names all three; if the V2/pushdown confs stop
+    holding at plan time this reverts silently to a full scan, which
+    is exactly the regression to catch."""
+    from facebook_ad_library_data_pipeline_spark.operators.storage import q_agg_pushdown_scan
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = q_agg_pushdown_scan(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PushedAggregation" in plan
+    for frag in ("MIN(o_orderkey)", "MAX(o_orderkey)", "COUNT(*)"):
+        assert frag in plan, frag
