@@ -488,9 +488,16 @@ def decode_video_container(payload: bytes):
 
     if payload[:4] != VIDEO_MAGIC:
         raise ValueError(f"unrecognized video magic {payload[:4]!r}")
+    if len(payload) < 8:
+        raise ValueError(f"truncated header: {len(payload)} bytes")
     (n,) = struct.unpack_from("<I", payload, 4)
     off = 8
     for i in range(n):
+        # explicit bound checks so ANY truncation raises the documented
+        # ValueError, never struct.error (a cut inside a length prefix
+        # must hit the same quarantine path as a cut inside a frame)
+        if off + 4 > len(payload):
+            raise ValueError(f"truncated length prefix of frame {i} at {off}")
         (ln,) = struct.unpack_from("<I", payload, off)
         off += 4
         if off + ln > len(payload):

@@ -254,6 +254,45 @@ _DPP_TIERS = {"purchase": "gold", "click": "gold", "view": "bronze",
               "signup": "bronze", "refund": "bronze"}
 
 
+def _publish_atomic(out: Path, prefix: str, build) -> None:
+    """Build a shared layout dir under a unique staged path and
+    atomically rename() it into `out`. Concurrent-app safe: two apps
+    racing both produce identical bytes and the loser discards its
+    staged copy — but ONLY after verifying the winner's copy is
+    complete (`_SUCCESS` present). A rename failure against a partial
+    `out` (a crashed writer from before this protocol, an interrupted
+    external copy) clears the corpse and retries once, restoring the
+    self-heal the old mode('overwrite') path had; anything still
+    failing raises rather than caching a corrupt path forever."""
+    import os
+    import shutil
+
+    if Path(out, "_SUCCESS").exists():
+        return
+    base = out.parent
+    base.mkdir(parents=True, exist_ok=True)
+    stage = Path(tempfile.mkdtemp(prefix=prefix, dir=base))
+    build(stage)
+    try:
+        os.rename(stage, out)
+        return
+    except OSError:
+        if Path(out, "_SUCCESS").exists():
+            # a concurrent app won the race with a COMPLETE copy
+            shutil.rmtree(stage, ignore_errors=True)
+            return
+        # partial/corrupt dir at the target: clear it and retry once
+        shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.rename(stage, out)
+    except OSError:
+        if Path(out, "_SUCCESS").exists():
+            shutil.rmtree(stage, ignore_errors=True)
+            return
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+
+
 def tier_dim_dir(spark: SparkSession, sf_dir: str) -> str:
     """Tiny (event_type, tier) dim as a parquet table — DPP needs a
     runtime build side; an in-memory LocalRelation can constant-fold
@@ -261,33 +300,22 @@ def tier_dim_dir(spark: SparkSession, sf_dir: str) -> str:
     tier map itself (the same staleness guard partitioned_events_dir
     gets from the source mtime): editing _DPP_TIERS must rewrite the
     parquet, or the oracle's inline VALUES would diverge from a stale
-    cached dim. Concurrent-app safe: the dir is written under a
-    per-call unique temp name and atomically rename()d into the shared
-    digest path — two apps racing both produce identical bytes and the
-    loser just discards its copy (the r06-advice fix for the non-atomic
-    `_SUCCESS`-existence-then-overwrite race)."""
+    cached dim. Published via _publish_atomic (see there for the
+    race/corruption contract)."""
     import hashlib
-    import os
-    import shutil
 
     key = (spark.sparkContext.applicationId, sf_dir, "tier_dim")
     out = _PART_CACHE.get(key)
     if out is None:
         digest = hashlib.md5(repr(sorted(_DPP_TIERS.items())).encode()).hexdigest()[:10]
-        base = Path(tempfile.gettempdir()) / "spark_graft_part"
-        out = str(base / f"tier_dim_{digest}")
-        if not Path(out, "_SUCCESS").exists():
-            base.mkdir(parents=True, exist_ok=True)
-            stage = tempfile.mkdtemp(prefix=f"tier_dim_{digest}_stage_", dir=base)
+        out = str(Path(tempfile.gettempdir()) / "spark_graft_part" / f"tier_dim_{digest}")
+
+        def build(stage: Path) -> None:
             spark.createDataFrame(
                 sorted(_DPP_TIERS.items()), ["event_type", "tier"]
-            ).coalesce(1).write.mode("overwrite").parquet(stage)
-            try:
-                os.rename(stage, out)
-            except OSError:
-                # Another app renamed first; contents are digest-equal,
-                # so drop our staged copy and use theirs.
-                shutil.rmtree(stage, ignore_errors=True)
+            ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+
+        _publish_atomic(Path(out), f"tier_dim_{digest}_stage_", build)
         _PART_CACHE[key] = out
     return out
 
@@ -385,26 +413,25 @@ def zorder_benefit_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     N_LAYOUT_FILES parquet files — linear clustered by x only (a
     lexicographic sort's layout), z-ordered clustered by the Morton
     bucket so each file's min/max stats are tile-bounded in BOTH dims.
-    Built once per (app, sf_dir, source-mtime), atomically staged+
-    renamed like tier_dim_dir."""
-    import os
-    import shutil
-
+    Built once per (app, sf_dir, source-mtime), published via
+    _publish_atomic (see there for the race/corruption contract)."""
     key = (spark.sparkContext.applicationId, sf_dir, "zorder_benefit")
     out = _PART_CACHE.get(key)
     if out is None:
         src_mtime = int(Path(f"{sf_dir}/orders.parquet").stat().st_mtime)
-        base = Path(tempfile.gettempdir()) / "spark_graft_part"
-        out = str(base / f"zbenefit_{_sf_tag(sf_dir)}_{src_mtime}")
-        if not Path(out, "_SUCCESS").exists():
-            base.mkdir(parents=True, exist_ok=True)
-            stage = tempfile.mkdtemp(prefix="zbenefit_stage_", dir=base)
+        out = str(
+            Path(tempfile.gettempdir())
+            / "spark_graft_part"
+            / f"zbenefit_{_sf_tag(sf_dir)}_{src_mtime}"
+        )
+
+        def build(stage: Path) -> None:
             dims = _order_dims(spark, sf_dir)
             (
                 dims.repartitionByRange(N_LAYOUT_FILES, "x")
                 .sortWithinPartitions("x")
                 .write.mode("overwrite")
-                .parquet(f"{stage}/linear")
+                .parquet(str(stage / "linear"))
             )
             zb = F.expr(
                 f"({_z_terms('x', 'y').replace('//', 'div')}) div {2 ** Z_BUCKET_SHIFT}"
@@ -415,13 +442,11 @@ def zorder_benefit_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 .sortWithinPartitions("zbucket")
                 .drop("zbucket")
                 .write.mode("overwrite")
-                .parquet(f"{stage}/zorder")
+                .parquet(str(stage / "zorder"))
             )
-            Path(stage, "_SUCCESS").touch()
-            try:
-                os.rename(stage, out)
-            except OSError:
-                shutil.rmtree(stage, ignore_errors=True)
+            (stage / "_SUCCESS").touch()
+
+        _publish_atomic(Path(out), "zbenefit_stage_", build)
         _PART_CACHE[key] = out
     return f"{out}/linear", f"{out}/zorder"
 

@@ -44,16 +44,24 @@ def main() -> int:
         prev_total += p
         cur_total += c
         delta = c - p
-        if delta > ABS_THRESHOLD and p > 0 and delta / p > REL_THRESHOLD:
+        # A zero/near-zero baseline must still regress: >ABS over a 0s
+        # baseline is infinitely-relative, so the relative clause only
+        # APPLIES when p > 0 (it can never excuse a p == 0 case).
+        if delta > ABS_THRESHOLD and (p <= 0 or delta / p > REL_THRESHOLD):
             regressions.append((name, p, c))
-        elif -delta > ABS_THRESHOLD and c > 0 and -delta / p > REL_THRESHOLD:
+        elif -delta > ABS_THRESHOLD and p > 0 and -delta / p > REL_THRESHOLD:
             improvements.append((name, p, c))
 
-    print(f"common queries: {len(common)}  total {prev_total:.1f}s -> {cur_total:.1f}s "
-          f"({cur_total / prev_total:.2f}x)" if prev_total else "no common queries")
+    if common:
+        ratio = f" ({cur_total / prev_total:.2f}x)" if prev_total else ""
+        print(f"common queries: {len(common)}  total {prev_total:.1f}s -> "
+              f"{cur_total:.1f}s{ratio}")
+    else:
+        print("no common queries")
     for label, rows in (("REGRESSION", regressions), ("improved", improvements)):
         for name, p, c in rows:
-            print(f"  {label:10s} {name:40s} {p:7.2f}s -> {c:7.2f}s ({c / p:.2f}x)")
+            ratio = f"{c / p:.2f}x" if p > 0 else "new-cost"
+            print(f"  {label:10s} {name:40s} {p:7.2f}s -> {c:7.2f}s ({ratio})")
     if added:
         print(f"  new queries (no baseline): {', '.join(added)}")
     if removed:

@@ -215,6 +215,14 @@ def test_video_container_contract():
         list(decode_video_container(b"XXXX" + payload[4:]))
     with pytest.raises(ValueError, match="truncated"):
         list(decode_video_container(payload[:-3]))
+    # cut INSIDE a length prefix must also raise ValueError (not
+    # struct.error): drop the last frame's payload and 2 of its 4
+    # length-prefix bytes
+    cut = len(payload) - len(frames[2]) - 2
+    with pytest.raises(ValueError, match="length prefix"):
+        list(decode_video_container(payload[:cut]))
+    with pytest.raises(ValueError, match="truncated header"):
+        list(decode_video_container(payload[:6]))
 
 
 def test_video_fixture_decode_is_lossless(spark):
