@@ -67,6 +67,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.operators.splits",
     "facebook_ad_library_data_pipeline_spark.operators.pagerank",
     "facebook_ad_library_data_pipeline_spark.functions.redact",
+    "facebook_ad_library_data_pipeline_spark.functions.bpe",
     "facebook_ad_library_data_pipeline_spark.streaming.events",
     "facebook_ad_library_data_pipeline_spark.streaming.joins",
     "facebook_ad_library_data_pipeline_spark.streaming.stateful",
@@ -113,6 +114,7 @@ _PRIORITY = [
     "q_agg_pushdown_scan",   # min/max/count from parquet footer stats (PushedAggregation)
     "q_stream_tumbling_rocksdb",  # RocksDB state-store provider, same oracle as default store
     "q_xml_extract",         # from_xml round trip, source-column-replayed oracle
+    "q_bpe_tokenize",        # real BPE (bounded fit + broadcast apply), invariant flags
     # rows-only -> pinned-invariant oracle upgrades (r07):
     "q_ivf_cell_stats",
     "q_pq_codes",
