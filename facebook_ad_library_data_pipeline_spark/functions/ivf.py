@@ -38,25 +38,42 @@ MAX_FIT_ROWS = 100_000
 # query would be like rebuilding a B-tree per lookup.
 _CENTROID_CACHE: dict[tuple[str, int], list[list[float]]] = {}
 # The bounded driver-side sample is shared by every fitter (IVF
-# centroids here, PQ codebooks in functions/pq.py): one count job + one
-# collect per (process, table), not one per index type.
-_FIT_SAMPLE_CACHE: dict[str, "object"] = {}
+# centroids here, PQ codebooks in functions/pq.py, BPE merges in
+# functions/bpe.py): one count job + one collect per (process, table,
+# column), not one per fitter.
+_FIT_SAMPLE_CACHE: dict[tuple[str, str], "object"] = {}
+
+
+def bounded_sample_values(
+    df: DataFrame, column: str, cache_key: str | None, max_rows: int = MAX_FIT_ROWS
+) -> list:
+    """≤max_rows values of `column` collected driver-side — the ONE
+    sampling protocol every trained-artifact fitter uses (same seed,
+    same bound, same cache), so the fitters can't drift apart on how
+    their O(1)-in-corpus-size input is drawn."""
+    key = (cache_key, column) if cache_key else None
+    if key is not None and key in _FIT_SAMPLE_CACHE:
+        return _FIT_SAMPLE_CACHE[key]
+    n = df.count()
+    sample = df.select(column)
+    if n > max_rows:
+        sample = sample.sample(max_rows / n, seed=42)
+    vals = [r[0] for r in sample.collect()]
+    if key is not None:
+        _FIT_SAMPLE_CACHE[key] = vals
+    return vals
 
 
 def fit_sample(emb: DataFrame, cache_key: str | None):
     """≤MAX_FIT_ROWS embedding rows as a numpy array, cached per table."""
     import numpy as np
 
-    cached = _FIT_SAMPLE_CACHE.get(cache_key) if cache_key else None
-    if cached is not None:
-        return cached
-    n = emb.count()
-    sample = emb.select("emb")
-    if n > MAX_FIT_ROWS:
-        sample = sample.sample(MAX_FIT_ROWS / n, seed=42)
-    x = np.array([r.emb for r in sample.collect()], dtype=np.float64)
-    if cache_key:
-        _FIT_SAMPLE_CACHE[cache_key] = x
+    key = (cache_key, "__emb_np__") if cache_key else None
+    if key is not None and key in _FIT_SAMPLE_CACHE:
+        return _FIT_SAMPLE_CACHE[key]
+    x = np.array(bounded_sample_values(emb, "emb", cache_key), dtype=np.float64)
+    if key is not None:
+        _FIT_SAMPLE_CACHE[key] = x
     return x
 
 

@@ -85,3 +85,18 @@ def test_documents_positive_length_for_weighted_sample(sf_dir):
         "WHERE n_chars IS NULL OR n_chars <= 0"
     ).fetchone()[0]
     assert n_bad == 0, f"{sf_dir.name}: {n_bad} docs with non-positive n_chars"
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS, ids=[p.name for p in _SF_DIRS])
+def test_documents_doc_id_non_null(sf_dir):
+    """Every mapInPandas decode/tokenize query does `int(doc_id)` —
+    pandas surfaces a nullable long with NULLs as float64 NaN, which
+    int() rejects and the whole task dies. The generator has never
+    produced a NULL doc_id; pin it so a regeneration that does fails
+    here first, by name, instead of as an opaque executor crash."""
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id IS NULL"
+    ).fetchone()[0]
+    assert n == 0, f"{n} NULL doc_ids in {sf_dir}"
