@@ -303,3 +303,90 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+# ------------------------------------------ Spark 4 SQL UDFs (CREATE FUNCTION)
+
+_SQL_UDF_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 0.07 * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS margin_cents
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_sql_udf", oracle=_SQL_UDF_ORACLE, tags=("sql", "udf"))
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 `CREATE FUNCTION ... RETURN`):
+    a scalar UDF (margin in integer cents — floor arithmetic, so both
+    engines compute the identical BIGINT) and a TABLE function (the
+    open-orders view as a TVF) composed in one query. SQL UDFs are
+    INLINED into the plan at analysis time — unlike Python UDFs they
+    stay inside WholeStageCodegen with zero serialization boundary,
+    which is why they're the right tool for shareable business logic
+    at 100 TB; the oracle replays the expanded expressions directly."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION margin_cents(p DOUBLE)
+        RETURNS BIGINT RETURN CAST(floor(p * 0.07 * 100 + 0.5) AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION open_orders()
+        RETURNS TABLE (o_orderpriority STRING, o_totalprice DOUBLE)
+        RETURN SELECT o_orderpriority, o_totalprice FROM orders
+               WHERE o_orderstatus = 'O'
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               CAST(sum(margin_cents(o_totalprice)) AS BIGINT) AS margin_cents
+        FROM open_orders()
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ------------------------------------------- parameterized spark.sql
+
+_PARAM_STATUS = "F"
+_PARAM_MIN_PRICE = 150000.0
+
+_SQL_PARAM_ORACLE = f"""
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(min(o_orderkey) AS BIGINT) AS first_key
+FROM orders
+WHERE o_orderstatus = '{_PARAM_STATUS}' AND o_totalprice > {_PARAM_MIN_PRICE}
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_sql_parameterized", oracle=_SQL_PARAM_ORACLE, tags=("sql",))
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (`spark.sql(query, args={...})`): named
+    parameter markers bound server-side — the injection-safe way to
+    template the same plan over changing literals (and the bound
+    values reach Catalyst as real literals, so predicate pushdown and
+    partition pruning still see them, unlike string concatenation
+    which risks both injection and plan-cache misses). The oracle
+    inlines the same constants."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               CAST(min(o_orderkey) AS BIGINT) AS first_key
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"status": _PARAM_STATUS, "min_price": _PARAM_MIN_PRICE},
+    )

@@ -115,6 +115,8 @@ _PRIORITY = [
     "q_stream_tumbling_rocksdb",  # RocksDB state-store provider, same oracle as default store
     "q_xml_extract",         # from_xml round trip, source-column-replayed oracle
     "q_bpe_tokenize",        # real BPE (bounded fit + broadcast apply), invariant flags
+    "q_sql_udf",             # CREATE FUNCTION scalar + TABLE UDF, inlined into codegen
+    "q_sql_parameterized",   # named parameter markers, server-side literal binding
     # rows-only -> pinned-invariant oracle upgrades (r07):
     "q_ivf_cell_stats",
     "q_pq_codes",
