@@ -204,3 +204,70 @@ def test_sweepline_matches_bruteforce(spark, intervals):
         sum(1 for (s, e) in rows if s <= t < e) for (s, e) in rows for t in (s,)
     )
     assert got == brute
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+    ),
+    st.integers(min_value=1, max_value=4),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@SETTINGS
+def test_wav_roundtrip_any_samples(spark, samples, channels, rate):
+    """ANY int16 sample matrix round-trips the PCM16 WAV codec
+    bit-exactly at any channel count and rate (the q_audio_pcm_stats
+    core, minus the fixture)."""
+    import numpy as np
+
+    from facebook_ad_library_data_pipeline_spark.multimodal.wav import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    n = len(samples) - len(samples) % channels
+    if n == 0:
+        n = channels
+        samples = (samples * channels)[:channels]
+    arr = np.array(samples[:n], dtype=np.int16).reshape(-1, channels)
+    back, got_rate = decode_wav_pcm16(encode_wav_pcm16(arr, rate))
+    assert got_rate == rate
+    assert np.array_equal(back, arr)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8), st.integers(min_value=1, max_value=8)
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@SETTINGS
+def test_video_container_of_bmp_frames_roundtrips(spark, shapes):
+    """A container of arbitrary-geometry BMP frames decodes back to
+    the exact pixel arrays (container framing composes with the image
+    codec for ANY frame shapes, including the row-padding geometries)."""
+    import numpy as np
+
+    from facebook_ad_library_data_pipeline_spark.multimodal.bmp import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+    from facebook_ad_library_data_pipeline_spark.multimodal.media import (
+        decode_video_container,
+        encode_video_container,
+    )
+
+    frames = []
+    for i, (h, w) in enumerate(shapes):
+        px = ((np.arange(h * w * 3, dtype=np.int64) * 31 + i * 7) % 256).astype(
+            "uint8"
+        ).reshape(h, w, 3)
+        frames.append(px)
+    payload = encode_video_container([encode_bmp24(f) for f in frames])
+    out = list(decode_video_container(payload))
+    assert len(out) == len(frames)
+    for (idx, fb), px in zip(out, frames):
+        assert np.array_equal(decode_bmp24(fb), px)
