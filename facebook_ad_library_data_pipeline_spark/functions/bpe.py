@@ -157,9 +157,11 @@ def fit_merges(spark: SparkSession, sf_dir: str) -> dict[tuple[str, str], int]:
     if cached is not None:
         return cached
     docs = load_table(spark, sf_dir, "documents")
+    # cache_key=None: the MERGE TABLE is the cached artifact; caching
+    # the 2000 raw texts too would pin dead data in driver memory.
     texts = [
         t
-        for t in bounded_sample_values(docs, "text", sf_dir, max_rows=MAX_FIT_DOCS)
+        for t in bounded_sample_values(docs, "text", None, max_rows=MAX_FIT_DOCS)
         if t
     ]
     merges = train_bpe_merges(texts)

@@ -45,13 +45,22 @@ _FIT_SAMPLE_CACHE: dict[tuple[str, str], "object"] = {}
 
 
 def bounded_sample_values(
-    df: DataFrame, column: str, cache_key: str | None, max_rows: int = MAX_FIT_ROWS
+    df: DataFrame,
+    column: str,
+    cache_key: str | None,
+    max_rows: int = MAX_FIT_ROWS,
 ) -> list:
     """≤max_rows values of `column` collected driver-side — the ONE
     sampling protocol every trained-artifact fitter uses (same seed,
-    same bound, same cache), so the fitters can't drift apart on how
-    their O(1)-in-corpus-size input is drawn."""
-    key = (cache_key, column) if cache_key else None
+    same bound semantics), so the fitters can't drift apart on how
+    their O(1)-in-corpus-size input is drawn. The cache key includes
+    max_rows: two fitters sampling the same column with different
+    bounds draw different samples and must never silently share one.
+    Callers whose DERIVED artifact is itself cached (numpy array,
+    merge table) should pass cache_key=None — caching the raw Python
+    values alongside the artifact would pin both in driver memory for
+    the process lifetime."""
+    key = (cache_key, column, max_rows) if cache_key else None
     if key is not None and key in _FIT_SAMPLE_CACHE:
         return _FIT_SAMPLE_CACHE[key]
     n = df.count()
@@ -65,13 +74,15 @@ def bounded_sample_values(
 
 
 def fit_sample(emb: DataFrame, cache_key: str | None):
-    """≤MAX_FIT_ROWS embedding rows as a numpy array, cached per table."""
+    """≤MAX_FIT_ROWS embedding rows as a numpy array, cached per table
+    (the array ONLY — the raw row list is not separately cached; IVF
+    and PQ share this one array, one count + one collect per table)."""
     import numpy as np
 
     key = (cache_key, "__emb_np__") if cache_key else None
     if key is not None and key in _FIT_SAMPLE_CACHE:
         return _FIT_SAMPLE_CACHE[key]
-    x = np.array(bounded_sample_values(emb, "emb", cache_key), dtype=np.float64)
+    x = np.array(bounded_sample_values(emb, "emb", None), dtype=np.float64)
     if key is not None:
         _FIT_SAMPLE_CACHE[key] = x
     return x

@@ -24,20 +24,9 @@ from pyspark.sql import functions as F
 from facebook_ad_library_data_pipeline_spark.catalog import load_table
 from facebook_ad_library_data_pipeline_spark.registry import load_all
 from facebook_ad_library_data_pipeline_spark.session import get_spark
+from scale_evidence import REP, REP_OFFSET, shuffle_write_records
 
 QUERIES = ("q_video_frame_decode", "q_audio_pcm_stats", "q_bpe_tokenize")
-REP = 10
-REP_OFFSET = 10_000_000
-
-
-def shuffle_write_records(spark) -> int:
-    import json
-    import urllib.request
-
-    app = spark.sparkContext.applicationId
-    url = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{app}/stages"
-    stages = json.load(urllib.request.urlopen(url))
-    return sum(s.get("shuffleWriteRecords", 0) for s in stages)
 
 
 def main() -> None:
@@ -60,6 +49,10 @@ def main() -> None:
     print("| query | corpus | docs | output rows | shuffle-write records | wall s |")
     print("|---|---|---|---|---|---|")
     for name in QUERIES:
+        # untimed warm-up: absorbs one-time Python-worker/JVM startup
+        # and the fitters' bounded-sample jobs, so the timed rows
+        # compare steady-state decode cost, not cold-start.
+        registry[name].fn(spark, sf_dir).count()
         for label, d, n in (
             (os.path.basename(sf_dir), sf_dir, n_base),
             (f"{REP}x replicated", out, n_base * REP),
