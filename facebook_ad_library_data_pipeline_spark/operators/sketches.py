@@ -289,3 +289,83 @@ def q_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("exact_n").alias("exact_n"), F.min("c").alias("cms_n"))
     )
     return est.select("user_id", "exact_n", "cms_n").orderBy(F.desc("exact_n"), "user_id")
+
+
+# ------------------------------------------------ theta sketches (set ops)
+
+_THETA_ORACLE = """
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT (SELECT count(*) FROM v) AS exact_view_users,
+       (SELECT count(*) FROM p) AS exact_purchase_users,
+       (SELECT count(*) FROM v JOIN p USING (user_id)) AS exact_both,
+       TRUE AS union_ok,
+       TRUE AS intersection_ok,
+       TRUE AS difference_ok
+"""
+
+
+@query("q_theta_sketch_sets", oracle=_THETA_ORACLE, tags=("sketch", "agg", "approx"))
+def q_theta_sketch_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Datasketches, Spark 4): the sketch family that
+    supports SET OPERATIONS — estimate |view ∪ purchase|,
+    |view ∩ purchase| (users who did both), and |view \\ purchase|
+    from two per-event-type sketches, which HLL fundamentally cannot
+    do (HLL unions only; intersections via inclusion-exclusion blow up
+    the error). At 100 TB this is the audience-overlap query answered
+    from two KB-sized sketches instead of a distinct-join over the
+    raw stream. Hash-checked the tolerance-flag way: exact counts
+    (oracle-recomputed) plus ok-flags pinning each estimate within
+    10% of its exact twin — well beyond the default lgK=12 sketch's
+    ~1.6% rsd, and below K the sketch is exhaustive, so a flipped flag
+    is a broken set operation, not noise."""
+    ev = load_table(spark, sf_dir, "events")
+    sketches = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    row = sketches.groupBy().pivot("event_type", ["view", "purchase"]).agg(
+        F.first("sk")
+    )
+    est = row.select(
+        F.theta_sketch_estimate(F.theta_union(F.col("view"), F.col("purchase"))).alias(
+            "approx_union"
+        ),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("view"), F.col("purchase"))
+        ).alias("approx_both"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("view"), F.col("purchase"))
+        ).alias("approx_view_only"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = spark.createDataFrame(
+        [
+            (
+                v.count(),
+                p.count(),
+                v.join(p, "user_id").count(),
+            )
+        ],
+        "exact_view_users bigint, exact_purchase_users bigint, exact_both bigint",
+    )
+
+    def ok(approx, exact_expr):
+        return F.abs(approx - exact_expr) <= 0.10 * exact_expr
+
+    return est.crossJoin(exact).select(
+        "exact_view_users",
+        "exact_purchase_users",
+        "exact_both",
+        ok(
+            F.col("approx_union"),
+            F.col("exact_view_users") + F.col("exact_purchase_users") - F.col("exact_both"),
+        ).alias("union_ok"),
+        ok(F.col("approx_both"), F.col("exact_both")).alias("intersection_ok"),
+        ok(
+            F.col("approx_view_only"),
+            F.col("exact_view_users") - F.col("exact_both"),
+        ).alias("difference_ok"),
+    )

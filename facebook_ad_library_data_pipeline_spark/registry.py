@@ -117,6 +117,7 @@ _PRIORITY = [
     "q_bpe_tokenize",        # real BPE (bounded fit + broadcast apply), invariant flags
     "q_sql_udf",             # CREATE FUNCTION scalar + TABLE UDF, inlined into codegen
     "q_sql_parameterized",   # named parameter markers, server-side literal binding
+    "q_theta_sketch_sets",   # Datasketches theta: union/intersection/difference estimates
     # rows-only -> pinned-invariant oracle upgrades (r07):
     "q_ivf_cell_stats",
     "q_pq_codes",
