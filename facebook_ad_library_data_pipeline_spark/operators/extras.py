@@ -137,9 +137,20 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sampleBy draw itself (fixed seed): smaller fraction for the
     dominant stratum — the data-mix rebalancing primitive. Row sets
     are RNG-engine state; proportions asserted in tests and in the
-    registered census below."""
+    registered census below.
+
+    The fractions dict is built from the table's OWN distinct langs
+    (strata not named in SAMPLE_FRACTIONS default to keep-all, not
+    sampleBy's silent 0.0): a lang added to regenerated testdata flows
+    through at rate 1.0 and the census still pins its exact count,
+    instead of n_samp=0 masquerading as a sampler regression
+    (r07-advice fix). The distinct-langs collect is bounded by the
+    lang domain (single digits) and is required anyway — sampleBy's
+    API takes a driver-side dict."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.sampleBy("lang", SAMPLE_FRACTIONS, seed=42)
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    fractions = {lg: SAMPLE_FRACTIONS.get(lg, 1.0) for lg in langs}
+    return docs.sampleBy("lang", fractions, seed=42)
 
 
 # Full-rate strata are DETERMINISTIC under sampleBy (rand ∈ [0,1) is

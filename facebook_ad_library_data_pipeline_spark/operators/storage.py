@@ -281,15 +281,29 @@ def _publish_atomic(out: Path, prefix: str, build) -> None:
             # a concurrent app won the race with a COMPLETE copy
             shutil.rmtree(stage, ignore_errors=True)
             return
-        # partial/corrupt dir at the target: clear it and retry once
-        shutil.rmtree(out, ignore_errors=True)
+        # Partial/corrupt dir at the target: move the corpse ASIDE with a
+        # single atomic rename rather than rmtree-ing it in place. rmtree
+        # is check-then-act — a concurrent publisher can install a
+        # COMPLETE copy between the _SUCCESS probe above and the delete,
+        # and the file-by-file removal opens a window where a reader of
+        # `out` (e.g. a Spark scan already planned over the path) sees a
+        # half-deleted tree. rename never destroys whatever sits at the
+        # target: a corpse, or a copy completed after the probe
+        # (identical bytes by contract), survives intact under the
+        # quarantine name until reclaimed below.
+        quarantine = Path(tempfile.mkdtemp(prefix=prefix + "corpse-", dir=base))
+        try:
+            os.rename(out, quarantine / "c")
+        except FileNotFoundError:
+            pass  # another racing loser already quarantined it
     try:
         os.rename(stage, out)
+        shutil.rmtree(quarantine, ignore_errors=True)
     except OSError:
-        if Path(out, "_SUCCESS").exists():
-            shutil.rmtree(stage, ignore_errors=True)
-            return
         shutil.rmtree(stage, ignore_errors=True)
+        if Path(out, "_SUCCESS").exists():
+            shutil.rmtree(quarantine, ignore_errors=True)
+            return
         raise
 
 

@@ -248,24 +248,30 @@ class SyntheticEventsPartitionedStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # Admit one micro-batch's worth per trigger until the bounded
         # LCG row space drains (a real source would return its log's
-        # current head here).
-        cur = getattr(self, "_cur", 0)
-        nxt = min(cur + STREAM_BATCH_ROWS, STREAM_TOTAL_ROWS)
-        self._cur = nxt
-        return {"offset": nxt}
+        # current head here). SIDE-EFFECT-FREE: the admission floor
+        # advances only in partitions()/commit(), so any number of
+        # latestOffset probes within one trigger (or a planning path
+        # that calls it twice) admit the SAME batch — a mutating
+        # cursor here would silently skip a batch that was admitted
+        # but never planned.
+        floor = getattr(self, "_floor", 0)
+        return {"offset": min(floor + STREAM_BATCH_ROWS, STREAM_TOTAL_ROWS)}
 
     def partitions(self, start: dict, end: dict):
         s, e = start["offset"], end["offset"]
         # Restart safety: after a checkpoint recovery Spark re-plans
         # from the committed offsets (observed call order: partitions(
         # committed, committed) precedes the first latestOffset), while
-        # a fresh reader instance's cursor is back at 0. Floor the
-        # cursor on every planned range so latestOffset resumes FROM
-        # the checkpoint instead of re-admitting (and then re-skipping)
-        # already-committed ranges — without this, processAllAvailable
-        # on a restarted bounded stream sees latestOffset ≤ committed
-        # and declares the stream drained before it is.
-        self._cur = max(getattr(self, "_cur", 0), e)
+        # a fresh reader instance's floor is back at 0. Advance the
+        # floor on every planned range AND on commit() below — two
+        # independent paths, so resumption doesn't hinge on the
+        # observed-but-undocumented pre-latestOffset planning call —
+        # and latestOffset resumes FROM the checkpoint instead of
+        # re-admitting (and then re-skipping) already-committed ranges.
+        # Without a floor, processAllAvailable on a restarted bounded
+        # stream sees latestOffset ≤ committed and declares the stream
+        # drained before it is.
+        self._floor = max(getattr(self, "_floor", 0), e)
         parts = []
         while s < e:
             # Cut at the next shard boundary so each partition's rows
@@ -292,9 +298,11 @@ class SyntheticEventsPartitionedStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        # Nothing to release: the LCG source has no upstream log to
-        # truncate. A real source would ack/advance retention here.
-        pass
+        # Nothing to release upstream (the LCG source has no log to
+        # truncate), but the committed offset is the durable admission
+        # floor: advancing it here keeps latestOffset() pure and makes
+        # restart resumption independent of planning-call order.
+        self._floor = max(getattr(self, "_floor", 0), end["offset"])
 
 
 class SyntheticEventsPartitionedStreamSource(DataSource):

@@ -382,6 +382,10 @@ def test_publish_atomic_heals_partial_target(tmp_path):
     assert (out / "_SUCCESS").exists()
     assert (out / "data.txt").read_text() == "good"
     assert not (out / "part-corrupt.parquet").exists()
+    # the corpse is quarantined by atomic rename (never rmtree'd in
+    # place, which could destroy a complete copy landing after the
+    # probe) and the quarantine dir is reclaimed after the publish
+    assert not [p for p in tmp_path.iterdir() if "corpse" in p.name]
 
     # idempotent: a complete target short-circuits without rebuilding
     def explode(stage):

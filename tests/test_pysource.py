@@ -124,10 +124,17 @@ def test_partitioned_stream_reader_plans_shard_cuts():
 
     r = SyntheticEventsPartitionedStreamReader()
     assert r.initialOffset() == {"offset": 0}
-    # Cursor advances in batch-sized steps and clamps at the end.
+    # The admission floor advances via commit() (mirroring the engine's
+    # latestOffset → plan → commit loop) in batch-sized steps and
+    # clamps at the end; repeated latestOffset probes within one
+    # trigger are idempotent — the r07-advice fix for the mutating
+    # cursor that silently admitted a never-planned batch.
     seen = [0]
     while seen[-1] < STREAM_TOTAL_ROWS:
-        seen.append(r.latestOffset()["offset"])
+        head = r.latestOffset()["offset"]
+        assert r.latestOffset()["offset"] == head
+        r.commit({"offset": head})
+        seen.append(head)
     assert seen[1] - seen[0] == STREAM_BATCH_ROWS
     assert seen[-1] == STREAM_TOTAL_ROWS
 
