@@ -25,3 +25,12 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Make the vendored mini-protobuf importable as early as possible: a
+# driver that imports this package BEFORE creating its SparkSession
+# passes the path to the JVM (and thus every python worker) through the
+# inherited environment. Late sessions are handled again at the
+# typed-state query itself (streaming/stateful.py).
+from .vendorpath import ensure_protobuf as _ensure_protobuf  # noqa: E402
+
+_ensure_protobuf()

@@ -248,13 +248,19 @@ GROUP BY user_id
 
 def tws_runtime_available() -> bool:
     """transformWithStateInPandas runs its state protocol over
-    protobuf (pyspark's transform_with_state_driver_worker imports
-    google.protobuf); this container doesn't ship it, and the
-    environment rules forbid installing it. Gate the REGISTRATION on
-    the import so the driver never sees a guaranteed-crash query;
-    the operator itself is complete and unit-tested via a fake state
-    handle (tests/test_streaming.py) so the fold logic is proven even
-    where the runtime can't start."""
+    protobuf (pyspark/sql/streaming/proto/StateMessage_pb2.py imports
+    google.protobuf). This container ships no protobuf wheel and has no
+    network, so the repo VENDORS a minimal clean-room protobuf runtime
+    (vendor/google/protobuf — wire format + descriptor pool + builder,
+    written from the public encoding spec; golden-byte-tested in
+    tests/test_miniproto.py) and vendorpath.ensure_protobuf() puts it
+    on the driver/worker paths. Registration stays gated on the import
+    actually succeeding so the driver never sees a guaranteed-crash
+    query on an environment the bootstrap can't fix."""
+    from ..vendorpath import ensure_protobuf
+
+    if not ensure_protobuf():
+        return False
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -269,14 +275,29 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
     the taxonomy's 8th pandas-execution kind). Same bounded source and
     order-independent integer-cent fold as q_stream_stateful_user, so
     the drained stream hash-matches the relational oracle exactly —
-    including the MapState-backed per-event-type breakdown. Registered
-    only when tws_runtime_available() (see there)."""
-    events = load_events_stream(spark, sf_dir)
+    including the MapState-backed per-event-type breakdown.
+
+    Runs on a child session pinned to the RocksDB state-store provider
+    (the typed-state runtime's production backend — per-variable column
+    families live in one store per partition), with the vendored
+    protobuf runtime wired into worker envs via ensure_protobuf(spark):
+    verified end-to-end even when the caller's session predates the
+    bootstrap and its pandas-UDF daemons are already warm (the
+    typed-state worker factory spawns fresh)."""
+    from ..vendorpath import ensure_protobuf
+
+    ensure_protobuf(spark)
+    scoped = spark.newSession()
+    scoped.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    events = load_events_stream(scoped, sf_dir)
     out = user_engagement_tws(events)
     run_stream_to_memory(
         out, "stream_tws_out", output_mode="update", partitions="8"
     )
-    latest = spark.table("stream_tws_out")
+    latest = scoped.table("stream_tws_out")
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))

@@ -245,8 +245,9 @@ def test_tws_processor_fold_is_batch_split_invariant():
     feeding the same rows as one batch or split across three must
     produce the identical final snapshot, and that snapshot must equal
     the plain pandas groupby — the property that makes the streaming
-    query oracle-checkable. (The live runtime needs google.protobuf,
-    absent in this container — see tws_runtime_available.)"""
+    query oracle-checkable. (Independent of the live runtime, which
+    since r08 runs on the vendored mini-protobuf — see
+    test_tws_live_runtime_matches_batch for the end-to-end twin.)"""
     import numpy as np
     import pandas as pd
 
@@ -314,3 +315,49 @@ def test_tws_processor_fold_is_batch_split_invariant():
     for t in ("view", "click", "purchase"):
         assert whole[f"n_{t}"] == counts.get(t, 0)
     assert whole["n_signup"] == 0 and whole["n_refund"] == 0
+
+def test_tws_live_runtime_matches_batch(spark, sf_dir):
+    """END-TO-END transformWithStateInPandas: the vendored mini-protobuf
+    runtime (vendor/google/protobuf) carries the typed-state protocol to
+    the real JVM state server — ValueState + MapState reads/writes over
+    the socket, RocksDB provider, drained through the memory sink. The
+    result must equal the batch groupBy twin exactly (integer-cent fold,
+    see _TWS_ORACLE). This is the live counterpart of the fake-handle
+    fold test above and of tests/test_miniproto.py's golden bytes."""
+    import pytest
+
+    from facebook_ad_library_data_pipeline_spark.streaming import stateful
+
+    if not stateful.tws_runtime_available():
+        pytest.skip("no protobuf runtime (real or vendored)")
+
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: r
+        for r in stateful.q_stream_transform_with_state(spark, sf_dir).collect()
+    }
+    from facebook_ad_library_data_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")) / 100.0
+            ).alias("total_value"),
+            *[
+                F.sum((F.col("event_type") == t).cast("bigint")).alias(f"n_{t}")
+                for t in stateful.EVENT_TYPES
+            ],
+        )
+        .collect()
+    )
+    assert len(got) == len(want) > 0
+    for w in want:
+        g = got[w["user_id"]]
+        assert g["n_events"] == w["n_events"]
+        assert abs(g["total_value"] - w["total_value"]) < 1e-9
+        for t in stateful.EVENT_TYPES:
+            assert g[f"n_{t}"] == w[f"n_{t}"], (w["user_id"], t)
