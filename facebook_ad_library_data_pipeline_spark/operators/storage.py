@@ -581,6 +581,140 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# ----------------------------------- z-order-preserving compaction
+
+ZCOMPACT_SMALL_FILES = 40
+ZCOMPACT_TARGET_FILES = 4
+
+
+def _with_z(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "z", F.expr(_z_terms("x", "y").replace("//", "div"))
+    )
+
+
+def zcompaction_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """(fragmented, zcompacted, rrcompacted): the same z-clustered rows
+    in three layouts —
+
+    * fragmented: {ZCOMPACT_SMALL_FILES} small files, z-clustered
+      (what a streaming sink appending into a z-ordered table leaves
+      behind);
+    * zcompacted: {ZCOMPACT_TARGET_FILES} files via repartitionByRange
+      on the Morton value + sortWithinPartitions — compaction WITHIN
+      the z-order, so per-file min/max stats stay tile-bounded;
+    * rrcompacted: the same {ZCOMPACT_TARGET_FILES} files via plain
+      round-robin repartition (q_compaction's shape) — which DESTROYS
+      clustering; kept as the measured control in tests/test_plans.py.
+
+    Built once per (app, sf_dir, source-mtime); published via
+    _publish_atomic (see there for the race/corruption contract)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "zcompaction")
+    out = _PART_CACHE.get(key)
+    if out is None:
+        src_mtime = int(Path(f"{sf_dir}/orders.parquet").stat().st_mtime)
+        out = str(
+            Path(tempfile.gettempdir())
+            / "spark_graft_part"
+            / f"zcompact_{_sf_tag(sf_dir)}_{src_mtime}"
+        )
+
+        def build(stage: Path) -> None:
+            dims = _with_z(_order_dims(spark, sf_dir))
+            (
+                dims.repartitionByRange(ZCOMPACT_SMALL_FILES, "z")
+                .sortWithinPartitions("z")
+                .drop("z")
+                .write.mode("overwrite")
+                .parquet(str(stage / "fragmented"))
+            )
+            frag = _with_z(spark.read.parquet(str(stage / "fragmented")))
+            (
+                frag.repartitionByRange(ZCOMPACT_TARGET_FILES, "z")
+                .sortWithinPartitions("z")
+                .drop("z")
+                .write.mode("overwrite")
+                .parquet(str(stage / "zcompacted"))
+            )
+            (
+                frag.drop("z")
+                .repartition(ZCOMPACT_TARGET_FILES)
+                .write.mode("overwrite")
+                .parquet(str(stage / "rrcompacted"))
+            )
+            (stage / "_SUCCESS").touch()
+
+        _publish_atomic(Path(out), "zcompact_stage_", build)
+        _PART_CACHE[key] = out
+    return (f"{out}/fragmented", f"{out}/zcompacted", f"{out}/rrcompacted")
+
+
+_ZCOMPACT_ORACLE = f"""
+SELECT {ZCOMPACT_SMALL_FILES} AS n_files_before,
+       {ZCOMPACT_TARGET_FILES} AS n_files_after,
+       count(*) AS n_rows,
+       TRUE AS rows_conserved,
+       TRUE AS clustering_preserved
+FROM orders
+"""
+
+
+@query(
+    "q_compaction_zorder",
+    oracle=_ZCOMPACT_ORACLE,
+    tags=("storage", "maintenance", "layout", "prune"),
+)
+def q_compaction_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-preserving compaction — the real table-maintenance
+    shape for a z-ordered 100 TB table: q_compaction's round-robin
+    rewrite fixes the small-files problem but scatters the Morton
+    clustering, so every post-compaction scan loses its stats-based
+    skipping. This variant compacts WITHIN the z-order
+    (repartitionByRange on the Morton value + sortWithinPartitions),
+    so the {ZCOMPACT_TARGET_FILES} output files carry DISJOINT z
+    ranges and their per-column min/max stats stay tile-bounded.
+
+    Hash-checked invariants: exact file counts (range partitioning
+    with explicit numPartitions is deterministic), row conservation,
+    and `clustering_preserved` — recompute z per row (a pure function
+    of x,y), roll up per-file [min_z, max_z] via input_file_name(),
+    and require consecutive file ranges to be non-overlapping (the
+    per-file collect is bounded by the file count, not the data). The
+    measured benefit — the y-band scan still prunes like
+    q_zorder_pruned_scan while the round-robin control reads
+    everything — is asserted from executed-plan scan metrics in
+    tests/test_plans.py."""
+    frag_dir, zdir, _ = zcompaction_dirs(spark, sf_dir)
+    frag = spark.read.parquet(frag_dir)
+    comp = spark.read.parquet(zdir)
+    n_files_before = len(list(Path(frag_dir).glob("part-*.parquet")))
+    n_files_after = len(list(Path(zdir).glob("part-*.parquet")))
+    n_before, n_after = frag.count(), comp.count()
+    per_file = (
+        _with_z(comp)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    disjoint = all(
+        prev["hi"] <= cur["lo"] for prev, cur in zip(per_file, per_file[1:])
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_files_before,
+                n_files_after,
+                n_after,
+                n_before == n_after,
+                len(per_file) == n_files_after and disjoint,
+            )
+        ],
+        "n_files_before int, n_files_after int, n_rows bigint, "
+        "rows_conserved boolean, clustering_preserved boolean",
+    )
+
+
 # --------------------------------------------- aggregate pushdown scan
 
 _AGG_PUSH_ORACLE = """

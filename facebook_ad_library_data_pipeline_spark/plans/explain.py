@@ -71,3 +71,12 @@ def scan_metrics(df: DataFrame) -> list[dict]:
 
     walk(df._jdf.queryExecution().executedPlan())
     return out
+
+
+def executed_plan(df: DataFrame) -> str:
+    """String form of the EXECUTED physical plan — after AQE's runtime
+    re-planning, so runtime-only markers (skew=true on a skew-split
+    sort-merge join, coalesced partition counts) are visible. The
+    caller must have executed this exact DataFrame first; before
+    execution AQE reports only the initial plan."""
+    return df._jdf.queryExecution().executedPlan().toString()

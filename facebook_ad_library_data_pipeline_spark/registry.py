@@ -88,6 +88,20 @@ _QUERY_MODULES = [
 # double-proven r01/r02 queries last). Rotate this list each round to
 # move the remaining unchecked tail through the window.
 _PRIORITY = [
+    # ---- round-8 window ----
+    # New registrations this round:
+    "q_stream_transform_with_state",  # typed-state API unblocked by the vendored mini-protobuf
+    "q_compaction_zorder",  # clustering-preserving compaction, disjoint-range flags
+    # Queries whose implementation or oracle changed this round (the
+    # r07-advice fixes) — re-prove through the driver:
+    "q_theta_sketch_sets",        # union-scaled tolerance floor
+    "q_sample_stratified",        # fractions from the table's own langs
+    "q_python_datasource_stream_part",  # side-effect-free latestOffset
+    # Publish-path dependents of the quarantine-rename _publish_atomic:
+    "q_zorder_pruned_scan",
+    "q_dynamic_partition_pruning",
+    "q_partition_pruned_scan",
+    "q_stream_incremental_rollup",
     # ---- round-7 window ----
     # The 7 queries with zero driver rows after six rounds (VERDICT r06
     # item 1) — the final rotation: with these, all registered queries

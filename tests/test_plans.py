@@ -333,6 +333,60 @@ def test_zorder_layout_prunes_nonleading_dim(spark, sf_dir):
     assert z_scanned <= lin_scanned / 2, (z_scanned, lin_scanned)
 
 
+def test_zorder_compaction_keeps_pruning_roundrobin_loses_it(spark, sf_dir):
+    """The r07-verdict table-maintenance unification: compaction must
+    not trade the small-files problem for a dead z-order. Measured from
+    executed-plan scan metrics on the SAME y-band predicate:
+
+    * the z-preserving compaction (repartitionByRange on the Morton
+      value + sortWithinPartitions) reads no more rows than the
+      fragmented input did — stats-based skipping survives the rewrite;
+    * the round-robin control (q_compaction's shape) reads the WHOLE
+      table — every output file spans the full y range, so file-level
+      min/max stats prune nothing.
+
+    All three layouts must agree on the answer, rows-exact."""
+    from pyspark.sql import functions as F
+
+    from facebook_ad_library_data_pipeline_spark.operators.storage import (
+        ZPRUNE_Y_HI,
+        ZPRUNE_Y_LO,
+        zcompaction_dirs,
+    )
+    from facebook_ad_library_data_pipeline_spark.plans.explain import scan_metrics
+
+    frag_dir, z_dir, rr_dir = zcompaction_dirs(spark, sf_dir)
+
+    def scanned_rows(path):
+        df = (
+            spark.read.parquet(path)
+            .filter(F.col("y").between(ZPRUNE_Y_LO, ZPRUNE_Y_HI))
+            .groupBy()
+            .count()
+        )
+        (row,) = df.collect()
+        (metrics,) = scan_metrics(df)
+        return row["count"], metrics["numOutputRows"]
+
+    frag_result, frag_scanned = scanned_rows(frag_dir)
+    z_result, z_scanned = scanned_rows(z_dir)
+    rr_result, rr_scanned = scanned_rows(rr_dir)
+    total = spark.read.parquet(rr_dir).count()
+
+    assert frag_result == z_result == rr_result > 0
+    # round-robin: clustering destroyed, no skipping possible
+    assert rr_scanned == total
+    # z-preserving: the y-band (half the z range at file granularity)
+    # still prunes — the compacted table reads at most half the rows
+    # where the dead layout reads all of them. Compaction necessarily
+    # COARSENS skipping granularity (4 wide files can't skip as finely
+    # as 40 narrow ones), so the fragmented input prunes at least as
+    # well — that residual gap is the open/footer-cost trade, not a
+    # clustering loss.
+    assert z_scanned <= total / 2, (z_scanned, total)
+    assert frag_scanned <= z_scanned, (frag_scanned, z_scanned)
+
+
 def test_recursive_cte_uses_engine_recursion(spark, sf_dir):
     """q_sql_recursive_cte must execute through Spark's native
     recursion operator (UnionLoop) — the point of the query is the
