@@ -72,6 +72,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.streaming.joins",
     "facebook_ad_library_data_pipeline_spark.streaming.stateful",
     "facebook_ad_library_data_pipeline_spark.streaming.incremental",
+    "facebook_ad_library_data_pipeline_spark.streaming.state_reader",
     "facebook_ad_library_data_pipeline_spark.sources.roundtrip",
     "facebook_ad_library_data_pipeline_spark.sources.pysource",
     "facebook_ad_library_data_pipeline_spark.multimodal.media",
@@ -92,6 +93,8 @@ _PRIORITY = [
     # New registrations this round:
     "q_stream_transform_with_state",  # typed-state API unblocked by the vendored mini-protobuf
     "q_compaction_zorder",  # clustering-preserving compaction, disjoint-range flags
+    "q_state_store_read",   # checkpoint state read back as a batch DF, hash == batch rollup
+    "q_state_metadata",     # state-metadata catalog: operator + shard layout pinned
     # Queries whose implementation or oracle changed this round (the
     # r07-advice fixes) — re-prove through the driver:
     "q_theta_sketch_sets",        # union-scaled tolerance floor
@@ -115,9 +118,7 @@ _PRIORITY = [
     "q_stream_available_now",
     "q_countmin_heavy_hitters",
     # New round-7 operators:
-    "q_python_datasource_stream_part",  # partition-planned stream reader (r06 scale-killer fix)
     "q_video_frame_decode",  # real SGVC container + per-frame BMP decode, closed-form oracle
-    "q_zorder_pruned_scan",  # z-layout row-group skipping, benefit measured in test_plans
     "q_sql_recursive_cte",   # Spark 4 WITH RECURSIVE (UnionLoop), DuckDB-replayed recursion
     "q_udtf_polymorphic_ngrams",  # analyze()-derived dynamic UDTF schema
     "q_sql_collation",       # UTF8_LCASE collated grouping, lower()-replayed oracle
@@ -131,7 +132,6 @@ _PRIORITY = [
     "q_bpe_tokenize",        # real BPE (bounded fit + broadcast apply), invariant flags
     "q_sql_udf",             # CREATE FUNCTION scalar + TABLE UDF, inlined into codegen
     "q_sql_parameterized",   # named parameter markers, server-side literal binding
-    "q_theta_sketch_sets",   # Datasketches theta: union/intersection/difference estimates
     # rows-only -> pinned-invariant oracle upgrades (r07):
     "q_ivf_cell_stats",
     "q_pq_codes",
@@ -143,7 +143,6 @@ _PRIORITY = [
     "q_sample_deterministic",
     "q_shard_assign",
     "q_pii_redact",
-    "q_dynamic_partition_pruning",
     # ---- round-6 window (proven r06; follows for re-proof in leftover
     # slots) ----
     # The 7 queries with zero driver rows after five rounds (VERDICT r05
@@ -153,7 +152,6 @@ _PRIORITY = [
     "q_simhash_fingerprints",
     "q_ann_bucket_stats",
     "q_lang_id_udf",
-    "q_sample_stratified",
     # r05's one red row, fixed (hist array -> 16 scalar columns) and
     # since upgraded to a full oracle (exact-integer-moment features):
     "q_multimodal_features",

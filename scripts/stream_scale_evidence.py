@@ -83,7 +83,10 @@ def write_sliced(df, out_dir: Path, n_slices: int) -> int:
     return total
 
 
-def run_join_stream(spark, flat_dir: Path, schema) -> dict:
+ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def run_join_stream(spark, flat_dir: Path, schema, provider: str | None = None) -> dict:
     events = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -95,7 +98,11 @@ def run_join_stream(spark, flat_dir: Path, schema) -> dict:
     )
     out = view_purchase_pairs(views, purchases)
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    name = f"state_evidence_{flat_dir.parent.name}"
+    if provider:
+        # provider class is read at stream start; restored by callers
+        # running the default rows first
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    name = f"state_evidence_{flat_dir.parent.name}_{'rocksdb' if provider else 'hdfs'}"
     t0 = time.perf_counter()
     q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
     q.processAllAvailable()
@@ -167,19 +174,33 @@ def main() -> None:
     schema = spark.read.parquet(str(one_dir / "flat")).schema
     r1 = run_join_stream(spark, one_dir / "flat", schema)
     r10 = run_join_stream(spark, ten_dir / "flat", schema)
+    # same rows on the RocksDB provider (the production state backend
+    # q_stream_tumbling_rocksdb configures): identical join/state
+    # semantics, different durability mechanics — recorded beside the
+    # default-store rows per the r07 verdict
+    rk1 = run_join_stream(spark, one_dir / "flat", schema, provider=ROCKSDB)
+    rk10 = run_join_stream(spark, ten_dir / "flat", schema, provider=ROCKSDB)
 
-    print("| stream | input rows | micro-batches | join rows | peak state rows |"
+    print("| stream | store | input rows | micro-batches | join rows | peak state rows |"
           " final state rows | evicted rows | wall s |")
-    print("|---|---|---|---|---|---|---|---|")
-    for label, r in (("1× (sf0.1 events)", r1), ("10× span, same density", r10)):
+    print("|---|---|---|---|---|---|---|---|---|")
+    for label, store, r in (
+        ("1× (sf0.1 events)", "default (HDFS-backed)", r1),
+        ("10× span, same density", "default (HDFS-backed)", r10),
+        ("1× (sf0.1 events)", "RocksDB", rk1),
+        ("10× span, same density", "RocksDB", rk10),
+    ):
         print(
-            f"| {label} | {r['input_rows']} | {r['batches']} | {r['out_rows']} "
+            f"| {label} | {store} | {r['input_rows']} | {r['batches']} | {r['out_rows']} "
             f"| {r['peak_state']} | {r['final_state']} | {r['evicted']} "
             f"| {r['wall']:.1f} |"
         )
-    growth = r10["peak_state"] / max(1, r1["peak_state"])
-    print(f"\npeak-state growth at 10× input: {growth:.2f}× "
-          f"(bounded-by-watermark claim holds if ≪ 10×)")
+    for store, a, b in (("default", r1, r10), ("rocksdb", rk1, rk10)):
+        growth = b["peak_state"] / max(1, a["peak_state"])
+        print(f"\n{store}: peak-state growth at 10× input: {growth:.2f}× "
+              f"(bounded-by-watermark claim holds if ≪ 10×)")
+    same = (r10["out_rows"] == rk10["out_rows"]) and (r1["out_rows"] == rk1["out_rows"])
+    print(f"provider-invariant join results: {same}")
 
 
 if __name__ == "__main__":
