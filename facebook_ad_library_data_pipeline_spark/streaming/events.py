@@ -178,6 +178,8 @@ def run_stream_to_memory(
     output_mode: str = "complete",
     partitions: str = "4",
     available_now: bool = False,
+    drained=None,
+    drain_timeout_s: float = 300.0,
 ) -> None:
     """Drive a streaming aggregation to completion against the bounded
     file source (processAllAvailable) and land it in a memory sink.
@@ -208,7 +210,23 @@ def run_stream_to_memory(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     try:
-        if available_now:
+        if drained is not None:
+            # Operators in ProcessingTime time mode (state TTL, timers)
+            # ask the engine for another batch EVERY batch — the query
+            # never self-quiesces, so neither processAllAvailable nor
+            # AvailableNow termination returns on a bounded source.
+            # Poll the caller's sink-visibility predicate instead: it
+            # decides "all source rows folded", then we stop the query.
+            import time as _time
+
+            deadline = _time.monotonic() + drain_timeout_s
+            while q.isActive and not drained():
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"stream {name!r} did not drain in {drain_timeout_s}s"
+                    )
+                _time.sleep(0.3)
+        elif available_now:
             q.awaitTermination()
         else:
             q.processAllAvailable()

@@ -308,9 +308,169 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ----------------------------------- ListState + TTL over real micro-batches
+
+# The remaining typed-state surface: ListState (retained per-key event
+# history — the state shape order statistics need, which no running
+# scalar can maintain) with a TTL config on the state variable, driven
+# across FOUR real micro-batches (maxFilesPerTrigger=1 over the 4-file
+# split source) so cross-batch appendList→get round-trips through the
+# state store are genuinely exercised, not simulated in one batch.
+
+TWS_LIST_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("median_cents", LongType()),
+        StructField("spread_cents", LongType()),
+    ]
+)
+
+
+class ValueHistoryProcessor(StatefulProcessor):
+    """Per-user retained value history in a ListState (integer cents),
+    emitting list-derived order statistics each batch: lower-median and
+    max−min spread need the FULL history, so the list is load-bearing —
+    a corrupted append/iterate path changes the hash, unlike a mirrored
+    counter. TTL is set to 1h: far beyond the bounded run's processing
+    time, so the output stays deterministic while the request path that
+    encodes TTLConfig (the `cmd.ttl.durationMs` mutation the vendored
+    runtime's lazy views exist for) runs for real."""
+
+    def init(self, handle) -> None:
+        self._cents = handle.getListState(
+            "cents", "cents bigint", ttlDurationMs=3_600_000
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+        fresh: list[tuple[int]] = []
+        for pdf in rows:
+            if len(pdf):
+                fresh.extend(
+                    (int(c),)
+                    for c in np.floor(
+                        pdf["value"].to_numpy() * 100 + 0.5
+                    ).astype("int64")
+                )
+        self._cents.appendList(fresh)
+        cents = sorted(c for (c,) in self._cents.get())
+        n = len(cents)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [sum(cents) / 100.0],
+                # lower median: element (n-1)//2 of the sorted history —
+                # an actual list element (no interpolation), so the SQL
+                # oracle can name the same element by 1-based position
+                "median_cents": [cents[(n - 1) // 2]],
+                "spread_cents": [cents[-1] - cents[0]],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_value_history_tws(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ValueHistoryProcessor(),
+        outputStructType=TWS_LIST_OUTPUT_SCHEMA,
+        outputMode="Update",
+        # TTL requires a processing-time clock on the operator
+        timeMode="ProcessingTime",
+    )
+
+
+# Slice-independence is the oracle's precondition: the 4-way split is
+# round-robin (not SQL-reproducible), but every emitted column depends
+# only on the SET of a user's values once all four batches are folded —
+# counts, integer-cent sums, and order statistics of the full history.
+_TWS_LIST_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(cents) AS DOUBLE) / 100 AS total_value,
+       (list(cents ORDER BY cents))[(count(*) + 1) // 2] AS median_cents,
+       max(cents) - min(cents) AS spread_cents
+FROM (
+    SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+)
+GROUP BY user_id
+"""
+
+
+def q_stream_tws_list_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListState + TTL through transformWithStateInPandas across four
+    real micro-batches: each batch appends its rows' integer cents to
+    the per-user retained history, and emits median/spread over the
+    full list — statistics only reconstructable from cross-batch state.
+    Update-mode memory sink; the final emit per user (max n_events —
+    strictly increasing, since a user absent from a batch emits
+    nothing) carries the complete history and must hash-match the
+    whole-table oracle. RocksDB provider, as the production backend."""
+    from .incremental import split_events_dir
+    from ..vendorpath import ensure_protobuf
+
+    ensure_protobuf(spark)
+    scoped = spark.newSession()
+    scoped.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = split_events_dir(scoped, sf_dir)
+    schema = scoped.read.parquet(src).schema
+    events = (
+        scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = user_value_history_tws(events)
+    # ProcessingTime time mode (TTL's clock) makes the operator request
+    # a batch every batch — the bounded query never self-quiesces, so
+    # drain on an observable fixpoint instead: every source row folded
+    # == the per-user max n_events emitted in the sink sums to the
+    # source row count (n_events is strictly increasing per emit).
+    total = scoped.read.parquet(src).count()
+
+    def all_rows_folded() -> bool:
+        got = scoped.sql(
+            "SELECT coalesce(sum(n), 0) FROM (SELECT max(n_events) AS n "
+            "FROM stream_tws_list_out GROUP BY user_id)"
+        ).collect()[0][0]
+        return got == total
+
+    run_stream_to_memory(
+        out,
+        "stream_tws_list_out",
+        output_mode="update",
+        partitions="8",
+        drained=all_rows_folded,
+    )
+    latest = scoped.table("stream_tws_list_out")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        latest.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 if tws_runtime_available():
     q_stream_transform_with_state = query(
         "q_stream_transform_with_state",
         oracle=_TWS_ORACLE,
         tags=("streaming", "stateful", "pandas-udf"),
     )(q_stream_transform_with_state)
+    q_stream_tws_list_ttl = query(
+        "q_stream_tws_list_ttl",
+        oracle=_TWS_LIST_ORACLE,
+        tags=("streaming", "stateful", "pandas-udf", "ttl"),
+    )(q_stream_tws_list_ttl)

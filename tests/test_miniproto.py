@@ -155,3 +155,72 @@ def test_copyfrom_and_clear():
     assert b.version == 7 and a == b
     b.Clear()
     assert b.version == 0 and b.SerializeToString() == b""
+
+
+# ---------------------------------------------------- lazy nested views
+# get_list_state (stateful_processor_api_client.py) builds its command
+# as `cmd.ttl.durationMs = n` — mutation THROUGH a read of an unset
+# singular message field. These tests pin the full runtime's semantics
+# for that pattern: same instance per read, no presence on read alone,
+# presence (and oneof selection) on first mutation, transitively.
+
+
+def test_mutation_through_read_attaches_presence():
+    c = sm.StateCallCommand()
+    c.stateName = "cents"
+    c.schema = "cents bigint"
+    c.ttl.durationMs = 60000
+    assert c.HasField("ttl")
+    # byte-equal to the kwargs-built (golden-tested) construction
+    want = sm.StateCallCommand(
+        stateName="cents", schema="cents bigint",
+        ttl=sm.TTLConfig(durationMs=60000),
+    )
+    assert c.SerializeToString() == want.SerializeToString()
+    rt = sm.StateCallCommand()
+    rt.ParseFromString(c.SerializeToString())
+    assert rt.ttl.durationMs == 60000
+
+
+def test_read_alone_never_sets_presence():
+    c = sm.StateCallCommand()
+    assert c.ttl.durationMs == 0  # default view, readable
+    assert c.ttl is c.ttl  # stable identity across reads
+    assert not c.HasField("ttl")
+    assert c.SerializeToString() == b""
+
+
+def test_lazy_view_attaches_through_oneof_chain():
+    call = sm.StatefulProcessorCall()
+    call.getListState.stateName = "x"
+    call.getListState.ttl.durationMs = 5  # two-level chain
+    assert call.WhichOneof("method") == "getListState"
+    want = sm.StatefulProcessorCall(
+        getListState=sm.StateCallCommand(
+            stateName="x", ttl=sm.TTLConfig(durationMs=5)
+        )
+    )
+    assert call.SerializeToString() == want.SerializeToString()
+
+
+def test_oneof_replacement_severs_stale_view():
+    call = sm.StatefulProcessorCall()
+    view = call.getValueState
+    view.stateName = "a"
+    assert call.WhichOneof("method") == "getValueState"
+    call.getListState.stateName = "b"  # replaces the oneof member
+    assert call.WhichOneof("method") == "getListState"
+    view.stateName = "mutated-after-sever"  # must NOT re-attach
+    assert call.WhichOneof("method") == "getListState"
+    assert call.getListState.stateName == "b"
+
+
+def test_repeated_append_attaches_chain():
+    # appending into a repeated field attaches content without needing
+    # a whole-list assignment (the _Repeated view's touch hook)
+    resp = sm.StateResponseWithListGet()
+    resp.value.append(b"row")
+    assert resp.SerializeToString() != b""
+    rt = sm.StateResponseWithListGet()
+    rt.ParseFromString(resp.SerializeToString())
+    assert list(rt.value) == [b"row"]

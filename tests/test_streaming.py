@@ -361,3 +361,111 @@ def test_tws_live_runtime_matches_batch(spark, sf_dir):
         assert abs(g["total_value"] - w["total_value"]) < 1e-9
         for t in stateful.EVENT_TYPES:
             assert g[f"n_{t}"] == w[f"n_{t}"], (w["user_id"], t)
+
+
+def test_tws_list_processor_history_is_split_invariant():
+    """ValueHistoryProcessor's ListState fold: the retained history —
+    and the order statistics derived from it — must be identical
+    whether rows arrive in one batch or three (appendList across
+    batches), and must equal the plain pandas computation. This is the
+    slice-independence property that lets the 4-micro-batch live query
+    share a whole-table SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from facebook_ad_library_data_pipeline_spark.streaming.stateful import (
+        ValueHistoryProcessor,
+    )
+
+    class FakeListState:
+        def __init__(self):
+            self._items = []
+
+        def exists(self):
+            return bool(self._items)
+
+        def get(self):
+            return iter(list(self._items))
+
+        def appendList(self, items):
+            self._items.extend(tuple(i) for i in items)
+
+    captured = {}
+
+    class FakeHandle:
+        def getListState(self, name, schema, ttlDurationMs=None):
+            captured["ttl"] = ttlDurationMs
+            return FakeListState()
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "user_id": 7,
+            "value": rng.uniform(0, 80, size=25).round(3),
+        }
+    )
+
+    def run(batches):
+        proc = ValueHistoryProcessor()
+        proc.init(FakeHandle())
+        out = None
+        for b in batches:
+            out = pd.concat(list(proc.handleInputRows((7,), iter([b]), None)))
+        return out.iloc[-1]
+
+    whole = run([pdf])
+    split = run([pdf.iloc[:6], pdf.iloc[6:17], pdf.iloc[17:]])
+    assert whole.equals(split)
+    cents = sorted(np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64"))
+    assert whole["n_events"] == 25
+    assert whole["total_value"] == sum(cents) / 100.0
+    assert whole["median_cents"] == cents[(25 - 1) // 2]
+    assert whole["spread_cents"] == cents[-1] - cents[0]
+    # the TTL config must actually reach the state registration call
+    assert captured["ttl"] == 3_600_000
+
+
+def test_tws_list_ttl_live_matches_batch(spark, sf_dir):
+    """END-TO-END ListState + TTL: four real micro-batches append into
+    per-user retained history through the JVM state server (RocksDB
+    provider, ProcessingTime time mode for the TTL clock), drained on
+    the all-rows-folded fixpoint. The final emits must equal the batch
+    computation of the same order statistics."""
+    import pytest
+
+    from facebook_ad_library_data_pipeline_spark.streaming import stateful
+
+    if not stateful.tws_runtime_available():
+        pytest.skip("no protobuf runtime (real or vendored)")
+
+    from pyspark.sql import functions as F
+
+    from facebook_ad_library_data_pipeline_spark.catalog import load_table
+
+    got = {
+        r["user_id"]: r
+        for r in stateful.q_stream_tws_list_ttl(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    )
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("cents") / 100.0).alias("total_value"),
+            F.expr(
+                "sort_array(collect_list(cents))"
+                "[CAST((count(*) - 1) / 2 AS INT)]"
+            ).alias("median_cents"),
+            (F.max("cents") - F.min("cents")).alias("spread_cents"),
+        )
+        .collect()
+    )
+    assert len(got) == len(want) > 0
+    for w in want:
+        g = got[w["user_id"]]
+        assert g["n_events"] == w["n_events"]
+        assert abs(g["total_value"] - w["total_value"]) < 1e-9
+        assert g["median_cents"] == w["median_cents"]
+        assert g["spread_cents"] == w["spread_cents"]
