@@ -463,6 +463,153 @@ def q_stream_tws_list_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- timers (register/fire/delete)
+
+# The last typed-state surface: PROCESSING-TIME TIMERS. The processor
+# emits NOTHING from the data path — every output row is produced by
+# handleExpiredTimer. Each data batch slides a per-key finalize timer
+# (deleteTimer on the previous expiry, registerTimer at now+Δ); once the
+# key's last data batch has been folded, the engine's continuous
+# ProcessingTime batches advance the clock past Δ and the timer fires
+# exactly once (one-shot: the fire path does not re-register), emitting
+# the key's COMPLETE totals. Intermediate fires (a quiet key whose
+# timer lapses mid-stream) emit partial totals with strictly smaller
+# n_events, so keep-max-per-key is deterministic and the final kept row
+# per user equals the whole-table aggregate — an exact SQL oracle, even
+# though WHEN each timer fires is wall-clock nondeterminism.
+
+TWS_TIMER_DELTA_MS = 1000
+
+TWS_TIMER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+class TimerFinalizeProcessor(StatefulProcessor):
+    """Totals in a ValueState; a sliding finalize timer per key. The
+    timer protocol exercised end-to-end: registerTimer + deleteTimer
+    from the data path, handleExpiredTimer as the only emitter."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._totals = handle.getValueState(
+            "totals", "n_events bigint, total_cents bigint"
+        )
+        self._pending = handle.getValueState("pending", "expiry bigint")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import numpy as np
+
+        n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+        for pdf in rows:
+            if len(pdf):
+                n += len(pdf)
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum()
+                )
+        self._totals.update((n, cents))
+        # slide the finalize timer: drop the previous registration (if
+        # it has not fired yet) and arm a fresh one Δ from now
+        if self._pending.exists():
+            (old,) = self._pending.get()
+            self._handle.deleteTimer(old)
+        expiry = timer_values.getCurrentProcessingTimeInMs() + TWS_TIMER_DELTA_MS
+        self._handle.registerTimer(expiry)
+        self._pending.update((expiry,))
+        return iter(())  # data path emits nothing
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        (user_id,) = key
+        n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+        self._pending.clear()  # one-shot: no re-register from the fire path
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_timer_finalize_tws(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TimerFinalizeProcessor(),
+        outputStructType=TWS_TIMER_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+
+
+_TWS_TIMER_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+           AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Processing-time timers through transformWithStateInPandas: the
+    finalize-on-quiescence pattern (the streaming shape of "emit a
+    session summary when a key goes quiet" — here quiescence is simply
+    end-of-source, which makes the final fire's content exact). Every
+    output row came out of handleExpiredTimer; per user the kept row
+    (max n_events) must hash-match the whole-table aggregate."""
+    from .incremental import split_events_dir
+    from ..vendorpath import ensure_protobuf
+
+    ensure_protobuf(spark)
+    scoped = spark.newSession()
+    scoped.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = split_events_dir(scoped, sf_dir)
+    schema = scoped.read.parquet(src).schema
+    events = (
+        scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = user_timer_finalize_tws(events)
+    total = scoped.read.parquet(src).count()
+
+    def all_rows_finalized() -> bool:
+        got = scoped.sql(
+            "SELECT coalesce(sum(n), 0) FROM (SELECT max(n_events) AS n "
+            "FROM stream_tws_timer_out GROUP BY user_id)"
+        ).collect()[0][0]
+        return got == total
+
+    run_stream_to_memory(
+        out,
+        "stream_tws_timer_out",
+        output_mode="update",
+        partitions="8",
+        drained=all_rows_finalized,
+    )
+    latest = scoped.table("stream_tws_timer_out")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        latest.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 if tws_runtime_available():
     q_stream_transform_with_state = query(
         "q_stream_transform_with_state",
@@ -474,3 +621,8 @@ if tws_runtime_available():
         oracle=_TWS_LIST_ORACLE,
         tags=("streaming", "stateful", "pandas-udf", "ttl"),
     )(q_stream_tws_list_ttl)
+    q_stream_tws_timers = query(
+        "q_stream_tws_timers",
+        oracle=_TWS_TIMER_ORACLE,
+        tags=("streaming", "stateful", "pandas-udf", "timers"),
+    )(q_stream_tws_timers)

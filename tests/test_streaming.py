@@ -469,3 +469,94 @@ def test_tws_list_ttl_live_matches_batch(spark, sf_dir):
         assert abs(g["total_value"] - w["total_value"]) < 1e-9
         assert g["median_cents"] == w["median_cents"]
         assert g["spread_cents"] == w["spread_cents"]
+
+
+def test_tws_timer_processor_protocol():
+    """TimerFinalizeProcessor through a fake handle: the data path
+    emits nothing and slides the finalize timer (deleteTimer on the
+    previous expiry, registerTimer at now+delta); the fire path emits
+    the complete totals exactly once and disarms. Deterministic replay
+    of the register→delete→register→fire sequence the live query
+    exercises against the JVM."""
+    import numpy as np
+    import pandas as pd
+
+    from facebook_ad_library_data_pipeline_spark.streaming.stateful import (
+        TWS_TIMER_DELTA_MS,
+        TimerFinalizeProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def clear(self):
+            self._v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.timers = []
+            self.log = []
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return FakeValueState()
+
+        def registerTimer(self, ms):
+            self.timers.append(ms)
+            self.log.append(("register", ms))
+
+        def deleteTimer(self, ms):
+            self.timers.remove(ms)
+            self.log.append(("delete", ms))
+
+    class FakeTimerValues:
+        def __init__(self, now):
+            self._now = now
+
+        def getCurrentProcessingTimeInMs(self):
+            return self._now
+
+    proc = TimerFinalizeProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    rng = np.random.default_rng(3)
+    b1 = pd.DataFrame({"user_id": 9, "value": rng.uniform(0, 40, 10).round(3)})
+    b2 = pd.DataFrame({"user_id": 9, "value": rng.uniform(0, 40, 7).round(3)})
+
+    out1 = list(proc.handleInputRows((9,), iter([b1]), FakeTimerValues(10_000)))
+    assert out1 == []  # data path is silent
+    assert handle.timers == [10_000 + TWS_TIMER_DELTA_MS]
+
+    # second batch arrives before expiry: the timer must SLIDE
+    list(proc.handleInputRows((9,), iter([b2]), FakeTimerValues(10_400)))
+    assert handle.timers == [10_400 + TWS_TIMER_DELTA_MS]
+    assert ("delete", 10_000 + TWS_TIMER_DELTA_MS) in handle.log
+
+    class FakeExpiredInfo:
+        def getExpiryTimeInMs(self):
+            return 10_400 + TWS_TIMER_DELTA_MS
+
+    fired = pd.concat(
+        list(
+            proc.handleExpiredTimer(
+                (9,), FakeTimerValues(12_000), FakeExpiredInfo()
+            )
+        )
+    )
+    both = pd.concat([b1, b2])
+    cents = int(np.floor(both["value"].to_numpy() * 100 + 0.5).sum())
+    assert fired.iloc[0]["n_events"] == 17
+    assert fired.iloc[0]["total_value"] == cents / 100.0
+    # one-shot: the fire path disarmed the pending-expiry state, so a
+    # later quiet period registers nothing and no duplicate fire occurs
+    assert proc._pending.exists() is False
