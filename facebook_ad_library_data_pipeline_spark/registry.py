@@ -94,6 +94,7 @@ _PRIORITY = [
     "q_stream_transform_with_state",  # typed-state API unblocked by the vendored mini-protobuf
     "q_stream_tws_list_ttl",  # ListState+TTL across 4 real micro-batches, list-derived order stats
     "q_stream_tws_timers",  # processing-time timers: all output from handleExpiredTimer
+    "q_stream_tws_map_spill",  # MapState iterate+removeKey: cap-spill into overflow ValueState
     "q_compaction_zorder",  # clustering-preserving compaction, disjoint-range flags
     "q_state_store_read",   # checkpoint state read back as a batch DF, hash == batch rollup
     "q_state_metadata",     # state-metadata catalog: operator + shard layout pinned

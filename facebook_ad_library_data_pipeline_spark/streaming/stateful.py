@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -610,6 +611,152 @@ def q_stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------- MapState iteration + removeKey (state spill)
+
+# Completes the MapState protocol surface (iterator/keys/values/
+# removeKey — the engagement processor uses only point ops) with a real
+# pattern: HIERARCHICAL STATE COMPACTION. The hot per-(user, type)
+# cents map spills an entry into a compact ValueState accumulator once
+# it crosses a cap and removes the map key — the keep-hot-state-small
+# discipline a 100 TB/day pipeline applies when per-key sub-state has
+# unbounded fan-out. Emitted columns are all SPILL-SCHEDULE-INVARIANT
+# (total = overflow + live map regardless of when entries spilled;
+# seen-type count is set semantics), so the whole-table SQL oracle is
+# exact even though which entries are live at any moment depends on
+# micro-batch boundaries.
+
+SPILL_CAP_CENTS = 10_000  # every (user, type) in the testdata crosses it
+
+TWS_SPILL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("n_types_seen", LongType()),
+        StructField("live_under_cap", BooleanType()),
+    ]
+)
+
+
+class SpillMapProcessor(StatefulProcessor):
+    """Hot MapState (type → running cents) + spill ValueState + a
+    seen-types MapState used as a set. Falsifiability of the live
+    flag: a broken removeKey leaves a ≥cap entry in the map and flips
+    live_under_cap; a broken iterator/values corrupts the emitted
+    total against the oracle."""
+
+    def init(self, handle) -> None:
+        self._live = handle.getMapState("live", "event_type string", "cents bigint")
+        self._seen = handle.getMapState("seen", "event_type string", "one tinyint")
+        self._overflow = handle.getValueState("overflow", "cents bigint")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+        (overflow,) = self._overflow.get() if self._overflow.exists() else (0,)
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            cents = pd.Series(
+                np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64"),
+                index=pdf.index,
+            )
+            for etype, csum in cents.groupby(pdf["event_type"]).sum().items():
+                if not self._seen.containsKey((etype,)):
+                    self._seen.updateValue((etype,), (1,))
+                cur = (
+                    self._live.getValue((etype,))[0]
+                    if self._live.containsKey((etype,))
+                    else 0
+                ) + int(csum)
+                if cur >= SPILL_CAP_CENTS:
+                    overflow += cur
+                    if self._live.containsKey((etype,)):
+                        self._live.removeKey((etype,))
+                else:
+                    self._live.updateValue((etype,), (cur,))
+        self._overflow.update((overflow,))
+        live_vals = [v[0] for v in self._live.values()]
+        total = overflow + sum(live_vals)
+        n_seen = sum(1 for _ in self._seen.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "total_value": [total / 100.0],
+                "n_types_seen": [n_seen],
+                "live_under_cap": [all(v < SPILL_CAP_CENTS for v in live_vals)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_spill_map_tws(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SpillMapProcessor(),
+        outputStructType=TWS_SPILL_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",  # no TTL/timers: the bounded run self-quiesces
+    )
+
+
+_TWS_SPILL_ORACLE = """
+SELECT user_id,
+       CAST(sum(cents) AS DOUBLE) / 100 AS total_value,
+       count(DISTINCT event_type) AS n_types_seen,
+       TRUE AS live_under_cap
+FROM (
+    SELECT user_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+)
+GROUP BY user_id
+"""
+
+
+def q_stream_tws_map_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapState iteration + removeKey through the live typed-state
+    protocol: per-user hot type→cents map spilling into a compact
+    overflow accumulator at a cap, across four real micro-batches.
+    The kept row per user (last emit = all rows folded) must
+    hash-match the whole-table aggregate; total_value is conserved
+    across spills by construction, so any protocol fault in
+    values()/keys()/removeKey shows up as a red hash."""
+    from .incremental import split_events_dir
+    from ..vendorpath import ensure_protobuf
+
+    ensure_protobuf(spark)
+    scoped = spark.newSession()
+    scoped.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = split_events_dir(scoped, sf_dir)
+    schema = scoped.read.parquet(src).schema
+    events = (
+        scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = user_spill_map_tws(events)
+    run_stream_to_memory(
+        out, "stream_tws_spill_out", output_mode="update", partitions="8"
+    )
+    latest = scoped.table("stream_tws_spill_out")
+    from pyspark.sql import Window
+
+    # total_value is non-decreasing across emits (cents are positive),
+    # so max total_value identifies the final snapshot per user
+    w = Window.partitionBy("user_id").orderBy(F.desc("total_value"))
+    return (
+        latest.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 if tws_runtime_available():
     q_stream_transform_with_state = query(
         "q_stream_transform_with_state",
@@ -626,3 +773,8 @@ if tws_runtime_available():
         oracle=_TWS_TIMER_ORACLE,
         tags=("streaming", "stateful", "pandas-udf", "timers"),
     )(q_stream_tws_timers)
+    q_stream_tws_map_spill = query(
+        "q_stream_tws_map_spill",
+        oracle=_TWS_SPILL_ORACLE,
+        tags=("streaming", "stateful", "pandas-udf", "mapstate"),
+    )(q_stream_tws_map_spill)

@@ -560,3 +560,100 @@ def test_tws_timer_processor_protocol():
     # one-shot: the fire path disarmed the pending-expiry state, so a
     # later quiet period registers nothing and no duplicate fire occurs
     assert proc._pending.exists() is False
+
+
+def test_tws_spill_map_processor_conserves_total():
+    """SpillMapProcessor through a fake handle: entries crossing the
+    cap spill into the overflow ValueState via removeKey, the emitted
+    total is conserved regardless of where batch boundaries fall, and
+    the live map never holds a >= cap entry. Asserts removeKey was
+    genuinely exercised (the live query's falsifiability hinges on
+    it)."""
+    import numpy as np
+    import pandas as pd
+
+    from facebook_ad_library_data_pipeline_spark.streaming.stateful import (
+        SPILL_CAP_CENTS,
+        SpillMapProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeMapState:
+        def __init__(self, removed):
+            self._m = {}
+            self._removed = removed
+
+        def containsKey(self, k):
+            return tuple(k) in self._m
+
+        def getValue(self, k):
+            return self._m[tuple(k)]
+
+        def updateValue(self, k, v):
+            self._m[tuple(k)] = tuple(v)
+
+        def keys(self):
+            return iter(list(self._m))
+
+        def values(self):
+            return iter(list(self._m.values()))
+
+        def removeKey(self, k):
+            del self._m[tuple(k)]
+            self._removed.append(tuple(k))
+
+    removed = []
+
+    class FakeHandle:
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return FakeValueState()
+
+        def getMapState(self, name, ks, vs, ttlDurationMs=None):
+            return FakeMapState(removed)
+
+    # values sized so a type's PER-BATCH increment stays under the cap
+    # (entries accumulate in the live map) while its cumulative total
+    # crosses it (so the split run must spill via removeKey). A
+    # single-batch run folds the whole sum at once and jump-spills
+    # without ever storing the entry — also correct, and the two
+    # schedules must agree on every emitted column.
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "user_id": 3,
+            "event_type": rng.choice(["view", "click", "purchase"], size=40),
+            "value": rng.uniform(5, 15, size=40).round(3),
+        }
+    )
+
+    def run(batches):
+        proc = SpillMapProcessor()
+        proc.init(FakeHandle())
+        out = None
+        for b in batches:
+            out = pd.concat(list(proc.handleInputRows((3,), iter([b]), None)))
+        return out.iloc[-1]
+
+    removed.clear()
+    whole = run([pdf])
+    removed.clear()
+    split = run([pdf.iloc[:9], pdf.iloc[9:23], pdf.iloc[23:]])
+    assert whole.equals(split)  # spill schedule differs; outputs must not
+    assert len(removed) > 0  # removeKey really fired in the split run
+    cents = int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+    assert whole["total_value"] == cents / 100.0
+    assert whole["n_types_seen"] == pdf["event_type"].nunique()
+    assert bool(whole["live_under_cap"]) is True
+    assert SPILL_CAP_CENTS == 10_000
