@@ -95,6 +95,7 @@ _PRIORITY = [
     "q_stream_tws_list_ttl",  # ListState+TTL across 4 real micro-batches, list-derived order stats
     "q_stream_tws_timers",  # processing-time timers: all output from handleExpiredTimer
     "q_stream_tws_map_spill",  # MapState iterate+removeKey: cap-spill into overflow ValueState
+    "q_stream_tws_initial_state",  # warm-start: batch backfill seeds state via handleInitialState
     "q_compaction_zorder",  # clustering-preserving compaction, disjoint-range flags
     "q_state_store_read",   # checkpoint state read back as a batch DF, hash == batch rollup
     "q_state_metadata",     # state-metadata catalog: operator + shard layout pinned

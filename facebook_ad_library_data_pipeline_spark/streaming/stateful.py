@@ -492,15 +492,16 @@ TWS_TIMER_OUTPUT_SCHEMA = StructType(
 
 class TimerFinalizeProcessor(StatefulProcessor):
     """Totals in a ValueState; a sliding finalize timer per key. The
-    timer protocol exercised end-to-end: registerTimer + deleteTimer
-    from the data path, handleExpiredTimer as the only emitter."""
+    full timer protocol exercised end-to-end: listTimers to read back
+    the key's pending registrations from the store itself (no shadow
+    ValueState to drift out of sync), deleteTimer + registerTimer to
+    slide, handleExpiredTimer as the only emitter."""
 
     def init(self, handle) -> None:
         self._handle = handle
         self._totals = handle.getValueState(
             "totals", "n_events bigint, total_cents bigint"
         )
-        self._pending = handle.getValueState("pending", "expiry bigint")
 
     def handleInputRows(self, key, rows, timer_values):
         import numpy as np
@@ -513,22 +514,22 @@ class TimerFinalizeProcessor(StatefulProcessor):
                     np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum()
                 )
         self._totals.update((n, cents))
-        # slide the finalize timer: drop the previous registration (if
-        # it has not fired yet) and arm a fresh one Δ from now
-        if self._pending.exists():
-            (old,) = self._pending.get()
+        # slide the finalize timer: read the pending registrations back
+        # from the timer store (single source of truth) and drop them,
+        # then arm a fresh one Δ from now
+        for old in list(self._handle.listTimers()):
             self._handle.deleteTimer(old)
         expiry = timer_values.getCurrentProcessingTimeInMs() + TWS_TIMER_DELTA_MS
         self._handle.registerTimer(expiry)
-        self._pending.update((expiry,))
         return iter(())  # data path emits nothing
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        # one-shot by construction: the engine removes a fired timer,
+        # and this path registers nothing new
         import pandas as pd
 
         (user_id,) = key
         n, cents = self._totals.get() if self._totals.exists() else (0, 0)
-        self._pending.clear()  # one-shot: no re-register from the fire path
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
@@ -601,6 +602,147 @@ def q_stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         drained=all_rows_finalized,
     )
     latest = scoped.table("stream_tws_timer_out")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        latest.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --------------------- initial state (warm-start) + deleteIfExists
+
+# The migration surface: transformWithStateInPandas(initialState=...)
+# BOOTSTRAPS the state store from a batch DataFrame — how a long-lived
+# streaming job starts warm from a backfill instead of replaying
+# history through the stream. handleInitialState is invoked once per
+# initial-state key in the first batch; deleteIfExists is the state
+# schema-evolution hook (drop a renamed/legacy variable on upgrade —
+# a live no-op here, but the protocol round-trip is real).
+
+TWS_INIT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("n_seeded", LongType()),
+    ]
+)
+
+
+class WarmStartProcessor(StatefulProcessor):
+    """Totals seeded from the backfill via handleInitialState, then
+    folded forward by the stream. n_seeded rides along so a silently
+    skipped seeding is a red hash, not a plausible small number."""
+
+    def init(self, handle) -> None:
+        # schema-evolution hook: a prior deployment stored totals under
+        # another variable name; purge it if present (no-op when absent)
+        handle.deleteIfExists("legacy_totals")
+        self._totals = handle.getValueState(
+            "totals", "n_events bigint, total_cents bigint, n_seeded bigint"
+        )
+
+    def handleInitialState(self, key, initialState, timer_values) -> None:
+        n0 = int(initialState["n0"].iloc[0])
+        cents0 = int(initialState["cents0"].iloc[0])
+        self._totals.update((n0, cents0, n0))
+
+    def handleInputRows(self, key, rows, timer_values):
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+        n, cents, seeded = (
+            self._totals.get() if self._totals.exists() else (0, 0, 0)
+        )
+        for pdf in rows:
+            if len(pdf):
+                n += len(pdf)
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum()
+                )
+        self._totals.update((n, cents, seeded))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "n_seeded": [seeded],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+# Only users with at least one STREAMED row emit (handleInitialState
+# itself produces no output), hence the HAVING clause; their totals
+# cover backfill + stream, and n_seeded pins the seeded half exactly.
+_TWS_INIT_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+           AS total_value,
+       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_seeded
+FROM events
+GROUP BY user_id
+HAVING sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) > 0
+"""
+
+
+def q_stream_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start a typed-state stream from a batch backfill: even
+    event_ids are aggregated in batch and handed to the operator as
+    initialState (seeding the store via handleInitialState); only odd
+    event_ids flow through the stream. The final per-user snapshot must
+    equal the whole-table aggregate — backfill + stream with no gap and
+    no double count — which is exactly what a production cutover from
+    batch history to live ingestion has to guarantee."""
+    from .incremental import split_events_dir
+    from ..catalog import load_table
+    from ..vendorpath import ensure_protobuf
+
+    ensure_protobuf(spark)
+    scoped = spark.newSession()
+    scoped.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    backfill = (
+        load_table(scoped, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
+                "cents0"
+            ),
+        )
+        .groupBy("user_id")
+    )
+    src = split_events_dir(scoped, sf_dir)
+    schema = scoped.read.parquet(src).schema
+    events = (
+        scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .filter(F.col("event_id") % 2 == 1)
+    )
+    out = events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=WarmStartProcessor(),
+        outputStructType=TWS_INIT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+        initialState=backfill,
+    )
+    run_stream_to_memory(
+        out, "stream_tws_init_out", output_mode="update", partitions="8"
+    )
+    latest = scoped.table("stream_tws_init_out")
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
@@ -778,3 +920,8 @@ if tws_runtime_available():
         oracle=_TWS_SPILL_ORACLE,
         tags=("streaming", "stateful", "pandas-udf", "mapstate"),
     )(q_stream_tws_map_spill)
+    q_stream_tws_initial_state = query(
+        "q_stream_tws_initial_state",
+        oracle=_TWS_INIT_ORACLE,
+        tags=("streaming", "stateful", "pandas-udf", "initial-state"),
+    )(q_stream_tws_initial_state)

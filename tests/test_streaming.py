@@ -518,6 +518,10 @@ def test_tws_timer_processor_protocol():
             self.timers.remove(ms)
             self.log.append(("delete", ms))
 
+        def listTimers(self):
+            self.log.append(("list", tuple(self.timers)))
+            return iter(list(self.timers))
+
     class FakeTimerValues:
         def __init__(self, now):
             self._now = now
@@ -557,9 +561,15 @@ def test_tws_timer_processor_protocol():
     cents = int(np.floor(both["value"].to_numpy() * 100 + 0.5).sum())
     assert fired.iloc[0]["n_events"] == 17
     assert fired.iloc[0]["total_value"] == cents / 100.0
-    # one-shot: the fire path disarmed the pending-expiry state, so a
-    # later quiet period registers nothing and no duplicate fire occurs
-    assert proc._pending.exists() is False
+    # the slide read its pending registrations back from the timer
+    # store itself (listTimers), not from shadow state
+    assert ("list", (10_000 + TWS_TIMER_DELTA_MS,)) in handle.log
+    # one-shot: the fire path registered nothing new (a real engine
+    # removes the fired timer itself; the fake keeps it listed)
+    assert [op for op in handle.log if op[0] == "register"] == [
+        ("register", 10_000 + TWS_TIMER_DELTA_MS),
+        ("register", 10_400 + TWS_TIMER_DELTA_MS),
+    ]
 
 
 def test_tws_spill_map_processor_conserves_total():
@@ -657,3 +667,53 @@ def test_tws_spill_map_processor_conserves_total():
     assert whole["n_types_seen"] == pdf["event_type"].nunique()
     assert bool(whole["live_under_cap"]) is True
     assert SPILL_CAP_CENTS == 10_000
+
+
+def test_tws_warmstart_processor_seeds_then_folds():
+    """WarmStartProcessor via fake handle: handleInitialState seeds the
+    totals from the backfill row, handleInputRows folds streamed rows
+    on top (no gap, no double count), and init() issues the
+    deleteIfExists schema-evolution call for the legacy variable."""
+    import numpy as np
+    import pandas as pd
+
+    from facebook_ad_library_data_pipeline_spark.streaming.stateful import (
+        WarmStartProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    deleted = []
+
+    class FakeHandle:
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return FakeValueState()
+
+        def deleteIfExists(self, name):
+            deleted.append(name)
+
+    proc = WarmStartProcessor()
+    proc.init(FakeHandle())
+    assert deleted == ["legacy_totals"]
+
+    seed = pd.DataFrame({"n0": [12], "cents0": [34_567]})
+    proc.handleInitialState((4,), seed, None)
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({"user_id": 4, "value": rng.uniform(0, 30, 8).round(3)})
+    out = pd.concat(list(proc.handleInputRows((4,), iter([pdf]), None))).iloc[-1]
+    cents = int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+    assert out["n_events"] == 12 + 8
+    assert out["total_value"] == (34_567 + cents) / 100.0
+    assert out["n_seeded"] == 12
