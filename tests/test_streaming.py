@@ -717,3 +717,118 @@ def test_tws_warmstart_processor_seeds_then_folds():
     assert out["n_events"] == 12 + 8
     assert out["total_value"] == (34_567 + cents) / 100.0
     assert out["n_seeded"] == 12
+
+
+def test_tws_checkpoint_restart_recovers_state(spark, sf_dir, tmp_path):
+    """CRASH-RECOVERY of typed state: run the engagement processor over
+    half the source files with an explicit checkpoint, stop the query,
+    deliver the remaining files, restart from the SAME checkpoint. The
+    restarted run's emits must equal the WHOLE-table aggregate per user
+    — possible only if the RocksDB snapshot restored the phase-1 folds
+    (a fresh run over phase-2 files alone would undercount). This is
+    the durability half of the typed-state story: the vendored
+    protobuf protocol and the state encoding must round-trip through
+    an actual stop/restart, not just within one query run."""
+    import glob
+    import shutil
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from facebook_ad_library_data_pipeline_spark.catalog import load_table
+    from facebook_ad_library_data_pipeline_spark.streaming import stateful
+    from facebook_ad_library_data_pipeline_spark.streaming.incremental import (
+        split_events_dir,
+    )
+    from facebook_ad_library_data_pipeline_spark.vendorpath import ensure_protobuf
+
+    if not stateful.tws_runtime_available():
+        pytest.skip("no protobuf runtime (real or vendored)")
+
+    ensure_protobuf(spark)
+    scoped = spark.newSession()
+    scoped.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    full_src = split_events_dir(scoped, sf_dir)
+    files = sorted(glob.glob(f"{full_src}/part-*.parquet"))
+    assert len(files) >= 2
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = scoped.read.parquet(full_src).schema
+
+    def run_to_completion(emits):
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        stream = (
+            scoped.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+
+        def capture(batch_df, epoch_id):
+            emits.extend(batch_df.collect())
+
+        q = (
+            stateful.user_engagement_tws(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(capture)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    half = len(files) // 2
+    for f in files[:half]:
+        shutil.copy(f, src)
+    phase1_emits = []
+    run_to_completion(phase1_emits)
+    assert len(phase1_emits) > 0
+
+    for f in files[half:]:
+        shutil.copy(f, src)
+    phase2_emits = []
+    run_to_completion(phase2_emits)
+
+    # phase-2 emits come only from the restarted run; every user in
+    # them must already equal the WHOLE-table totals
+    agg = {}
+    for r in phase2_emits:
+        n, tv = agg.get(r["user_id"], (0, 0.0))
+        agg[r["user_id"]] = (max(n, r["n_events"]), max(tv, r["total_value"]))
+    got = agg
+    assert len(got) > 0
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in load_table(scoped, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+                / 100.0
+            ).alias("total_value"),
+        )
+        .collect()
+    }
+    phase2_counts = {
+        r["user_id"]: r["n"]
+        for r in scoped.read.parquet(*[str(src / f.split("/")[-1]) for f in files[half:]])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    carried = 0
+    for uid, (n, tv) in got.items():
+        assert n == want[uid][0], f"user {uid}: {n} != {want[uid][0]}"
+        assert abs(tv - want[uid][1]) < 0.005
+        if phase2_counts.get(uid, 0) < n:
+            carried += 1  # this user's total NEEDED phase-1 state
+    assert carried > 0  # restart genuinely restored prior state
