@@ -226,6 +226,15 @@ def run_stream_to_memory(
                         f"stream {name!r} did not drain in {drain_timeout_s}s"
                     )
                 _time.sleep(0.3)
+            if not q.isActive and not drained():
+                # The query died before the sink fixpoint: surface ITS
+                # error now, not a downstream mismatch on a partial sink.
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
+                raise RuntimeError(
+                    f"stream {name!r} stopped before draining (no exception)"
+                )
         elif available_now:
             q.awaitTermination()
         else:

@@ -50,6 +50,82 @@ def split_events_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+SENTINEL_USER_ID = -1
+SENTINEL_OFFSET_DAYS = 40
+
+
+def split_events_dir_ts_ordered(spark: SparkSession, sf_dir: str) -> str:
+    """events re-written as N ts-CONTIGUOUS files (range-partitioned on
+    ts) consumed in ts order, plus a one-row far-future SENTINEL file
+    last — the source shape event-time watermark tests need:
+
+    - contiguous ranges in arrival order ⇒ no row is ever late, so a
+      0-delay watermark drops nothing and the oracle stays whole-table;
+    - the sentinel (user_id = -1, ts = max+40d+12h, off any day
+      boundary) advances the final watermark PAST every data window's
+      end, so every event-time timer registered at a window end
+      deterministically fires. The sentinel's own window never closes
+      (its end > the final watermark on either fire-boundary
+      convention), so it contributes no output row.
+
+    The file stream source admits files ordered by (mtime, path);
+    range partition i lands in lexicographically-ordered part-0000i
+    files AND gets an explicitly bumped mtime, so consumption order ==
+    ts order on both keys."""
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ts-ordered")
+    out = _SPLIT_CACHE.get(key)
+    if out is None:
+        src_mtime = int(Path(f"{sf_dir}/events.parquet").stat().st_mtime)
+        out = str(
+            Path(tempfile.gettempdir())
+            / "spark_graft_split_ts"
+            / f"{Path(sf_dir).name}_{src_mtime}"
+        )
+        if not Path(out, "_SUCCESS").exists():
+            events = load_table(spark, sf_dir, "events")
+            (
+                events.repartitionByRange(N_SOURCE_FILES, "ts")
+                .sortWithinPartitions("ts")
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+            # bounded scalar: single max over one small table
+            max_ts = events.agg(F.max("ts")).collect()[0][0]
+            sentinel = events.limit(1).select(
+                F.lit(-1).cast("bigint").alias("event_id"),
+                (
+                    F.lit(max_ts).cast("timestamp")
+                    + F.expr(f"make_interval(0, 0, 0, {SENTINEL_OFFSET_DAYS}, 12, 0, 0)")
+                ).alias("ts"),
+                F.lit(SENTINEL_USER_ID).cast("bigint").alias("user_id"),
+                F.lit("sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+            tmp_sent = out + "_sentinel_tmp"
+            sentinel.coalesce(1).write.mode("overwrite").parquet(tmp_sent)
+            (src,) = [
+                p for p in Path(tmp_sent).glob("part-*.parquet")
+            ]
+            os.replace(src, Path(out) / "zz-sentinel.parquet")
+            import shutil
+
+            shutil.rmtree(tmp_sent, ignore_errors=True)
+            # consumption order: bump mtimes in ts-range order
+            base = int(Path(out, "_SUCCESS").stat().st_mtime)
+            parts = sorted(Path(out).glob("part-*.parquet"))
+            for i, p in enumerate(parts):
+                os.utime(p, (base + i, base + i))
+            os.utime(
+                Path(out) / "zz-sentinel.parquet",
+                (base + len(parts) + 1, base + len(parts) + 1),
+            )
+        _SPLIT_CACHE[key] = out
+    return out
+
+
 def _partial_rollup(batch: DataFrame) -> DataFrame:
     return (
         batch.groupBy(

@@ -775,6 +775,7 @@ TWS_SPILL_OUTPUT_SCHEMA = StructType(
         StructField("total_value", DoubleType()),
         StructField("n_types_seen", LongType()),
         StructField("live_under_cap", BooleanType()),
+        StructField("n_events", LongType()),
     ]
 )
 
@@ -790,6 +791,7 @@ class SpillMapProcessor(StatefulProcessor):
         self._live = handle.getMapState("live", "event_type string", "cents bigint")
         self._seen = handle.getMapState("seen", "event_type string", "one tinyint")
         self._overflow = handle.getValueState("overflow", "cents bigint")
+        self._n_events = handle.getValueState("n_events", "n bigint")
 
     def handleInputRows(self, key, rows, timer_values):
         import numpy as np
@@ -797,9 +799,11 @@ class SpillMapProcessor(StatefulProcessor):
 
         (user_id,) = key
         (overflow,) = self._overflow.get() if self._overflow.exists() else (0,)
+        (n_events,) = self._n_events.get() if self._n_events.exists() else (0,)
         for pdf in rows:
             if not len(pdf):
                 continue
+            n_events += len(pdf)
             cents = pd.Series(
                 np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64"),
                 index=pdf.index,
@@ -819,6 +823,7 @@ class SpillMapProcessor(StatefulProcessor):
                 else:
                     self._live.updateValue((etype,), (cur,))
         self._overflow.update((overflow,))
+        self._n_events.update((n_events,))
         live_vals = [v[0] for v in self._live.values()]
         total = overflow + sum(live_vals)
         n_seen = sum(1 for _ in self._seen.keys())
@@ -828,6 +833,11 @@ class SpillMapProcessor(StatefulProcessor):
                 "total_value": [total / 100.0],
                 "n_types_seen": [n_seen],
                 "live_under_cap": [all(v < SPILL_CAP_CENTS for v in live_vals)],
+                # strictly increasing across emits (every batch that
+                # reaches handleInputRows carries ≥1 row) — the ORDER BY
+                # key for final-snapshot selection; total_value can TIE
+                # when a batch's cents round to 0
+                "n_events": [n_events],
             }
         )
 
@@ -848,7 +858,8 @@ _TWS_SPILL_ORACLE = """
 SELECT user_id,
        CAST(sum(cents) AS DOUBLE) / 100 AS total_value,
        count(DISTINCT event_type) AS n_types_seen,
-       TRUE AS live_under_cap
+       TRUE AS live_under_cap,
+       count(*) AS n_events
 FROM (
     SELECT user_id, event_type,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
@@ -889,9 +900,10 @@ def q_stream_tws_map_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = scoped.table("stream_tws_spill_out")
     from pyspark.sql import Window
 
-    # total_value is non-decreasing across emits (cents are positive),
-    # so max total_value identifies the final snapshot per user
-    w = Window.partitionBy("user_id").orderBy(F.desc("total_value"))
+    # n_events is STRICTLY increasing across a user's emits (each batch
+    # folds ≥1 row), so max n_events is the final snapshot even when
+    # total_value ties (a batch whose cents round to 0)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         latest.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -50,18 +50,21 @@ def ensure_protobuf(spark=None) -> bool:
             import google.protobuf  # noqa: F401
         except ImportError:
             return False
-    # Propagate to workers regardless of which runtime won: idempotent,
-    # and harmless when the real wheel is installed everywhere.
-    existing = os.environ.get("PYTHONPATH", "")
-    if VENDOR_DIR not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            VENDOR_DIR + os.pathsep + existing if existing else VENDOR_DIR
-        )
-    if spark is not None:
-        env = spark.sparkContext.environment
-        cur = env.get("PYTHONPATH", "")
-        if VENDOR_DIR not in cur.split(os.pathsep):
-            env["PYTHONPATH"] = (
-                VENDOR_DIR + os.pathsep + cur if cur else VENDOR_DIR
+        # Propagate to workers ONLY when the vendored runtime is the one
+        # this driver imported. PYTHONPATH precedes site-packages on the
+        # workers, so exporting it unconditionally would let the minimal
+        # shim shadow a real wheel there — breaking worker-side consumers
+        # that need features the shim omits (maps, extensions, JSON).
+        existing = os.environ.get("PYTHONPATH", "")
+        if VENDOR_DIR not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                VENDOR_DIR + os.pathsep + existing if existing else VENDOR_DIR
             )
+        if spark is not None:
+            env = spark.sparkContext.environment
+            cur = env.get("PYTHONPATH", "")
+            if VENDOR_DIR not in cur.split(os.pathsep):
+                env["PYTHONPATH"] = (
+                    VENDOR_DIR + os.pathsep + cur if cur else VENDOR_DIR
+                )
     return True

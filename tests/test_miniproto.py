@@ -224,3 +224,93 @@ def test_repeated_append_attaches_chain():
     rt = sm.StateResponseWithListGet()
     rt.ParseFromString(resp.SerializeToString())
     assert list(rt.value) == [b"row"]
+
+
+def test_zigzag_golden_bytes_negative():
+    # sint wire mapping per the public spec: zigzag(n) = (n<<1)^(n>>63),
+    # masked to 64 bits — golden values from the spec's own table:
+    # 0→0, -1→1, 1→2, -2→3, 2147483647→4294967294, -2147483648→4294967295
+    wire = pytest.importorskip(
+        "google.protobuf.internal.wire",
+        reason="vendored runtime not active (a real wheel has no `wire`)",
+    )
+
+    cases = [
+        (0, b"\x00"),
+        (-1, b"\x01"),
+        (1, b"\x02"),
+        (-2, b"\x03"),
+        (2, b"\x04"),
+        (2147483647, b"\xfe\xff\xff\xff\x0f"),
+        (-2147483648, b"\xff\xff\xff\xff\x0f"),
+        (-64, b"\x7f"),
+    ]
+    for value, golden in cases:
+        assert wire.encode_zigzag(value) == golden, value
+    # round-trip through the decoder for the full signed-64 boundary
+    for value in (-(1 << 63), (1 << 63) - 1, -1, 0, 1, -123456789):
+        enc = wire.encode_zigzag(value)
+        raw, pos = wire.decode_varint(enc, 0)
+        assert pos == len(enc)
+        assert wire.decode_zigzag(raw) == value
+
+
+def test_singular_message_merge_parses_once():
+    # two serialized occurrences of a singular nested field MERGE —
+    # later scalar wins, earlier fields survive — with the payload
+    # parsed directly into the existing value (no throwaway instance)
+    a = sm.StateCallCommand(stateName="totals", ttl=sm.TTLConfig(durationMs=5))
+    b = sm.StateCallCommand(ttl=sm.TTLConfig(durationMs=9))
+    rt = sm.StateCallCommand()
+    rt.MergeFromString(a.SerializeToString())
+    rt.MergeFromString(b.SerializeToString())
+    assert rt.stateName == "totals"
+    assert rt.ttl.durationMs == 9
+
+
+def _synthetic_message_class():
+    """A message class built straight from the vendored descriptor API:
+    one double field (fixed64 wire) and one sint64 field (zigzag wire) —
+    types the pyspark state proto itself never uses."""
+    from google.protobuf import descriptor as d
+    from google.protobuf.message import Message
+
+    fields = [
+        d.FieldDescriptor("x", 1, d.FieldDescriptor.TYPE_DOUBLE,
+                          d.FieldDescriptor.LABEL_OPTIONAL),
+        d.FieldDescriptor("s", 2, d.FieldDescriptor.TYPE_SINT64,
+                          d.FieldDescriptor.LABEL_OPTIONAL),
+    ]
+    desc = d.Descriptor("Synth", "test.Synth", fields, [], [], [])
+    cls = type("Synth", (Message,), {"DESCRIPTOR": desc})
+    desc._concrete_class = cls
+    return cls
+
+
+def test_truncated_fixed_width_raises_decode_error():
+    from google.protobuf.internal import wire
+    from google.protobuf.message import DecodeError
+
+    cls = _synthetic_message_class()
+    raw = bytes(wire.encode_tag(1, wire.WIRETYPE_FIXED64)) + b"\x01\x02"
+    with pytest.raises(DecodeError):
+        cls().ParseFromString(raw)
+    raw32 = bytes(wire.encode_tag(1, wire.WIRETYPE_FIXED32)) + b"\x01"
+    with pytest.raises(DecodeError):
+        cls().ParseFromString(raw32)
+
+
+def test_sint_field_roundtrip_negative():
+    # message-level zigzag coverage: a negative sint64 must serialize to
+    # the SHORT zigzag form (golden: -3 -> tag 0x10, payload 0x05), not
+    # crash and not use two's-complement 10-byte varints
+    cls = _synthetic_message_class()
+    m = cls(s=-3)
+    assert m.SerializeToString() == b"\x10\x05"
+    rt = cls()
+    rt.ParseFromString(b"\x10\x05")
+    assert rt.s == -3
+    for v in (-1, -(1 << 62), (1 << 62), 0):
+        r2 = cls()
+        r2.ParseFromString(cls(s=v).SerializeToString())
+        assert r2.s == v

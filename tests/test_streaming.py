@@ -666,6 +666,7 @@ def test_tws_spill_map_processor_conserves_total():
     assert whole["total_value"] == cents / 100.0
     assert whole["n_types_seen"] == pdf["event_type"].nunique()
     assert bool(whole["live_under_cap"]) is True
+    assert whole["n_events"] == len(pdf)  # the keep-window ORDER key
     assert SPILL_CAP_CENTS == 10_000
 
 
