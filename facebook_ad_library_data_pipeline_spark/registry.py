@@ -89,12 +89,19 @@ _QUERY_MODULES = [
 # double-proven r01/r02 queries last). Rotate this list each round to
 # move the remaining unchecked tail through the window.
 _PRIORITY = [
+    # ---- round-9 window ----
+    # New registrations this round:
+    "q_stream_tws_event_timers",  # event-time timers: watermark-driven window close, full output oracle-exact
+    "q_state_join_read",  # joinSide statestore read: retained join state hash-pinned to the watermark rule
+    # Queries whose implementation or oracle changed this round (the
+    # r08-advice fixes) — re-prove through the driver:
+    "q_stream_tws_map_spill",  # keep-window now ordered by the strictly increasing n_events
     # ---- round-8 window ----
     # New registrations this round:
     "q_stream_transform_with_state",  # typed-state API unblocked by the vendored mini-protobuf
     "q_stream_tws_list_ttl",  # ListState+TTL across 4 real micro-batches, list-derived order stats
     "q_stream_tws_timers",  # processing-time timers: all output from handleExpiredTimer
-    "q_stream_tws_map_spill",  # MapState iterate+removeKey: cap-spill into overflow ValueState
+    # (q_stream_tws_map_spill moved to the round-9 window above)
     "q_stream_tws_initial_state",  # warm-start: batch backfill seeds state via handleInitialState
     "q_compaction_zorder",  # clustering-preserving compaction, disjoint-range flags
     "q_state_store_read",   # checkpoint state read back as a batch DF, hash == batch rollup

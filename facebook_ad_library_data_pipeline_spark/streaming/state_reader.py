@@ -119,3 +119,116 @@ def q_state_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shards",
         )
     )
+
+
+# ------------------------------------------- stream-stream join state
+
+
+def join_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the view→purchase interval join (the q_stream_stream_join
+    operator, multi-batch over the 4-file split so mid-stream eviction
+    really runs) to completion against an explicit checkpoint dir."""
+    from .incremental import split_events_dir
+    from .joins import view_purchase_pairs
+
+    key = (spark.sparkContext.applicationId, sf_dir, "join")
+    ckpt = _CKPT_CACHE.get(key)
+    if ckpt is None:
+        ckpt = tempfile.mkdtemp(prefix="state_read_join_ckpt_")
+        src = split_events_dir(spark, sf_dir)
+        schema = spark.read.parquet(src).schema
+        ev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        views = ev.filter(F.col("event_type") == "view").withWatermark("ts", "1 hour")
+        purchases = ev.filter(F.col("event_type") == "purchase").withWatermark(
+            "ts", "1 hour"
+        )
+        out = view_purchase_pairs(views, purchases)
+        spark.sparkContext._jvm.System.gc()  # see run_stream_to_memory
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("state_read_join_src")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _CKPT_CACHE[key] = ckpt
+    return ckpt
+
+
+# The retained-state rule of a watermarked interval join, restated in
+# SQL: with both inputs watermarked 1 hour, the final global watermark
+# W = min(max view ts, max purchase ts) - 1h. A buffered view can be
+# dropped once no future purchase can land in [v_ts, v_ts+30m], i.e.
+# retained views satisfy v_ts + 30m >= W; a buffered purchase can be
+# dropped once the watermark proves no future view can precede it,
+# i.e. retained purchases satisfy p_ts >= W. This is the
+# SCALE_EVIDENCE "trailing watermark-uncertain tail" (72 rows at
+# sf0.1), here hash-pinned row-by-row, not just counted.
+_JOIN_STATE_ORACLE = """
+WITH w AS (
+  SELECT least(max(ts) FILTER (WHERE event_type = 'view'),
+               max(ts) FILTER (WHERE event_type = 'purchase'))
+         - INTERVAL 1 HOUR AS wm
+  FROM events
+)
+SELECT 'left' AS side, event_id AS row_id, user_id, ts
+FROM events, w
+WHERE event_type = 'view' AND ts + INTERVAL 30 MINUTE >= w.wm
+UNION ALL
+SELECT 'right' AS side, event_id AS row_id, user_id, ts
+FROM events, w
+WHERE event_type = 'purchase' AND ts >= w.wm
+"""
+
+
+@query(
+    "q_state_join_read",
+    oracle=_JOIN_STATE_ORACLE,
+    tags=("streaming", "state-store", "join"),
+)
+def q_state_join_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Introspect a stream-stream JOIN checkpoint per side
+    (`statestore` read with the `joinSide` option — the skew/audit
+    path for the heaviest state a 100 TB streaming pipeline carries).
+    Both buffered sides are read back as batch DataFrames and must
+    hash-match the watermark retention rule row-by-row: an eviction
+    that runs early drops a tail row the oracle keeps; one that never
+    runs retains thousands the oracle excludes; a lost shard loses a
+    side's partition slice."""
+    ckpt = join_checkpoint(spark, sf_dir)
+    left = (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("joinSide", "left")
+        .load()
+        .select(
+            F.lit("left").alias("side"),
+            F.col("value.view_id").alias("row_id"),
+            F.col("value.v_user").alias("user_id"),
+            F.col("value.v_ts").alias("ts"),
+        )
+    )
+    right = (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("joinSide", "right")
+        .load()
+        .select(
+            F.lit("right").alias("side"),
+            F.col("value.purchase_id").alias("row_id"),
+            F.col("value.p_user").alias("user_id"),
+            F.col("value.p_ts").alias("ts"),
+        )
+    )
+    return left.unionByName(right)

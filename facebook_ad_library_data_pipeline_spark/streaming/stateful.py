@@ -24,6 +24,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from ..registry import query
@@ -295,8 +296,17 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     events = load_events_stream(scoped, sf_dir)
     out = user_engagement_tws(events)
+    # 16 partitions for the WHOLE tws family: unlike the built-in
+    # streaming aggs (store fixed cost dominates ⇒ fewer is faster,
+    # see run_stream_to_memory), tws cost is per-KEY protocol
+    # round-trips to the state server, which parallelize across
+    # partitions. Measured family total at sf0.1 (same session,
+    # 6 queries): 4p=72s*, 8p=63/56s, 16p=53/53s, 32p=72s — 16 is the
+    # knee where round-trip parallelism still beats per-partition
+    # store+worker fixed cost on local[32]. (*4p from an earlier
+    # sweep, same protocol.)
     run_stream_to_memory(
-        out, "stream_tws_out", output_mode="update", partitions="8"
+        out, "stream_tws_out", output_mode="update", partitions="16"
     )
     latest = scoped.table("stream_tws_out")
     from pyspark.sql import Window
@@ -450,7 +460,7 @@ def q_stream_tws_list_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "stream_tws_list_out",
         output_mode="update",
-        partitions="8",
+        partitions="16",
         drained=all_rows_folded,
     )
     latest = scoped.table("stream_tws_list_out")
@@ -598,7 +608,7 @@ def q_stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "stream_tws_timer_out",
         output_mode="update",
-        partitions="8",
+        partitions="16",
         drained=all_rows_finalized,
     )
     latest = scoped.table("stream_tws_timer_out")
@@ -610,6 +620,208 @@ def q_stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# --------------------- event-time timers (watermark-driven window close)
+
+# The reproducible production timer variant: in timeMode="EventTime",
+# timers key off the WATERMARK, not the wall clock — fire order and
+# fire content are a pure function of the data and the source's batch
+# boundaries, so (unlike the ProcessingTime query above, where only the
+# keep-max projection is oracle-exact) the timer path ITSELF is
+# deterministic. Pattern: per (user, day-window) totals folded into a
+# MapState; one timer registered at each window's end; a window emits
+# EXACTLY ONCE, from handleExpiredTimer, when the watermark passes its
+# end. The ts-ordered split source (split_events_dir_ts_ordered) feeds
+# contiguous event-time ranges so a 0-delay watermark never drops a
+# row, and its far-future sentinel row pushes the final watermark past
+# every data window's end — every window deterministically closes.
+
+DAY_MS = 86_400_000
+
+TWS_EVENT_TIMER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("window_start", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+class WindowCloseProcessor(StatefulProcessor):
+    """Day windows accumulate per key in ONE array-valued ValueState
+    (parallel wstart/n/cents arrays + the pending timer's expiry);
+    timers are COALESCED — exactly one pending per key, at the
+    earliest open window's end — and handleExpiredTimer is the only
+    emit path: it closes every window whose end the watermark has
+    passed, then re-arms at the earliest end still open.
+
+    Why this shape: every typed-state call is a socket round-trip to
+    the JVM state server. A per-window MapState + per-window timer
+    costs O(windows) round-trips per key per batch AND O(windows)
+    fires per key (measured 37 s at sf0.1 = 1500 users × ~27 day
+    windows); this shape is 2 round-trips per key-batch and ~1 fire
+    per key per watermark advance (measured 8.5 s, same hashes). At
+    1000 executors the constant matters identically — state-server
+    chatter is the scaling axis of this operator, not data volume.
+
+    Falsifiable ends: a fire that emits before the watermark passes a
+    window's end ships a partial window against the whole-window
+    oracle; a timer that never fires drops the window; an array-state
+    fault corrupts n_events/total against count(*)/sum."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._wins = handle.getValueState(
+            "wins",
+            "wstarts array<bigint>, ns array<bigint>, "
+            "cents array<bigint>, pending bigint",
+        )
+
+    def _load(self):
+        if self._wins.exists():
+            ws, ns, cs, pending = self._wins.get()
+            return dict(zip(ws, zip(ns, cs))), pending
+        return {}, -1
+
+    def _save(self, open_wins: dict, pending: int) -> None:
+        ws = sorted(open_wins)
+        self._wins.update(
+            (
+                ws,
+                [open_wins[w][0] for w in ws],
+                [open_wins[w][1] for w in ws],
+                pending,
+            )
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        import numpy as np
+
+        (user_id,) = key
+        if user_id == -1:  # sentinel row: watermark driver only
+            for _ in rows:
+                pass
+            return iter(())
+        open_wins, pending = self._load()
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            ts_ms = pdf["ts"].astype("int64").to_numpy() // 1_000_000
+            wstart = (ts_ms // DAY_MS) * DAY_MS
+            cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+            for ws in np.unique(wstart):
+                m = wstart == ws
+                n0, c0 = open_wins.get(int(ws), (0, 0))
+                open_wins[int(ws)] = (n0 + int(m.sum()), c0 + int(cents[m].sum()))
+        if pending < 0 and open_wins:
+            # no timer in flight for this key: arm at the earliest
+            # open end (ts-ordered arrival ⇒ it is never in the past)
+            pending = min(open_wins) + DAY_MS
+            self._handle.registerTimer(pending)
+        self._save(open_wins, pending)
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        (user_id,) = key
+        # the eviction watermark that fired this timer (>= expiry);
+        # every window whose end it passed is final — close them all
+        # in this one fire instead of one fire per window
+        wm = max(
+            timerValues.getCurrentWatermarkInMs(),
+            expiredTimerInfo.getExpiryTimeInMs(),
+        )
+        open_wins, _ = self._load()
+        closed = sorted(w for w in open_wins if w + DAY_MS <= wm)
+        remaining = {w: open_wins[w] for w in open_wins if w + DAY_MS > wm}
+        pending = -1
+        if remaining:
+            pending = min(remaining) + DAY_MS  # > wm by construction
+            self._handle.registerTimer(pending)
+        self._save(remaining, pending)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "window_start": [pd.Timestamp(w, unit="ms") for w in closed],
+                    "n_events": [open_wins[w][0] for w in closed],
+                    "total_value": [open_wins[w][1] / 100.0 for w in closed],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def user_window_close_tws(events_with_watermark: DataFrame) -> DataFrame:
+    return events_with_watermark.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=WindowCloseProcessor(),
+        outputStructType=TWS_EVENT_TIMER_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+
+
+_TWS_EVENT_TIMER_ORACLE = """
+SELECT user_id,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+           AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_stream_tws_event_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time timers through transformWithStateInPandas: every
+    (user, day) window in the output was emitted by handleExpiredTimer
+    when the WATERMARK crossed its end — no wall clock anywhere, so
+    the full output (not a projection of it) hash-matches the batch
+    groupBy twin. The sentinel row (user_id -1) exists only in the
+    derived split source, never in `events`, and emits nothing: its
+    own window's end sits past the final watermark."""
+    from .incremental import split_events_dir_ts_ordered
+    from ..vendorpath import ensure_protobuf
+
+    ensure_protobuf(spark)
+    scoped = spark.newSession()
+    scoped.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = split_events_dir_ts_ordered(scoped, sf_dir)
+    schema = scoped.read.parquet(src).schema
+    events = (
+        scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = user_window_close_tws(events)
+    total = (
+        scoped.read.parquet(src).filter(F.col("user_id") >= 0).count()
+    )
+
+    def all_windows_closed() -> bool:
+        got = scoped.sql(
+            "SELECT coalesce(sum(n_events), 0) FROM stream_tws_event_timer_out"
+        ).collect()[0][0]
+        return got == total
+
+    run_stream_to_memory(
+        out,
+        "stream_tws_event_timer_out",
+        output_mode="update",
+        partitions="16",
+        drained=all_windows_closed,
+    )
+    # each window fires exactly once ⇒ the sink is already one row per
+    # (user, window); no keep-max projection needed
+    return scoped.table("stream_tws_event_timer_out")
 
 
 # --------------------- initial state (warm-start) + deleteIfExists
@@ -740,7 +952,7 @@ def q_stream_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         initialState=backfill,
     )
     run_stream_to_memory(
-        out, "stream_tws_init_out", output_mode="update", partitions="8"
+        out, "stream_tws_init_out", output_mode="update", partitions="16"
     )
     latest = scoped.table("stream_tws_init_out")
     from pyspark.sql import Window
@@ -895,7 +1107,7 @@ def q_stream_tws_map_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = user_spill_map_tws(events)
     run_stream_to_memory(
-        out, "stream_tws_spill_out", output_mode="update", partitions="8"
+        out, "stream_tws_spill_out", output_mode="update", partitions="16"
     )
     latest = scoped.table("stream_tws_spill_out")
     from pyspark.sql import Window
@@ -927,6 +1139,11 @@ if tws_runtime_available():
         oracle=_TWS_TIMER_ORACLE,
         tags=("streaming", "stateful", "pandas-udf", "timers"),
     )(q_stream_tws_timers)
+    q_stream_tws_event_timers = query(
+        "q_stream_tws_event_timers",
+        oracle=_TWS_EVENT_TIMER_ORACLE,
+        tags=("streaming", "stateful", "pandas-udf", "timers", "event-time"),
+    )(q_stream_tws_event_timers)
     q_stream_tws_map_spill = query(
         "q_stream_tws_map_spill",
         oracle=_TWS_SPILL_ORACLE,

@@ -833,3 +833,245 @@ def test_tws_checkpoint_restart_recovers_state(spark, sf_dir, tmp_path):
         if phase2_counts.get(uid, 0) < n:
             carried += 1  # this user's total NEEDED phase-1 state
     assert carried > 0  # restart genuinely restored prior state
+
+
+def test_tws_window_close_processor_event_time_protocol():
+    """WindowCloseProcessor via fake handle: ONE coalesced timer per
+    key (armed at the earliest open window's end), folds accumulate
+    across batches that straddle a window, handleExpiredTimer closes
+    every window the watermark has passed in a single fire and re-arms
+    at the earliest end still open, and the sentinel key is a pure
+    pass-through."""
+    import pandas as pd
+
+    from facebook_ad_library_data_pipeline_spark.streaming.stateful import (
+        DAY_MS,
+        WindowCloseProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+            self.registered = []
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+        def registerTimer(self, ms):
+            self.registered.append(ms)
+
+    class FakeTimerValues:
+        def __init__(self, wm):
+            self._wm = wm
+
+        def getCurrentWatermarkInMs(self):
+            return self._wm
+
+    class FakeExpiredInfo:
+        def __init__(self, ms):
+            self._ms = ms
+
+        def getExpiryTimeInMs(self):
+            return self._ms
+
+    proc = WindowCloseProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    day0 = 1_704_067_200_000  # 2024-01-01 UTC, epoch-aligned day
+
+    def batch(ts_ms, values):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime(pd.Series(ts_ms), unit="ms"),
+                "value": values,
+            }
+        )
+
+    # batch 1 touches two windows -> ONE coalesced timer, at the
+    # EARLIEST window's end
+    b1 = batch([day0 + 10, day0 + 20, day0 + DAY_MS + 5], [1.00, 2.00, 7.00])
+    out = list(proc.handleInputRows((4,), iter([b1]), FakeTimerValues(0)))
+    assert out == []  # data path never emits
+    assert handle.registered == [day0 + DAY_MS]
+
+    # batch 2 straddles into window 2: a timer is already pending ->
+    # no new registration, the fold accumulates
+    b2 = batch([day0 + DAY_MS + 50], [0.50])
+    list(proc.handleInputRows((4,), iter([b2]), FakeTimerValues(day0)))
+    assert handle.registered == [day0 + DAY_MS]
+
+    # fire 1: watermark passed only window 1's end -> close it, re-arm
+    # at window 2's end
+    fired1 = pd.concat(
+        list(
+            proc.handleExpiredTimer(
+                (4,), FakeTimerValues(day0 + DAY_MS), FakeExpiredInfo(day0 + DAY_MS)
+            )
+        )
+    )
+    assert len(fired1) == 1
+    assert fired1.iloc[0]["n_events"] == 2
+    assert fired1.iloc[0]["total_value"] == 3.00
+    assert fired1.iloc[0]["window_start"] == pd.Timestamp(day0, unit="ms")
+    assert handle.registered == [day0 + DAY_MS, day0 + 2 * DAY_MS]
+
+    # fire 2: window 2 closes with BOTH batches' rows folded; nothing
+    # left open -> no re-arm
+    fired2 = pd.concat(
+        list(
+            proc.handleExpiredTimer(
+                (4,),
+                FakeTimerValues(day0 + 2 * DAY_MS),
+                FakeExpiredInfo(day0 + 2 * DAY_MS),
+            )
+        )
+    )
+    assert len(fired2) == 1
+    assert fired2.iloc[0]["n_events"] == 2
+    assert fired2.iloc[0]["total_value"] == 7.50
+    assert handle.registered == [day0 + DAY_MS, day0 + 2 * DAY_MS]
+
+    # a spurious re-fire finds nothing open and emits nothing
+    assert (
+        list(
+            proc.handleExpiredTimer(
+                (4,),
+                FakeTimerValues(day0 + 2 * DAY_MS),
+                FakeExpiredInfo(day0 + 2 * DAY_MS),
+            )
+        )
+        == []
+    )
+
+    # one fire can close MANY windows at once (the sentinel batch
+    # shape): three windows folded, watermark jumps past all ends
+    proc2 = WindowCloseProcessor()
+    h2 = FakeHandle()
+    proc2.init(h2)
+    b = batch(
+        [day0 + 5, day0 + DAY_MS + 5, day0 + 2 * DAY_MS + 5], [1.0, 2.0, 4.0]
+    )
+    list(proc2.handleInputRows((7,), iter([b]), FakeTimerValues(0)))
+    assert h2.registered == [day0 + DAY_MS]
+    fired = pd.concat(
+        list(
+            proc2.handleExpiredTimer(
+                (7,),
+                FakeTimerValues(day0 + 40 * DAY_MS),
+                FakeExpiredInfo(day0 + DAY_MS),
+            )
+        )
+    )
+    assert list(fired["total_value"]) == [1.0, 2.0, 4.0]
+    assert h2.registered == [day0 + DAY_MS]  # nothing left -> no re-arm
+
+    # sentinel key: consumed, no state, no timer, no output
+    before = list(handle.registered)
+    out = list(
+        proc.handleInputRows(
+            (-1,), iter([batch([day0 + 70 * DAY_MS], [0.0])]), FakeTimerValues(day0)
+        )
+    )
+    assert out == [] and handle.registered == before
+
+
+def test_checkpoint_pins_shuffle_partitions(spark, sf_dir, tmp_path):
+    """PRODUCTION FOOTGUN, pinned as a contract: a streaming
+    checkpoint bakes in the state shard count
+    (spark.sql.shuffle.partitions at FIRST run). Reopening the same
+    checkpoint under a different conf value does NOT re-shard —
+    Spark silently keeps the checkpointed count (the conf is ignored
+    for the stateful exchange), so capacity changes that assume the
+    conf applied do nothing. Asserted here: phase 2 runs with the
+    conf at 16, yet the state stays sharded at 4 (state-metadata
+    read) AND the results remain correct.
+
+    The escape hatch at 100 TB: offline re-shard — read every shard
+    with the `statestore` batch reader, regroup to the new
+    partitioning, and bootstrap a NEW checkpoint via
+    transformWithStateInPandas(initialState=...) (the warm-start path
+    q_stream_tws_initial_state exercises); there is no in-place
+    re-shard of a live checkpoint."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from facebook_ad_library_data_pipeline_spark.streaming.events import (
+        tumbling_counts,
+    )
+    from facebook_ad_library_data_pipeline_spark.streaming.incremental import (
+        split_events_dir,
+    )
+
+    scoped = spark.newSession()
+    full_src = split_events_dir(scoped, sf_dir)
+    files = sorted(glob.glob(f"{full_src}/part-*.parquet"))
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = scoped.read.parquet(full_src).schema
+    sink: dict = {}
+
+    def run(n_partitions: str):
+        scoped.conf.set("spark.sql.shuffle.partitions", n_partitions)
+        stream = (
+            scoped.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        agg = tumbling_counts(stream.withWatermark("ts", "1 hour"))
+
+        def capture(batch_df, epoch_id):
+            for r in batch_df.collect():
+                sink[(r["window_start"], r["event_type"])] = (
+                    r["n"],
+                    r["total_value"],
+                )
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(capture)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    half = max(1, len(files) // 2)
+    for f in files[:half]:
+        shutil.copy(f, src)
+    run("4")  # first run PINS the state shard count at 4
+
+    for f in files[half:]:
+        shutil.copy(f, src)
+    run("16")  # conf says 16 — the checkpoint must override it
+
+    meta = scoped.read.format("state-metadata").option("path", ckpt).load()
+    shards = {r["numPartitions"] for r in meta.collect()}
+    assert shards == {4}, f"checkpoint re-sharded unexpectedly: {shards}"
+
+    # and the restarted run is still CORRECT despite the ignored conf
+    from facebook_ad_library_data_pipeline_spark.catalog import load_table
+
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in tumbling_counts(load_table(scoped, sf_dir, "events")).collect()
+    }
+    assert sink == want
