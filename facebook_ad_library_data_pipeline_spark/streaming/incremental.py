@@ -54,6 +54,56 @@ SENTINEL_USER_ID = -1
 SENTINEL_OFFSET_DAYS = 40
 
 
+def split_events_dir_ntile(spark: SparkSession, sf_dir: str) -> str:
+    """events re-written as N files whose membership is the EXACT
+    ntile(N) over (ts, event_id) — an oracle-reproducible batch
+    assignment: `ntile(4) OVER (ORDER BY ts, event_id)` in DuckDB
+    names the micro-batch each row arrives in. The shape a
+    change-feed oracle needs (which batch touched which group), where
+    the range-partitioned variant above is NOT replayable in SQL
+    (Spark picks sampled range boundaries)."""
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ntile")
+    out = _SPLIT_CACHE.get(key)
+    if out is None:
+        src_mtime = int(Path(f"{sf_dir}/events.parquet").stat().st_mtime)
+        out = str(
+            Path(tempfile.gettempdir())
+            / "spark_graft_split_ntile"
+            / f"{Path(sf_dir).name}_{src_mtime}"
+        )
+        if not Path(out, "_DONE").exists():
+            from pyspark.sql import Window
+
+            events = load_table(spark, sf_dir, "events").withColumn(
+                "__slice",
+                F.ntile(N_SOURCE_FILES).over(Window.orderBy("ts", "event_id")),
+            )
+            events.persist()
+            Path(out).mkdir(parents=True, exist_ok=True)
+            for i in range(1, N_SOURCE_FILES + 1):
+                part = Path(out) / f"__part_{i:02d}"
+                (
+                    events.filter(F.col("__slice") == i)
+                    .drop("__slice")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(str(part))
+                )
+                (src_file,) = list(part.glob("part-*.parquet"))
+                dest = Path(out) / f"slice-{i:02d}.parquet"
+                os.replace(src_file, dest)
+                os.utime(dest, (src_mtime + i, src_mtime + i))
+                import shutil
+
+                shutil.rmtree(part, ignore_errors=True)
+            events.unpersist()
+            (Path(out) / "_DONE").touch()
+        _SPLIT_CACHE[key] = out
+    return out
+
+
 def split_events_dir_ts_ordered(spark: SparkSession, sf_dir: str) -> str:
     """events re-written as N ts-CONTIGUOUS files (range-partitioned on
     ts) consumed in ts order, plus a one-row far-future SENTINEL file

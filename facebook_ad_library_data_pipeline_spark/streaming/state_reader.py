@@ -126,16 +126,25 @@ def q_state_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def join_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     """Drive the view→purchase interval join (the q_stream_stream_join
-    operator, multi-batch over the 4-file split so mid-stream eviction
-    really runs) to completion against an explicit checkpoint dir."""
-    from .incremental import split_events_dir
+    operator, multi-batch so mid-stream eviction really runs) to
+    completion against an explicit checkpoint dir.
+
+    The source must be the TS-ORDERED (ntile) split, not the random
+    one: with random batch assignment a tail row can arrive AFTER the
+    watermark passed its timestamp and be dropped as late, making the
+    final retained state depend on which file each row landed in —
+    true behavior, but not replayable by a SQL oracle over `events`
+    (caught by the r09 sf0.1 sweep: 5 of 72 tail views missing). With
+    ts-contiguous batches no row is ever late and the retained set is
+    exactly the watermark rule."""
+    from .incremental import split_events_dir_ntile
     from .joins import view_purchase_pairs
 
     key = (spark.sparkContext.applicationId, sf_dir, "join")
     ckpt = _CKPT_CACHE.get(key)
     if ckpt is None:
         ckpt = tempfile.mkdtemp(prefix="state_read_join_ckpt_")
-        src = split_events_dir(spark, sf_dir)
+        src = split_events_dir_ntile(spark, sf_dir)
         schema = spark.read.parquet(src).schema
         ev = (
             spark.readStream.schema(schema)
@@ -232,3 +241,120 @@ def q_state_join_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return left.unionByName(right)
+
+
+# ------------------------------------------------- state CHANGE FEED
+
+
+def changelog_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the tumbling agg over the EXACT-ntile 4-slice source with
+    RocksDB changelog checkpointing on, so the per-batch state deltas
+    (PUTs) are replayable as a change feed."""
+    from .incremental import split_events_dir_ntile
+
+    key = (spark.sparkContext.applicationId, sf_dir, "changelog")
+    ckpt = _CKPT_CACHE.get(key)
+    if ckpt is None:
+        ckpt = tempfile.mkdtemp(prefix="state_read_cdf_ckpt_")
+        scoped = spark.newSession()
+        scoped.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        scoped.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
+        scoped.conf.set("spark.sql.shuffle.partitions", "4")
+        src = split_events_dir_ntile(scoped, sf_dir)
+        schema = scoped.read.parquet(src).schema
+        ev = (
+            scoped.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = tumbling_counts(ev.withWatermark("ts", "1 hour"))
+        spark.sparkContext._jvm.System.gc()  # see run_stream_to_memory
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("state_read_cdf_src")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        _CKPT_CACHE[key] = ckpt
+    return ckpt
+
+
+# The change feed restated in SQL: micro-batch k holds exactly the rows
+# ntile(4) OVER (ORDER BY ts, event_id) assigns to slice k+1 (the
+# ntile-split source makes batch membership oracle-computable). A
+# complete-mode agg PUTs a (window, event_type) group's buffer in every
+# batch that touches the group, and the buffer after batch k is the
+# aggregate over slices <= k+1 — so the ENTIRE feed (group, batch,
+# cumulative count, cumulative sum) is one SQL join.
+_STATE_CDF_ORACLE = """
+WITH sliced AS (
+  SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP)
+             AS window_start,
+         event_type,
+         value,
+         ntile(4) OVER (ORDER BY ts, event_id) AS slice
+  FROM events
+),
+touched AS (
+  SELECT DISTINCT window_start, event_type, slice FROM sliced
+)
+SELECT t.window_start,
+       t.event_type,
+       CAST(t.slice - 1 AS BIGINT) AS batch_id,
+       'update' AS change_type,
+       count(*) AS n,
+       CAST(round(sum(CAST(s.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_value
+FROM touched t
+JOIN sliced s
+  ON s.window_start = t.window_start
+ AND s.event_type = t.event_type
+ AND s.slice <= t.slice
+GROUP BY t.window_start, t.event_type, t.slice
+"""
+
+
+@query(
+    "q_state_change_feed",
+    oracle=_STATE_CDF_ORACLE,
+    tags=("streaming", "state-store", "cdc"),
+)
+def q_state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a checkpoint's state CHANGE FEED (`statestore` with
+    `readChangeFeed` over a RocksDB changelog checkpoint) — the
+    state-as-CDC surface: every per-batch PUT of the tumbling agg's
+    buffers, hash-matched to the SQL replay of the batch schedule
+    (exact-ntile source ⇒ batch membership is a window function). An
+    extra or missing PUT, a wrong batch id, or a buffer that isn't the
+    cumulative prefix aggregate all flip the hash."""
+    ckpt = changelog_checkpoint(spark, sf_dir)
+    feed = (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0")
+        .load()
+    )
+    return feed.select(
+        F.col("key").getField("window").getField("start").alias("window_start"),
+        F.col("key").getField("event_type").alias("event_type"),
+        F.col("batch_id").cast("bigint").alias("batch_id"),
+        F.col("change_type").cast("string").alias("change_type"),
+        F.col("value").getField("count").alias("n"),
+        F.round(F.col("value").getField("sum"), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
