@@ -94,6 +94,7 @@ _PRIORITY = [
     "q_stream_tws_event_timers",  # event-time timers: watermark-driven window close, full output oracle-exact
     "q_state_join_read",  # joinSide statestore read: retained join state hash-pinned to the watermark rule
     "q_state_change_feed",  # readChangeFeed: per-batch state PUTs == SQL replay of the ntile batch schedule
+    "q_state_tws_read",  # stateVarName reads of a TWS checkpoint: MapState+ValueState rejoined, hash == aggregate
     # Queries whose implementation or oracle changed this round (the
     # r08-advice fixes) — re-prove through the driver:
     "q_stream_tws_map_spill",  # keep-window now ordered by the strictly increasing n_events

@@ -358,3 +358,110 @@ def q_state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# --------------------------------------------- typed-state (TWS) read
+
+
+def tws_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the typed-state engagement processor (ValueState totals +
+    MapState per-type counts) over the ts-ordered ntile split to
+    completion against an explicit checkpoint dir."""
+    from ..vendorpath import ensure_protobuf
+    from .incremental import split_events_dir_ntile
+    from .stateful import user_engagement_tws
+
+    key = (spark.sparkContext.applicationId, sf_dir, "tws")
+    ckpt = _CKPT_CACHE.get(key)
+    if ckpt is None:
+        ensure_protobuf(spark)
+        ckpt = tempfile.mkdtemp(prefix="state_read_tws_ckpt_")
+        scoped = spark.newSession()
+        scoped.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        scoped.conf.set("spark.sql.shuffle.partitions", "8")
+        src = split_events_dir_ntile(scoped, sf_dir)
+        schema = scoped.read.parquet(src).schema
+        ev = (
+            scoped.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = user_engagement_tws(ev)
+        spark.sparkContext._jvm.System.gc()  # see run_stream_to_memory
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("state_read_tws_src")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        _CKPT_CACHE[key] = ckpt
+    return ckpt
+
+
+# Each named state VARIABLE of a finished typed-state query read back
+# and recombined: by_type is the MapState (one row per user×type with
+# the map key/value exploded into user_map_key/user_map_value), totals
+# the ValueState. State after the bounded run == the whole-table
+# aggregate, restated with a window for the per-user columns.
+_TWS_STATE_ORACLE = """
+SELECT user_id,
+       event_type,
+       count(*) AS n_type,
+       CAST(sum(count(*)) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+       CAST(sum(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)))
+                OVER (PARTITION BY user_id) AS DOUBLE) / 100
+           AS total_value
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+@query(
+    "q_state_tws_read",
+    oracle=_TWS_STATE_ORACLE,
+    tags=("streaming", "state-store", "stateful"),
+)
+def q_state_tws_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Introspect a transformWithStateInPandas checkpoint PER STATE
+    VARIABLE (`statestore` read with `stateVarName`) — the audit path
+    for the typed-state API: the MapState rows (by_type) and the
+    ValueState rows (totals) of every user, joined back into one
+    relation that must hash-match the whole-table aggregate. A map
+    entry the protocol dropped, a totals buffer that missed a batch,
+    or a variable encoded under the wrong column family all flip the
+    hash."""
+    ckpt = tws_checkpoint(spark, sf_dir)
+    by_type = (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "by_type")
+        .load()
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("user_map_key.event_type").alias("event_type"),
+            F.col("user_map_value.n").alias("n_type"),
+        )
+    )
+    totals = (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "totals")
+        .load()
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.n_events").alias("n_events"),
+            (F.col("value.total_cents").cast("double") / 100).alias(
+                "total_value"
+            ),
+        )
+    )
+    return by_type.join(totals, "user_id")

@@ -807,8 +807,13 @@ def q_stream_tws_event_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def all_windows_closed() -> bool:
+        # max-per-window before summing: idempotent under a replayed
+        # batch re-appending a window's row (a raw sum would overshoot
+        # `total` and the == fixpoint would never be reached)
         got = scoped.sql(
-            "SELECT coalesce(sum(n_events), 0) FROM stream_tws_event_timer_out"
+            "SELECT coalesce(sum(n), 0) FROM ("
+            "  SELECT max(n_events) AS n FROM stream_tws_event_timer_out"
+            "  GROUP BY user_id, window_start)"
         ).collect()[0][0]
         return got == total
 
@@ -819,9 +824,17 @@ def q_stream_tws_event_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         partitions="16",
         drained=all_windows_closed,
     )
-    # each window fires exactly once ⇒ the sink is already one row per
-    # (user, window); no keep-max projection needed
-    return scoped.table("stream_tws_event_timer_out")
+    # each window fires exactly once, so this grouping is a no-op on a
+    # clean run — it exists to absorb a replayed batch's duplicate
+    # append (same replay discipline as the keep-max tws queries)
+    return (
+        scoped.table("stream_tws_event_timer_out")
+        .groupBy("user_id", "window_start")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
 
 
 # --------------------- initial state (warm-start) + deleteIfExists
