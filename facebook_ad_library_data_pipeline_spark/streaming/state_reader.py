@@ -465,3 +465,58 @@ def q_state_tws_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return by_type.join(totals, "user_id")
+
+
+# ---------------------------------------------- state TIME TRAVEL
+
+# State AS OF a historical batch: with the exact-ntile source, the
+# store after batch k (0-based) holds the rollup of slices 1..k+1 —
+# the prefix aggregate, SQL-expressible like the change feed.
+_STATE_TT_ORACLE = """
+WITH sliced AS (
+  SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP)
+             AS window_start,
+         event_type,
+         value,
+         ntile(4) OVER (ORDER BY ts, event_id) AS slice
+  FROM events
+)
+SELECT window_start,
+       event_type,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_value
+FROM sliced
+WHERE slice <= 2
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_state_time_travel",
+    oracle=_STATE_TT_ORACLE,
+    tags=("streaming", "state-store", "time-travel"),
+)
+def q_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL a state store (`statestore` read with `batchId`):
+    the tumbling agg's buffers AS OF batch 1 — i.e. after exactly the
+    first two of four micro-batches — must hash-match the prefix
+    rollup (ntile slices 1-2). The debugging surface for 'what did
+    this operator believe at batch N': a reader that silently serves
+    the latest snapshot instead of the requested version flips the
+    hash (the full-history rollup has more rows and bigger counts)."""
+    ckpt = changelog_checkpoint(spark, sf_dir)
+    state = (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("batchId", "1")
+        .load()
+    )
+    return state.select(
+        F.col("key").getField("window").getField("start").alias("window_start"),
+        F.col("key").getField("event_type").alias("event_type"),
+        F.col("value").getField("count").alias("n"),
+        F.round(F.col("value").getField("sum"), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
