@@ -133,7 +133,11 @@ def split_events_dir_ts_ordered(spark: SparkSession, sf_dir: str) -> str:
             / "spark_graft_split_ts"
             / f"{Path(sf_dir).name}_{src_mtime}"
         )
-        if not Path(out, "_SUCCESS").exists():
+        # _READY (not Spark's _SUCCESS) gates reuse: _SUCCESS lands
+        # after the parquet write but BEFORE the sentinel/mtime steps,
+        # so a build that died in between must not be mistaken for
+        # complete by a later session
+        if not Path(out, "_READY").exists():
             events = load_table(spark, sf_dir, "events")
             (
                 events.repartitionByRange(N_SOURCE_FILES, "ts")
@@ -172,6 +176,7 @@ def split_events_dir_ts_ordered(spark: SparkSession, sf_dir: str) -> str:
                 Path(out) / "zz-sentinel.parquet",
                 (base + len(parts) + 1, base + len(parts) + 1),
             )
+            (Path(out) / "_READY").touch()
         _SPLIT_CACHE[key] = out
     return out
 

@@ -1075,3 +1075,63 @@ def test_checkpoint_pins_shuffle_partitions(spark, sf_dir, tmp_path):
         for r in tumbling_counts(load_table(scoped, sf_dir, "events")).collect()
     }
     assert sink == want
+
+
+def test_split_sources_deterministic_and_complete(spark, sf_dir):
+    """The derived stream-source dirs underpin oracle replay; pin their
+    contracts: (a) the ntile split's file i holds EXACTLY the rows
+    `ntile(4) OVER (ORDER BY ts, event_id)` assigns to slice i (what
+    the change-feed/time-travel oracles recompute in SQL), consumed in
+    that order by (mtime, path); (b) the ts-ordered split is
+    ts-CONTIGUOUS across files (no row is ever late under a 0-delay
+    watermark) and its sentinel is one far-future row with user_id -1
+    that sorts last on both ordering keys."""
+    import glob
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from facebook_ad_library_data_pipeline_spark.catalog import load_table
+    from facebook_ad_library_data_pipeline_spark.streaming.incremental import (
+        N_SOURCE_FILES,
+        split_events_dir_ntile,
+        split_events_dir_ts_ordered,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+
+    # (a) exact-ntile membership per file
+    src = split_events_dir_ntile(spark, sf_dir)
+    files = sorted(glob.glob(f"{src}/slice-*.parquet"))
+    assert len(files) == N_SOURCE_FILES
+    mtimes = [os.path.getmtime(f) for f in files]
+    assert mtimes == sorted(mtimes)  # path order == mtime order
+    want = {
+        i: {r["event_id"] for r in rows}
+        for i, rows in (
+            (i, events.withColumn(
+                "s", F.ntile(N_SOURCE_FILES).over(Window.orderBy("ts", "event_id"))
+            ).filter(F.col("s") == i).select("event_id").collect())
+            for i in range(1, N_SOURCE_FILES + 1)
+        )
+    }
+    for i, f in enumerate(files, start=1):
+        got = {r["event_id"] for r in spark.read.parquet(f).select("event_id").collect()}
+        assert got == want[i], f"slice {i} differs from ntile({N_SOURCE_FILES})"
+
+    # (b) ts-contiguity + sentinel of the ts-ordered split
+    src2 = split_events_dir_ts_ordered(spark, sf_dir)
+    parts = sorted(glob.glob(f"{src2}/part-*.parquet"))
+    prev_max = None
+    for f in parts:
+        mn, mx = spark.read.parquet(f).agg(F.min("ts"), F.max("ts")).collect()[0]
+        if prev_max is not None:
+            assert mn >= prev_max, "ts ranges overlap across arrival order"
+        prev_max = mx
+    sent = spark.read.parquet(f"{src2}/zz-sentinel.parquet").collect()
+    assert len(sent) == 1 and sent[0]["user_id"] == -1
+    assert sent[0]["ts"] > prev_max  # advances the watermark past all data
+    assert os.path.getmtime(f"{src2}/zz-sentinel.parquet") > max(
+        os.path.getmtime(p) for p in parts
+    )
