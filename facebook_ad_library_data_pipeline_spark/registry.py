@@ -96,6 +96,7 @@ _PRIORITY = [
     "q_state_change_feed",  # readChangeFeed: per-batch state PUTs == SQL replay of the ntile batch schedule
     "q_state_tws_read",  # stateVarName reads of a TWS checkpoint: MapState+ValueState rejoined, hash == aggregate
     "q_state_time_travel",  # batchId state read: buffers AS OF batch 1 == prefix (ntile<=2) rollup
+    "q_stream_group_timeout",  # old-API event-time timeout: hasTimedOut is the only emitter
     # Queries whose implementation or oracle changed this round (the
     # r08-advice fixes) — re-prove through the driver:
     "q_stream_tws_map_spill",  # keep-window now ordered by the strictly increasing n_events

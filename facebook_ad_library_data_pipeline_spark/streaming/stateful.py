@@ -140,6 +140,144 @@ def q_stream_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------- GroupState EVENT-TIME TIMEOUT (old-API timers)
+
+# The applyInPandasWithState timeout surface — the OLD stateful API's
+# analogue of typed-state timers: `setTimeoutTimestamp` arms a
+# watermark deadline per key, the group is re-invoked with
+# `state.hasTimedOut` (and no rows) once the watermark passes it, and
+# that invocation is the ONLY emitter — finalize-on-quiescence,
+# deterministic because the deadline is EVENT time. Same ts-ordered +
+# sentinel source as the typed-state event timers: the sentinel pushes
+# the final watermark past every real user's deadline, so every key
+# finalizes exactly once, and the emitted totals are the whole-table
+# aggregate.
+
+TIMEOUT_GAP_MS = 30 * 60 * 1000
+
+TIMEOUT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+TIMEOUT_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+        StructField("last_ts_ms", LongType()),
+    ]
+)
+
+
+def _timeout_finalize(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    import numpy as np
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        # watermark passed last_ts + gap: this key is quiet for good
+        # (ts-ordered arrival ⇒ no later row can precede the deadline);
+        # emit once and drop the state
+        n, cents, _ = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
+        )
+        return
+    n, cents, last_ts = state.get if state.exists else (0, 0, -1)
+    for pdf in pdfs:
+        if len(pdf):
+            n += len(pdf)
+            cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+            last_ts = max(last_ts, int(pdf["ts"].max().value // 1_000_000))
+    state.update((n, cents, last_ts))
+    if user_id != -1:
+        # slide the event-time deadline; the sentinel key keeps NO
+        # deadline (its own would sit past the final watermark anyway)
+        state.setTimeoutTimestamp(last_ts + TIMEOUT_GAP_MS)
+    return
+
+
+def user_timeout_stream(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id").applyInPandasWithState(
+        _timeout_finalize,
+        outputStructType=TIMEOUT_OUTPUT_SCHEMA,
+        stateStructType=TIMEOUT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+_TIMEOUT_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+           AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query(
+    "q_stream_group_timeout",
+    oracle=_TIMEOUT_ORACLE,
+    tags=("streaming", "stateful", "pandas-udf", "timers"),
+)
+def q_stream_group_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time TIMEOUT through applyInPandasWithState: every output
+    row was emitted by a `hasTimedOut` invocation after the watermark
+    passed the key's last-event deadline — the old API's timer path,
+    exercised end-to-end (setTimeoutTimestamp → watermark advance →
+    timed-out re-invocation → state.remove). Full output hash-matches
+    the per-user aggregate; a timeout that fires early ships partial
+    totals, one that never fires drops the user."""
+    from .incremental import split_events_dir_ts_ordered
+
+    scoped = spark.newSession()
+    src = split_events_dir_ts_ordered(scoped, sf_dir)
+    schema = scoped.read.parquet(src).schema
+    events = (
+        scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = user_timeout_stream(events)
+    total = scoped.read.parquet(src).filter(F.col("user_id") >= 0).count()
+
+    def all_users_finalized() -> bool:
+        got = scoped.sql(
+            "SELECT coalesce(sum(n), 0) FROM (SELECT max(n_events) AS n "
+            "FROM stream_group_timeout_out GROUP BY user_id)"
+        ).collect()[0][0]
+        return got == total
+
+    run_stream_to_memory(
+        out,
+        "stream_group_timeout_out",
+        output_mode="update",
+        partitions="8",
+        drained=all_users_finalized,
+    )
+    latest = scoped.table("stream_group_timeout_out")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        latest.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 # --------------------------- transformWithStateInPandas (Spark 4 API)
 
 # The SUCCESSOR stateful API: where applyInPandasWithState gives one

@@ -1135,3 +1135,77 @@ def test_split_sources_deterministic_and_complete(spark, sf_dir):
     assert os.path.getmtime(f"{src2}/zz-sentinel.parquet") > max(
         os.path.getmtime(p) for p in parts
     )
+
+
+def test_group_timeout_fold_protocol():
+    """_timeout_finalize via a fake GroupState: the data path folds and
+    slides the event-time deadline without emitting; the hasTimedOut
+    path emits the complete totals exactly once and removes the state;
+    the sentinel key folds but never arms a deadline."""
+    import numpy as np
+    import pandas as pd
+
+    from facebook_ad_library_data_pipeline_spark.streaming.stateful import (
+        TIMEOUT_GAP_MS,
+        _timeout_finalize,
+    )
+
+    class FakeGroupState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.deadlines = []
+            self.removed = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+            self.removed = True
+
+        def setTimeoutTimestamp(self, ms):
+            self.deadlines.append(ms)
+
+    rng = np.random.default_rng(11)
+    t0 = 1_704_067_200_000
+    def batch(n, base_ms):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    pd.Series(base_ms + np.arange(n) * 1000), unit="ms"
+                ),
+                "value": rng.uniform(0, 40, n).round(3),
+            }
+        )
+
+    st = FakeGroupState()
+    b1, b2 = batch(6, t0), batch(4, t0 + 3_600_000)
+    assert list(_timeout_finalize((9,), iter([b1]), st)) == []
+    assert list(_timeout_finalize((9,), iter([b2]), st)) == []
+    # deadline slid to each batch's max ts + gap
+    assert st.deadlines == [
+        t0 + 5_000 + TIMEOUT_GAP_MS,
+        t0 + 3_600_000 + 3_000 + TIMEOUT_GAP_MS,
+    ]
+    st.hasTimedOut = True
+    fired = pd.concat(list(_timeout_finalize((9,), iter([]), st)))
+    both = pd.concat([b1, b2])
+    cents = int(np.floor(both["value"].to_numpy() * 100 + 0.5).sum())
+    assert fired.iloc[0]["n_events"] == 10
+    assert fired.iloc[0]["total_value"] == cents / 100.0
+    assert st.removed and not st.exists
+
+    # sentinel key: folds (watermark bookkeeping is engine-side) but
+    # never arms a deadline, so it can never emit
+    s2 = FakeGroupState()
+    assert list(_timeout_finalize((-1,), iter([batch(1, t0)]), s2)) == []
+    assert s2.deadlines == []
