@@ -875,11 +875,17 @@ class WindowCloseProcessor(StatefulProcessor):
         open_wins, _ = self._load()
         closed = sorted(w for w in open_wins if w + DAY_MS <= wm)
         remaining = {w: open_wins[w] for w in open_wins if w + DAY_MS > wm}
-        pending = -1
         if remaining:
             pending = min(remaining) + DAY_MS  # > wm by construction
             self._handle.registerTimer(pending)
-        self._save(remaining, pending)
+            self._save(remaining, pending)
+        else:
+            # nothing open: DELETE the key's state row rather than
+            # keeping an empty-arrays tombstone — live state stays
+            # ∝ open windows, not ∝ every key ever seen (measured:
+            # final state 1 row vs 1500 without this, see
+            # scripts/event_timer_state_evidence.py)
+            self._wins.clear()
         if closed:
             yield pd.DataFrame(
                 {

@@ -852,6 +852,7 @@ def test_tws_window_close_processor_event_time_protocol():
     class FakeValueState:
         def __init__(self):
             self._v = None
+            self.cleared = 0
 
         def exists(self):
             return self._v is not None
@@ -861,6 +862,10 @@ def test_tws_window_close_processor_event_time_protocol():
 
         def update(self, v):
             self._v = tuple(v)
+
+        def clear(self):
+            self._v = None
+            self.cleared += 1
 
     class FakeHandle:
         def __init__(self):
@@ -978,6 +983,8 @@ def test_tws_window_close_processor_event_time_protocol():
     )
     assert list(fired["total_value"]) == [1.0, 2.0, 4.0]
     assert h2.registered == [day0 + DAY_MS]  # nothing left -> no re-arm
+    # full close DELETES the state row (no empty-arrays tombstone)
+    assert h2.state.cleared == 1 and not h2.state.exists()
 
     # sentinel key: consumed, no state, no timer, no output
     before = list(handle.registered)
