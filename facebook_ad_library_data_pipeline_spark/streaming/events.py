@@ -180,6 +180,7 @@ def run_stream_to_memory(
     available_now: bool = False,
     drained=None,
     drain_timeout_s: float = 300.0,
+    checkpoint_location: str | None = None,
 ) -> None:
     """Drive a streaming aggregation to completion against the bounded
     file source (processAllAvailable) and land it in a memory sink.
@@ -203,6 +204,10 @@ def run_stream_to_memory(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
     writer = stream_df.writeStream.outputMode(output_mode).format("memory").queryName(name)
+    if checkpoint_location is not None:
+        # callers that re-open the checkpoint afterwards (the
+        # state_reader family) pass an explicit durable location
+        writer = writer.option("checkpointLocation", checkpoint_location)
     if available_now:
         # Trigger.AvailableNow: the query drains what exists and STOPS
         # ITSELF — the backfill path; await its self-termination

@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from .events import _TUMBLING_ORACLE, load_events_stream, tumbling_counts
+from .events import (
+    _TUMBLING_ORACLE,
+    load_events_stream,
+    run_stream_to_memory,
+    tumbling_counts,
+)
 
 # One checkpoint per (app, sf_dir): the state read must see a FINISHED
 # query's checkpoint; caching keeps the stream cost shared with repeat
@@ -43,21 +48,13 @@ def tumbling_checkpoint(spark: SparkSession, sf_dir: str) -> str:
         ckpt = tempfile.mkdtemp(prefix="state_read_ckpt_")
         events = load_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
         agg = tumbling_counts(events)
-        spark.sparkContext._jvm.System.gc()  # see run_stream_to_memory
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName("state_read_src")
-            .option("checkpointLocation", ckpt)
-            .start()
+        run_stream_to_memory(
+            agg,
+            "state_read_src",
+            output_mode="complete",
+            partitions="4",
+            checkpoint_location=ckpt,
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
         _CKPT_CACHE[key] = ckpt
     return ckpt
 
@@ -156,21 +153,13 @@ def join_checkpoint(spark: SparkSession, sf_dir: str) -> str:
             "ts", "1 hour"
         )
         out = view_purchase_pairs(views, purchases)
-        spark.sparkContext._jvm.System.gc()  # see run_stream_to_memory
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        q = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName("state_read_join_src")
-            .option("checkpointLocation", ckpt)
-            .start()
+        run_stream_to_memory(
+            out,
+            "state_read_join_src",
+            output_mode="append",
+            partitions="4",
+            checkpoint_location=ckpt,
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
         _CKPT_CACHE[key] = ckpt
     return ckpt
 
@@ -267,7 +256,6 @@ def changelog_checkpoint(spark: SparkSession, sf_dir: str) -> str:
             "changelogCheckpointing.enabled",
             "true",
         )
-        scoped.conf.set("spark.sql.shuffle.partitions", "4")
         src = split_events_dir_ntile(scoped, sf_dir)
         schema = scoped.read.parquet(src).schema
         ev = (
@@ -276,18 +264,13 @@ def changelog_checkpoint(spark: SparkSession, sf_dir: str) -> str:
             .parquet(src)
         )
         agg = tumbling_counts(ev.withWatermark("ts", "1 hour"))
-        spark.sparkContext._jvm.System.gc()  # see run_stream_to_memory
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName("state_read_cdf_src")
-            .option("checkpointLocation", ckpt)
-            .start()
+        run_stream_to_memory(
+            agg,
+            "state_read_cdf_src",
+            output_mode="complete",
+            partitions="4",
+            checkpoint_location=ckpt,
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
         _CKPT_CACHE[key] = ckpt
     return ckpt
 
@@ -382,7 +365,6 @@ def tws_checkpoint(spark: SparkSession, sf_dir: str) -> str:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-        scoped.conf.set("spark.sql.shuffle.partitions", "8")
         src = split_events_dir_ntile(scoped, sf_dir)
         schema = scoped.read.parquet(src).schema
         ev = (
@@ -391,18 +373,13 @@ def tws_checkpoint(spark: SparkSession, sf_dir: str) -> str:
             .parquet(src)
         )
         out = user_engagement_tws(ev)
-        spark.sparkContext._jvm.System.gc()  # see run_stream_to_memory
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName("state_read_tws_src")
-            .option("checkpointLocation", ckpt)
-            .start()
+        run_stream_to_memory(
+            out,
+            "state_read_tws_src",
+            output_mode="update",
+            partitions="8",
+            checkpoint_location=ckpt,
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
         _CKPT_CACHE[key] = ckpt
     return ckpt
 
@@ -425,11 +402,6 @@ GROUP BY user_id, event_type
 """
 
 
-@query(
-    "q_state_tws_read",
-    oracle=_TWS_STATE_ORACLE,
-    tags=("streaming", "state-store", "stateful"),
-)
 def q_state_tws_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Introspect a transformWithStateInPandas checkpoint PER STATE
     VARIABLE (`statestore` read with `stateVarName`) — the audit path
@@ -520,3 +492,17 @@ def q_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# q_state_tws_read drives a live transformWithStateInPandas stream, so
+# it registers only when the typed-state runtime can actually run —
+# the same gate stateful.py applies to every tws query (a registered
+# query must never be a guaranteed crash for the driver).
+from .stateful import tws_runtime_available as _tws_available  # noqa: E402
+
+if _tws_available():
+    q_state_tws_read = query(
+        "q_state_tws_read",
+        oracle=_TWS_STATE_ORACLE,
+        tags=("streaming", "state-store", "stateful"),
+    )(q_state_tws_read)

@@ -144,22 +144,26 @@ def q_stream_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The applyInPandasWithState timeout surface — the OLD stateful API's
 # analogue of typed-state timers: `setTimeoutTimestamp` arms a
-# watermark deadline per key, the group is re-invoked with
-# `state.hasTimedOut` (and no rows) once the watermark passes it, and
-# that invocation is the ONLY emitter — finalize-on-quiescence,
-# deterministic because the deadline is EVENT time. Same ts-ordered +
-# sentinel source as the typed-state event timers: the sentinel pushes
-# the final watermark past every real user's deadline, so every key
-# finalizes exactly once, and the emitted totals are the whole-table
-# aggregate.
+# watermark deadline per key; once the watermark passes it the group is
+# re-invoked with `state.hasTimedOut` (and no rows), and that
+# invocation is the ONLY emitter. Semantics are SESSION finalization:
+# a timeout closes the key's current session (emit + state.remove), a
+# later arrival opens a new one — so a user absent from one
+# micro-batch whose deadline the watermark meanwhile passed simply
+# contributes TWO sessions, not a lost/partial total (every event
+# lands in exactly one session, so per-user totals are the sum over
+# sessions regardless of where the boundaries fall). The ts-ordered +
+# sentinel source makes the final watermark pass every real user's
+# last deadline, closing every open session.
 
 TIMEOUT_GAP_MS = 30 * 60 * 1000
 
 TIMEOUT_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
         StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
+        StructField("session_cents", LongType()),
     ]
 )
 
@@ -179,16 +183,18 @@ def _timeout_finalize(
 
     (user_id,) = key
     if state.hasTimedOut:
-        # watermark passed last_ts + gap: this key is quiet for good
-        # (ts-ordered arrival ⇒ no later row can precede the deadline);
-        # emit once and drop the state
-        n, cents, _ = state.get
+        # watermark passed last_ts + gap: close the CURRENT session.
+        # session_id = the session's last event-time ms — unique per
+        # (user, session) since event times strictly advance, which
+        # makes re-emission under a replayed batch deduplicable.
+        n, cents, last_ts = state.get
         state.remove()
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
+                "session_id": [last_ts],
                 "n_events": [n],
-                "total_value": [cents / 100.0],
+                "session_cents": [cents],
             }
         )
         return
@@ -234,11 +240,15 @@ GROUP BY user_id
 def q_stream_group_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time TIMEOUT through applyInPandasWithState: every output
     row was emitted by a `hasTimedOut` invocation after the watermark
-    passed the key's last-event deadline — the old API's timer path,
-    exercised end-to-end (setTimeoutTimestamp → watermark advance →
-    timed-out re-invocation → state.remove). Full output hash-matches
-    the per-user aggregate; a timeout that fires early ships partial
-    totals, one that never fires drops the user."""
+    passed the key's deadline — the old API's timer path, exercised
+    end-to-end (setTimeoutTimestamp → watermark advance → timed-out
+    re-invocation → state.remove). Each timeout closes one SESSION;
+    per-user totals are the SUM over the user's sessions (each event
+    lands in exactly one), so the result hash-matches the per-user
+    aggregate wherever the session boundaries fall — a timeout firing
+    mid-stream for a one-batch-quiet user just splits that user into
+    two sessions. A timeout that never fires still drops rows (the
+    open session never emits) and reddens the hash."""
     from .incremental import split_events_dir_ts_ordered
 
     scoped = spark.newSession()
@@ -253,10 +263,12 @@ def q_stream_group_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = user_timeout_stream(events)
     total = scoped.read.parquet(src).filter(F.col("user_id") >= 0).count()
 
-    def all_users_finalized() -> bool:
+    def all_sessions_closed() -> bool:
+        # dedup by (user, session) first: idempotent under a replayed
+        # batch re-appending a session row
         got = scoped.sql(
             "SELECT coalesce(sum(n), 0) FROM (SELECT max(n_events) AS n "
-            "FROM stream_group_timeout_out GROUP BY user_id)"
+            "FROM stream_group_timeout_out GROUP BY user_id, session_id)"
         ).collect()[0][0]
         return got == total
 
@@ -265,16 +277,19 @@ def q_stream_group_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_group_timeout_out",
         output_mode="update",
         partitions="8",
-        drained=all_users_finalized,
+        drained=all_sessions_closed,
     )
-    latest = scoped.table("stream_group_timeout_out")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        latest.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    sessions = (
+        scoped.table("stream_group_timeout_out")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.max("n_events").alias("n"),
+            F.max("session_cents").alias("cents"),
+        )
+    )
+    return sessions.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        (F.sum("cents").cast("double") / 100).alias("total_value"),
     )
 
 

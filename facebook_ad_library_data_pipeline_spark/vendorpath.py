@@ -36,25 +36,29 @@ def ensure_protobuf(spark=None) -> bool:
     path into worker environments when a session is given. Returns True
     if the import works after bootstrapping."""
     try:
-        import google.protobuf  # noqa: F401
-
-        have = True
+        import google.protobuf
     except ImportError:
-        have = False
-    if not have:
         if not os.path.isdir(os.path.join(VENDOR_DIR, "google", "protobuf")):
             return False
         if VENDOR_DIR not in sys.path:
             sys.path.insert(0, VENDOR_DIR)
         try:
-            import google.protobuf  # noqa: F401
+            import google.protobuf
         except ImportError:
             return False
-        # Propagate to workers ONLY when the vendored runtime is the one
-        # this driver imported. PYTHONPATH precedes site-packages on the
-        # workers, so exporting it unconditionally would let the minimal
-        # shim shadow a real wheel there — breaking worker-side consumers
-        # that need features the shim omits (maps, extensions, JSON).
+    # Propagate to workers ONLY when the vendored runtime is the ACTIVE
+    # one (decided by which module the import resolved, NOT by whether
+    # THIS call did the sys.path insert — the package __init__ calls
+    # ensure_protobuf() at import time, so later calls with a session
+    # almost always find the import already working and must still wire
+    # the worker env). PYTHONPATH precedes site-packages on workers, so
+    # exporting it when a real wheel won would let the minimal shim
+    # shadow that wheel there — breaking worker-side consumers needing
+    # features the shim omits (maps, extensions, JSON).
+    vendored_active = os.path.abspath(
+        getattr(google.protobuf, "__file__", "") or ""
+    ).startswith(VENDOR_DIR + os.sep)
+    if vendored_active:
         existing = os.environ.get("PYTHONPATH", "")
         if VENDOR_DIR not in existing.split(os.pathsep):
             os.environ["PYTHONPATH"] = (

@@ -83,29 +83,33 @@ def drive(spark, sf_dir: str, which: str) -> tuple[list[tuple[int, int]], int]:
         f"FROM {name} GROUP BY user_id"
         + (", window_start)" if which == "tws" else ")")
     )
-    deadline = time.monotonic() + 600
-    while time.monotonic() < deadline:
-        for p in q.recentProgress:
+    try:
+        deadline = time.monotonic() + 600
+        while time.monotonic() < deadline:
+            for p in q.recentProgress:
+                if p["stateOperators"]:
+                    per_batch[int(p["batchId"])] = int(
+                        p["stateOperators"][0]["numRowsTotal"]
+                    )
+            got = scoped.sql(emitted_target_sql).collect()[0][0]
+            if got == total:
+                break
+            if not q.isActive:
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
+                break
+            time.sleep(0.3)
+        for p in q.recentProgress:  # final snapshot incl. the fire batch
             if p["stateOperators"]:
                 per_batch[int(p["batchId"])] = int(
                     p["stateOperators"][0]["numRowsTotal"]
                 )
-        got = scoped.sql(emitted_target_sql).collect()[0][0]
-        if got == total:
-            break
-        if not q.isActive:
-            exc = q.exception()
-            if exc is not None:
-                raise exc
-            break
-        time.sleep(0.3)
-    for p in q.recentProgress:  # final snapshot incl. the fire batch
-        if p["stateOperators"]:
-            per_batch[int(p["batchId"])] = int(
-                p["stateOperators"][0]["numRowsTotal"]
-            )
-    n_emitted = scoped.table(name).count()
-    q.stop()
+        n_emitted = scoped.table(name).count()
+    finally:
+        # a raised stream/SQL error must not leak a running query into
+        # the next drive() (ProcessingTime operators never self-stop)
+        q.stop()
     return sorted(per_batch.items()), n_emitted
 
 

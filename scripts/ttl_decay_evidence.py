@@ -104,28 +104,31 @@ def run_ttl_stream(spark, flat_dir: Path, name: str, ttl_ms: int | None, total: 
     )
     # drain: every key emits from exactly one slice, so the sink's
     # sum(n) over keys reaches the source row count exactly once
-    deadline = time.monotonic() + 600
-    while time.monotonic() < deadline:
-        got = spark.sql(
-            f"SELECT coalesce(sum(n), 0) FROM "
-            f"(SELECT key, max(n) AS n FROM {name} GROUP BY key)"
-        ).collect()[0][0]
-        if got == total:
-            break
-        if not q.isActive:
-            exc = q.exception()
-            if exc is not None:
-                raise exc
-            break
-        time.sleep(0.3)
-    peak = final = batches = 0
-    for p in q.recentProgress:
-        batches += 1
-        for so in p["stateOperators"]:
-            peak = max(peak, int(so["numRowsTotal"]))
-            final = int(so["numRowsTotal"])
-    wall = time.perf_counter() - t0
-    q.stop()
+    try:
+        deadline = time.monotonic() + 600
+        while time.monotonic() < deadline:
+            got = spark.sql(
+                f"SELECT coalesce(sum(n), 0) FROM "
+                f"(SELECT key, max(n) AS n FROM {name} GROUP BY key)"
+            ).collect()[0][0]
+            if got == total:
+                break
+            if not q.isActive:
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
+                break
+            time.sleep(0.3)
+        peak = final = batches = 0
+        for p in q.recentProgress:
+            batches += 1
+            for so in p["stateOperators"]:
+                peak = max(peak, int(so["numRowsTotal"]))
+                final = int(so["numRowsTotal"])
+        wall = time.perf_counter() - t0
+    finally:
+        # never leak a running ProcessingTime query into the next run
+        q.stop()
     return dict(peak=peak, final=final, batches=batches, wall=wall)
 
 

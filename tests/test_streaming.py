@@ -1208,8 +1208,26 @@ def test_group_timeout_fold_protocol():
     both = pd.concat([b1, b2])
     cents = int(np.floor(both["value"].to_numpy() * 100 + 0.5).sum())
     assert fired.iloc[0]["n_events"] == 10
-    assert fired.iloc[0]["total_value"] == cents / 100.0
+    assert fired.iloc[0]["session_cents"] == cents
+    # session_id = the session's last event-time ms (replay dedup key)
+    assert fired.iloc[0]["session_id"] == t0 + 3_600_000 + 3_000
     assert st.removed and not st.exists
+
+    # a key ABSENT from one batch whose deadline fired early simply
+    # opens a SECOND session — the two sessions partition its events,
+    # so summed totals stay exact (the invariant the live oracle pins)
+    st.hasTimedOut = False
+    st.removed = False
+    b3 = batch(3, t0 + 7_200_000)
+    assert list(_timeout_finalize((9,), iter([b3]), st)) == []
+    st.hasTimedOut = True
+    fired2 = pd.concat(list(_timeout_finalize((9,), iter([]), st)))
+    assert fired2.iloc[0]["n_events"] == 3
+    assert (
+        fired.iloc[0]["session_cents"] + fired2.iloc[0]["session_cents"]
+        == int(np.floor(pd.concat([both, b3])["value"].to_numpy() * 100 + 0.5).sum())
+    )
+    assert fired2.iloc[0]["session_id"] != fired.iloc[0]["session_id"]
 
     # sentinel key: folds (watermark bookkeeping is engine-side) but
     # never arms a deadline, so it can never emit
