@@ -78,13 +78,19 @@ def drive(spark, sf_dir: str, which: str) -> tuple[list[tuple[int, int]], int]:
         .start()
     )
     per_batch: dict[int, int] = {}
+    # Drain fixpoint must group by the operator's SESSION key, not just
+    # user_id: the old API closes one session per (user, session) —
+    # a multi-session user would make a user_id-only sum permanently
+    # undercount the source and spin the poll to its deadline
+    # (mirrors q_stream_group_timeout's all_sessions_closed predicate).
+    group_key = "user_id, window_start" if which == "tws" else "user_id, session_id"
     emitted_target_sql = (
         f"SELECT coalesce(sum(n),0) FROM (SELECT max(n_events) AS n "
-        f"FROM {name} GROUP BY user_id"
-        + (", window_start)" if which == "tws" else ")")
+        f"FROM {name} GROUP BY {group_key})"
     )
     try:
         deadline = time.monotonic() + 600
+        drained = False
         while time.monotonic() < deadline:
             for p in q.recentProgress:
                 if p["stateOperators"]:
@@ -93,6 +99,7 @@ def drive(spark, sf_dir: str, which: str) -> tuple[list[tuple[int, int]], int]:
                     )
             got = scoped.sql(emitted_target_sql).collect()[0][0]
             if got == total:
+                drained = True
                 break
             if not q.isActive:
                 exc = q.exception()
@@ -100,6 +107,14 @@ def drive(spark, sf_dir: str, which: str) -> tuple[list[tuple[int, int]], int]:
                     raise exc
                 break
             time.sleep(0.3)
+        if not drained:
+            # a deadline exit means the fixpoint never closed — the
+            # series below would be a partial fold, not evidence
+            print(
+                f"# WARNING {which}: 600s deadline hit before drain "
+                f"fixpoint (emitted-sum != {total}); series is partial",
+                file=sys.stderr,
+            )
         for p in q.recentProgress:  # final snapshot incl. the fire batch
             if p["stateOperators"]:
                 per_batch[int(p["batchId"])] = int(

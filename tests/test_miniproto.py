@@ -271,7 +271,16 @@ def test_singular_message_merge_parses_once():
 def _synthetic_message_class():
     """A message class built straight from the vendored descriptor API:
     one double field (fixed64 wire) and one sint64 field (zigzag wire) —
-    types the pyspark state proto itself never uses."""
+    types the pyspark state proto itself never uses.
+
+    Guarded on the vendored runtime: a real protobuf wheel has different
+    positional Descriptor/FieldDescriptor signatures (and no
+    `internal.wire`), so under a real wheel these tests must SKIP, not
+    error — same guard as test_zigzag_golden_bytes_negative."""
+    pytest.importorskip(
+        "google.protobuf.internal.wire",
+        reason="vendored runtime not active (a real wheel has no `wire`)",
+    )
     from google.protobuf import descriptor as d
     from google.protobuf.message import Message
 
@@ -288,10 +297,9 @@ def _synthetic_message_class():
 
 
 def test_truncated_fixed_width_raises_decode_error():
+    cls = _synthetic_message_class()  # skips first under a real wheel
     from google.protobuf.internal import wire
     from google.protobuf.message import DecodeError
-
-    cls = _synthetic_message_class()
     raw = bytes(wire.encode_tag(1, wire.WIRETYPE_FIXED64)) + b"\x01\x02"
     with pytest.raises(DecodeError):
         cls().ParseFromString(raw)
