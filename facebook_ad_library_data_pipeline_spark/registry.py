@@ -89,6 +89,18 @@ _QUERY_MODULES = [
 # double-proven r01/r02 queries last). Rotate this list each round to
 # move the remaining unchecked tail through the window.
 _PRIORITY = [
+    # ---- round-10 window ----
+    # New registrations this round:
+    "q_state_reshard",  # re-shard escape hatch: statestore read @8p -> initialState continuation @16p
+    "q_state_snapshot_shard",  # per-shard snapshot restore + changelog roll-forward, union == rollup
+    # Queries whose implementation changed this round (shared tws
+    # scoped session + trackTotalNumberOfRows=false) — re-prove:
+    "q_stream_transform_with_state",
+    "q_stream_tws_list_ttl",
+    "q_stream_tws_timers",
+    "q_stream_tws_initial_state",
+    "q_stream_tws_map_spill",
+    "q_stream_tws_event_timers",
     # ---- round-9 window ----
     # New registrations this round:
     "q_stream_tws_event_timers",  # event-time timers: watermark-driven window close, full output oracle-exact

@@ -58,6 +58,16 @@ def get_spark(app_name: str = "facebook_ad_library_data_pipeline_spark") -> Spar
         # rejects; read as long nanos and convert in the catalog loader
         # (truncating to micros, matching DuckDB's ns→µs behavior).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # State-store maintenance (RocksDB snapshot upload) runs on ONE
+        # JVM-wide scheduled task whose interval is captured from the
+        # first query that ever loads a state store — a later query's
+        # own interval conf is ignored. The 60s production default
+        # makes snapshot_checkpoint (which must AWAIT a snapshot
+        # upload) stall up to a minute on bounded local runs; 2s ticks
+        # over a handful of loaded providers are noise here. Cold
+        # driver-built sessions keep the default and rely on
+        # snapshot_checkpoint's longer deadline instead.
+        .config("spark.sql.streaming.stateStore.maintenanceInterval", "2s")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -506,3 +506,249 @@ if _tws_available():
         oracle=_TWS_STATE_ORACLE,
         tags=("streaming", "state-store", "stateful"),
     )(q_state_tws_read)
+
+
+# ---------------------------------------------- checkpoint RE-SHARD
+
+# The escape hatch for the pinned-partitions footgun: a checkpoint
+# PINS spark.sql.shuffle.partitions at first run and silently ignores
+# conf changes on restart (contract-tested in
+# tests/test_streaming.py::test_checkpoint_pins_shuffle_partitions), so
+# a production stream can never be rescaled in place. The supported
+# rescue is OFFLINE: read the old checkpoint's state as a batch
+# DataFrame (`statestore` reader), hand it to a NEW query as
+# initialState, and continue at the new partition count on a fresh
+# checkpoint. Here the old stream ran at 8 partitions over ntile
+# slices 1-2 (time-travel read at batchId=1 of the 4-slice
+# checkpoint), and the continuation folds slices 3-4 at 16 partitions;
+# the continued totals must equal the whole-table aggregate — the
+# proof that the re-shard lost nothing and double-counted nothing.
+_RESHARD_ORACLE = """
+WITH sliced AS (
+  SELECT user_id, value,
+         ntile(4) OVER (ORDER BY ts, event_id) AS slice
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+           AS total_value,
+       CAST(sum(CASE WHEN slice <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_seeded
+FROM sliced
+GROUP BY user_id
+HAVING sum(CASE WHEN slice >= 3 THEN 1 ELSE 0 END) > 0
+"""
+
+
+def q_state_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESCALE a typed-state checkpoint by offline state migration:
+    statestore-read the 8-partition checkpoint's `totals` ValueState AS
+    OF batch 1 (= slices 1-2 folded), feed it to a fresh
+    transformWithStateInPandas query as initialState, and continue over
+    slices 3-4 at 16 shuffle partitions. Only users with a streamed
+    row emit (handleInitialState emits nothing), so the oracle is the
+    whole-table per-user aggregate restricted to users active in
+    slices 3-4, with n_seeded pinning the migrated half exactly — a
+    state row lost in migration, a key double-seeded, or a partition
+    dropped at the new count all flip the hash."""
+    from .incremental import split_events_dir_ntile
+    from .stateful import (
+        TWS_INIT_OUTPUT_SCHEMA,
+        WarmStartProcessor,
+        _tws_scoped_session,
+    )
+
+    scoped = _tws_scoped_session(spark)
+    ckpt = tws_checkpoint(spark, sf_dir)
+    # the OLD topology's state, read offline on the scoped session (the
+    # initialState plan and the stream plan must share a session)
+    seed = (
+        scoped.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "totals")
+        .option("batchId", 1)
+        .load()
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.n_events").alias("n0"),
+            F.col("value.total_cents").alias("cents0"),
+        )
+        .groupBy("user_id")
+    )
+    src = split_events_dir_ntile(scoped, sf_dir)
+    schema = scoped.read.parquet(f"{src}/slice-01.parquet").schema
+    tail = (
+        scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/slice-0[34].parquet")
+    )
+    out = tail.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=WarmStartProcessor(),
+        outputStructType=TWS_INIT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+        initialState=seed,
+    )
+    run_stream_to_memory(
+        out, "state_reshard_out", output_mode="update", partitions="16"
+    )
+    latest = scoped.table("state_reshard_out")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        latest.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+if _tws_available():
+    q_state_reshard = query(
+        "q_state_reshard",
+        oracle=_RESHARD_ORACLE,
+        tags=("streaming", "state-store", "stateful", "reshard"),
+    )(q_state_reshard)
+
+
+# ------------------------------------- per-shard SNAPSHOT restore
+
+def snapshot_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """A changelog checkpoint whose shards ALSO carry a full snapshot
+    at a NON-FINAL version — the artifact pair `snapshotStartBatchId`
+    needs (reconstruct a shard from an old snapshot, roll the
+    changelogs forward). In production the pair always exists
+    (maintenance uploads snapshots continuously on a long-running
+    stream); on a bounded run the upload is asynchronous AND the
+    maintenance thread only ever uploads the latest queued version, so
+    racing it against fast micro-batches yields only a FINAL-version
+    snapshot (no roll-forward to demonstrate). Deterministic fix:
+    build in two phases. Phase 1 streams only ntile slices 1-2
+    (versions 1-2) and holds the quiesced query open until every
+    shard's version-2 snapshot (2.zip) has landed; phase 2 restarts
+    the SAME checkpoint over the full slice glob, appending versions
+    3-4 as changelog-only commits. Every shard then has 2.zip plus
+    changelogs through 4 — snapshotStartBatchId=1 is a guaranteed
+    genuine snapshot-load + 2-changelog replay."""
+    import glob
+    import time
+
+    from .incremental import split_events_dir_ntile
+
+    key = (spark.sparkContext.applicationId, sf_dir, "snapshot")
+    ckpt = _CKPT_CACHE.get(key)
+    if ckpt is None:
+        ckpt = tempfile.mkdtemp(prefix="state_read_snap_ckpt_")
+        scoped = spark.newSession()
+        scoped.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        scoped.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
+        # queue a snapshot on EVERY commit (the maintenance tick then
+        # uploads whichever version is queued when it fires)
+        scoped.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "1")
+        scoped.conf.set("spark.sql.shuffle.partitions", "4")
+        src = split_events_dir_ntile(scoped, sf_dir)
+        schema = scoped.read.parquet(src).schema
+
+        def run_phase(path_glob: str, hold_for_zip: int | None) -> None:
+            ev = (
+                scoped.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(path_glob)
+            )
+            agg = tumbling_counts(ev.withWatermark("ts", "1 hour"))
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName("state_read_snap_src")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                if hold_for_zip is None:
+                    return
+                # snapshots upload asynchronously and only while the
+                # providers are loaded — hold the quiesced query open
+                # until every shard has the phase-final version's zip.
+                # The maintenance interval is JVM-wide, captured from
+                # the FIRST state-store query in the process
+                # (session.py pins 2s; a cold driver session that ran
+                # other streams first keeps the 60s default — hence
+                # the 150s deadline, paid once then _CKPT_CACHEd).
+                deadline = time.monotonic() + 150
+                have: set[str] = set()
+                while time.monotonic() < deadline:
+                    have = {
+                        z.rsplit("/", 2)[-2]
+                        for z in glob.glob(
+                            f"{ckpt}/state/0/*/{hold_for_zip}.zip"
+                        )
+                    }
+                    if len(have) >= 4:
+                        return
+                    time.sleep(0.3)
+                raise TimeoutError(
+                    f"shards with a {hold_for_zip}.zip snapshot after "
+                    f"150s: {sorted(have)}"
+                )
+            finally:
+                q.stop()
+
+        # phase 1: slices 1-2 only -> versions 1-2; await 2.zip ×4
+        run_phase(f"{src}/slice-0[12].parquet", hold_for_zip=2)
+        # phase 2: widen the glob; slices 3-4 arrive as new files ->
+        # versions 3-4 (changelog commits; their snapshots are
+        # irrelevant). Complete-mode final state == full rollup.
+        run_phase(f"{src}/slice-0*.parquet", hold_for_zip=None)
+        _CKPT_CACHE[key] = ckpt
+    return ckpt
+
+
+@query(
+    "q_state_snapshot_shard",
+    oracle=_TUMBLING_ORACLE,
+    tags=("streaming", "state-store", "repair"),
+)
+def q_state_snapshot_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGETED single-shard restore (`statestore` read with
+    `snapshotStartBatchId` + `snapshotPartitionId`) — the repair tool
+    for a corrupted 100 TB checkpoint: rebuild ONE partition's state
+    from its last good full snapshot plus the changelog roll-forward,
+    without touching the other shards. Each of the four shards is read
+    independently from its batch-1 snapshot (the 2.zip the two-phase
+    builder guarantees), so batches 2-3's state is reconstructed purely
+    via changelog replay, and the union must equal the full tumbling
+    rollup — a shard the roll-forward missed, a changelog applied to
+    the wrong base, or a reader that quietly serves the LATEST store
+    instead of the requested reconstruction all flip the hash
+    (complete mode evicts nothing, so union-of-shards == whole-table
+    oracle)."""
+    from functools import reduce
+
+    ckpt = snapshot_checkpoint(spark, sf_dir)
+    shards = [
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("snapshotStartBatchId", 1)
+        .option("snapshotPartitionId", p)
+        .load()
+        for p in range(4)
+    ]
+    state = reduce(lambda a, b: a.unionAll(b), shards)
+    return state.select(
+        F.col("key").getField("window").getField("start").alias("window_start"),
+        F.col("key").getField("event_type").alias("event_type"),
+        F.col("value").getField("count").alias("n"),
+        F.round(F.col("value").getField("sum"), 2)
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -424,6 +424,48 @@ def tws_runtime_available() -> bool:
         return False
 
 
+_TWS_SESSION_CACHE: dict[str, SparkSession] = {}
+
+
+def _tws_scoped_session(spark: SparkSession) -> SparkSession:
+    """One RocksDB-scoped child session shared by the whole typed-state
+    family (cached per SparkContext, the same amortization pattern as
+    incremental._SPLIT_CACHE and state_reader._CKPT_CACHE): the family's
+    queries are conf-identical, so cloning a fresh SessionState per
+    query run buys no isolation and re-pays the vendor-path wiring.
+
+    The shared session also turns OFF RocksDB's per-commit total-row
+    tracking (trackTotalNumberOfRows): numRowsTotal is an observability
+    metric no registered query reads — every drain fixpoint polls the
+    memory SINK — and maintaining the count costs a store scan on every
+    commit of every partition of every micro-batch. The evidence
+    scripts that DO read numRowsTotal (tws_scale/ttl_decay/
+    event_timer_state) build their own sessions with tracking left on.
+    """
+    from ..vendorpath import ensure_protobuf
+
+    key = spark.sparkContext.applicationId
+    scoped = _TWS_SESSION_CACHE.get(key)
+    if scoped is None:
+        ensure_protobuf(spark)
+        scoped = spark.newSession()
+        scoped.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        scoped.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+            "false",
+        )
+        _TWS_SESSION_CACHE[key] = scoped
+    else:
+        # no-op after the first call; re-asserts the worker env in case
+        # the caller's context was rebuilt under the same app id
+        ensure_protobuf(scoped)
+    return scoped
+
+
 def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user engagement via transformWithStateInPandas — the Spark 4
     typed-state successor API (named ValueState + MapState variables,
@@ -439,14 +481,7 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
     verified end-to-end even when the caller's session predates the
     bootstrap and its pandas-UDF daemons are already warm (the
     typed-state worker factory spawns fresh)."""
-    from ..vendorpath import ensure_protobuf
-
-    ensure_protobuf(spark)
-    scoped = spark.newSession()
-    scoped.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    scoped = _tws_scoped_session(spark)
     events = load_events_stream(scoped, sf_dir)
     out = user_engagement_tws(events)
     # 16 partitions for the WHOLE tws family: unlike the built-in
@@ -579,14 +614,7 @@ def q_stream_tws_list_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing) carries the complete history and must hash-match the
     whole-table oracle. RocksDB provider, as the production backend."""
     from .incremental import split_events_dir
-    from ..vendorpath import ensure_protobuf
-
-    ensure_protobuf(spark)
-    scoped = spark.newSession()
-    scoped.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    scoped = _tws_scoped_session(spark)
     src = split_events_dir(scoped, sf_dir)
     schema = scoped.read.parquet(src).schema
     events = (
@@ -732,14 +760,7 @@ def q_stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     output row came out of handleExpiredTimer; per user the kept row
     (max n_events) must hash-match the whole-table aggregate."""
     from .incremental import split_events_dir
-    from ..vendorpath import ensure_protobuf
-
-    ensure_protobuf(spark)
-    scoped = spark.newSession()
-    scoped.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    scoped = _tws_scoped_session(spark)
     src = split_events_dir(scoped, sf_dir)
     schema = scoped.read.parquet(src).schema
     events = (
@@ -944,14 +965,7 @@ def q_stream_tws_event_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived split source, never in `events`, and emits nothing: its
     own window's end sits past the final watermark."""
     from .incremental import split_events_dir_ts_ordered
-    from ..vendorpath import ensure_protobuf
-
-    ensure_protobuf(spark)
-    scoped = spark.newSession()
-    scoped.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    scoped = _tws_scoped_session(spark)
     src = split_events_dir_ts_ordered(scoped, sf_dir)
     schema = scoped.read.parquet(src).schema
     events = (
@@ -1088,14 +1102,7 @@ def q_stream_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch history to live ingestion has to guarantee."""
     from .incremental import split_events_dir
     from ..catalog import load_table
-    from ..vendorpath import ensure_protobuf
-
-    ensure_protobuf(spark)
-    scoped = spark.newSession()
-    scoped.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    scoped = _tws_scoped_session(spark)
     backfill = (
         load_table(scoped, sf_dir, "events")
         .filter(F.col("event_id") % 2 == 0)
@@ -1262,14 +1269,7 @@ def q_stream_tws_map_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     across spills by construction, so any protocol fault in
     values()/keys()/removeKey shows up as a red hash."""
     from .incremental import split_events_dir
-    from ..vendorpath import ensure_protobuf
-
-    ensure_protobuf(spark)
-    scoped = spark.newSession()
-    scoped.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    scoped = _tws_scoped_session(spark)
     src = split_events_dir(scoped, sf_dir)
     schema = scoped.read.parquet(src).schema
     events = (

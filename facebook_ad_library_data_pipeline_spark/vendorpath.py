@@ -58,6 +58,20 @@ def ensure_protobuf(spark=None) -> bool:
     vendored_active = os.path.abspath(
         getattr(google.protobuf, "__file__", "") or ""
     ).startswith(VENDOR_DIR + os.sep)
+    if not vendored_active:
+        # A real wheel won on the driver, so we deliberately skip the
+        # PYTHONPATH export. On an asymmetric install (driver has the
+        # wheel, workers don't) that turns into a worker-side
+        # ImportError the first time a typed-state query runs — log one
+        # line so that failure mode is diagnosable instead of silent.
+        import logging
+
+        logging.getLogger(__name__).info(
+            "real google.protobuf wheel active on driver (%s); vendored "
+            "runtime NOT propagated to workers — workers must have the "
+            "wheel installed too",
+            getattr(google.protobuf, "__file__", "?"),
+        )
     if vendored_active:
         existing = os.environ.get("PYTHONPATH", "")
         if VENDOR_DIR not in existing.split(os.pathsep):

@@ -1,0 +1,320 @@
+"""TTL decay evidence, EVENT-TIME variant: deterministic retention.
+
+ttl_decay_evidence.py pins the TTL plateau with the public API's
+processing-time clock, so its plateau LEVEL is wall-clock-dependent
+(documented there). This is the deterministic twin: retention driven
+entirely by EVENT time — a per-key event-time timer at
+last_event_ts + RETENTION clears the key's state when the WATERMARK
+passes it (the same emit-and-delete discipline as
+WindowCloseProcessor, applied to TTL-style idle eviction). With the
+ts-ordered transient-key source (disjoint key set per slice, slices
+consumed in ts order, far-future sentinel last), every number here is
+a pure function of the data:
+
+  retained_state(batch k) = |{keys: last_ts + RETENTION > W_k}|
+
+where W_k is the watermark in effect after batch k (max event ts
+admitted through batch k-1, 0-second delay). The script
+
+  1. drives the stream TWICE against two fresh checkpoints,
+  2. reads retained state per batch from each checkpoint OFFLINE
+     (statestore reader, stateVarName + batchId time travel — no
+     numRowsTotal, no progress-timing dependence),
+  3. computes the predicted curve from the slice files alone
+     (a 15-line watermark-protocol simulator over per-key last_ts),
+
+and the claim holds iff run-1 curve == run-2 curve == prediction,
+EXACTLY, at every batch. A wall-clock-dependent eviction, a timer
+fired against the wrong watermark, or a nondeterministic batch
+schedule all break the triple equality.
+
+Usage: python scripts/event_ttl_decay_evidence.py [sf_dir]
+Prints the markdown rows for SCALE_EVIDENCE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StatefulProcessor
+from pyspark.sql.types import LongType, StructField, StructType
+
+from facebook_ad_library_data_pipeline_spark.catalog import load_table
+from facebook_ad_library_data_pipeline_spark.session import get_spark
+from facebook_ad_library_data_pipeline_spark.vendorpath import ensure_protobuf
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+N_SLICES = 20
+ROWS_PER_SLICE = 2_500
+SENTINEL_OFFSET_MS = 40 * 24 * 3600 * 1000
+
+OUT_SCHEMA = StructType(
+    [StructField("key", LongType()), StructField("n", LongType())]
+)
+
+
+class EventTtlProcessor(StatefulProcessor):
+    """ValueState (n, last_ts_ms) per key + ONE event-time timer at
+    last_ts + retention. On fire: if the key stayed idle (watermark
+    passed last activity + retention) DELETE the state row and emit a
+    (key, -1) tombstone — the drain marker; otherwise re-arm. Keys
+    never recur across slices here, so every key is evicted exactly
+    once and the sentinel's final watermark evicts the stragglers."""
+
+    def __init__(self, retention_ms: int):
+        self._ret = retention_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._st = handle.getValueState("cnt", "n bigint, last_ts_ms bigint")
+
+    def handleInputRows(self, key, rows, timer_values):
+        (k,) = key
+        if k == -1:  # sentinel: watermark driver only, no state
+            for _ in rows:
+                pass
+            return iter(())
+        n, last = self._st.get() if self._st.exists() else (0, -1)
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            last = max(last, int(pdf["ts"].astype("int64").max() // 1_000_000))
+        # keys appear in exactly one slice (disjoint remap), so each
+        # key passes through here once — a fresh register suffices,
+        # there is never a stale earlier timer to slide
+        self._handle.registerTimer(last + self._ret)
+        self._st.update((n, last))
+        yield pd.DataFrame({"key": [k], "n": [n]})
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (k,) = key
+        wm = max(
+            timerValues.getCurrentWatermarkInMs(),
+            expiredTimerInfo.getExpiryTimeInMs(),
+        )
+        if not self._st.exists():
+            return iter(())
+        n, last = self._st.get()
+        if last + self._ret <= wm:
+            self._st.clear()  # event-time TTL eviction
+            yield pd.DataFrame({"key": [k], "n": [-1]})
+        else:  # newer activity since the timer was armed: re-arm
+            self._handle.registerTimer(last + self._ret)
+            return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def build_source(spark, sf_dir: str) -> tuple[Path, pd.DataFrame, int]:
+    """First N_SLICES×ROWS_PER_SLICE events in ts order, user_id
+    remapped so each slice's key set is disjoint, written as
+    ts-contiguous slice files with bumped mtimes + a sentinel file
+    last. Returns (dir, per-key last_ts_ms frame with slice index,
+    retention_ms)."""
+    from pyspark.sql import Window
+
+    table = load_table(spark, sf_dir, "events")
+    # adaptive at small sf: keep the slice COUNT (the curve's x-axis)
+    # and shrink rows-per-slice to what the table has
+    rps = min(ROWS_PER_SLICE, table.count() // N_SLICES)
+    rows = N_SLICES * rps
+    ev = (
+        table
+        .select("event_id", "user_id", "value", "ts")
+        .orderBy("ts", "event_id")
+        .limit(rows)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("ts", "event_id")) - 1
+        )
+        .withColumn("slice", (F.col("rn") / rps).cast("bigint"))
+        .withColumn(
+            "user_id",
+            F.col("slice") * 1_000_000 + F.col("user_id"),
+        )
+    )
+    pdf = ev.select(
+        "slice", "user_id", "value", "ts", "event_id"
+    ).toPandas()
+    out = Path(tempfile.mkdtemp(prefix="event_ttl_src_")) / "sliced"
+    out.mkdir(parents=True)
+    base = int(time.time())
+    for s in range(N_SLICES):
+        part = pdf[pdf["slice"] == s].drop(columns=["slice", "event_id"]).copy()
+        # micros, not pandas' default nanos: the session reads
+        # TIMESTAMP(NANOS) as raw longs (nanosAsLong), which would
+        # break withWatermark on the stream side
+        part["ts"] = (
+            part["ts"].dt.tz_localize("UTC").astype("datetime64[us, UTC]")
+        )  # tz-aware TIMESTAMP (watermark rejects NTZ), micros not nanos
+        f = out / f"slice-{s:02d}.parquet"
+        part.to_parquet(f, index=False)
+        os.utime(f, (base + s, base + s))
+    # sentinel: far-future single row, its own TTL never expires in-run
+    max_ts = pdf["ts"].max()
+    sent = pd.DataFrame(
+        {
+            "user_id": [-1],
+            "value": [0.0],
+            "ts": [max_ts + pd.Timedelta(milliseconds=SENTINEL_OFFSET_MS)],
+        }
+    )
+    sent["ts"] = sent["ts"].dt.tz_localize("UTC").astype("datetime64[us, UTC]")
+    f = out / f"slice-{N_SLICES:02d}.parquet"
+    sent.to_parquet(f, index=False)
+    os.utime(f, (base + N_SLICES, base + N_SLICES))
+    # retention: 1.5× the median slice ts-span — a deterministic
+    # function of the data that keeps ~1-2 slices' keys alive
+    spans = (
+        pdf.groupby("slice")["ts"].agg(lambda s: s.max() - s.min()).dt.total_seconds()
+        * 1000
+    )
+    retention_ms = int(1.5 * spans.median())
+    per_key = pdf.groupby(["slice", "user_id"])["ts"].max().reset_index()
+    per_key["last_ms"] = per_key["ts"].astype("int64") // 1_000_000
+    return out, per_key[["slice", "user_id", "last_ms"]], retention_ms
+
+
+def predict_curve(per_key: pd.DataFrame, retention_ms: int) -> list[int]:
+    """Watermark-protocol simulator: batch k admits slice k's keys;
+    the watermark in effect DURING batch k is the max event ts
+    admitted through batch k-1 (0s delay); a timer fires when
+    expiry <= watermark, evicting keys with last_ms + ret <= W.
+    Returns retained state rows AFTER each batch 0..N_SLICES+1
+    (N_SLICES data batches, the sentinel batch, one fire batch)."""
+    slice_max = per_key.groupby("slice")["last_ms"].max()
+    lasts = per_key["last_ms"].to_numpy()
+    slices = per_key["slice"].to_numpy()
+    curve = []
+    wm = -1
+    for k in range(N_SLICES + 2):
+        # fires first-of-batch semantics and admissions both settle by
+        # batch end; retained = admitted, not yet evicted
+        if k < N_SLICES:
+            admitted = slices <= k
+            batch_max = int(slice_max[k])
+        elif k == N_SLICES:
+            admitted = slices <= N_SLICES
+            batch_max = int(slice_max.max()) + SENTINEL_OFFSET_MS
+        else:
+            admitted = slices <= N_SLICES
+            batch_max = wm
+        live = admitted & (lasts + retention_ms > wm)
+        curve.append(int(live.sum()))
+        wm = max(wm, batch_max)
+    return curve
+
+
+def run_once(spark, src: Path, retention_ms: int, n_keys: int, tag: str):
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    ensure_protobuf(scoped)
+    ckpt = tempfile.mkdtemp(prefix=f"event_ttl_ckpt_{tag}_")
+    schema = scoped.read.parquet(str(src)).schema
+    events = (
+        scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withWatermark("ts", "0 seconds")
+    )
+    out = events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=EventTtlProcessor(retention_ms),
+        outputStructType=OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+    name = f"event_ttl_{tag}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 600
+        drained = False
+        while time.monotonic() < deadline:
+            got = scoped.sql(
+                f"SELECT count(DISTINCT key) FROM {name} WHERE n = -1"
+            ).collect()[0][0]
+            if got == n_keys:
+                drained = True
+                break
+            if not q.isActive:
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
+                break
+            time.sleep(0.3)
+        if not drained:
+            print(f"# WARNING {tag}: drain deadline hit", file=sys.stderr)
+        last_batch = max(
+            int(p["batchId"]) for p in q.recentProgress
+        )
+    finally:
+        q.stop()
+    # offline per-batch retained-state curve: time-travel reads of the
+    # cnt variable — deterministic, no progress-metric dependence
+    curve = []
+    for k in range(min(last_batch, N_SLICES + 1) + 1):
+        c = (
+            scoped.read.format("statestore")
+            .option("path", ckpt)
+            .option("stateVarName", "cnt")
+            .option("batchId", k)
+            .load()
+            .count()
+        )
+        curve.append(int(c))
+    return curve
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("event_ttl_decay_evidence")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_protobuf(spark)
+
+    src, per_key, retention_ms = build_source(spark, sf_dir)
+    n_keys = len(per_key)
+    predicted = predict_curve(per_key, retention_ms)
+    run1 = run_once(spark, src, retention_ms, n_keys, "r1")
+    run2 = run_once(spark, src, retention_ms, n_keys, "r2")
+
+    width = max(len(run1), len(run2), len(predicted))
+
+    def pad(xs):
+        return xs + ["—"] * (width - len(xs))
+
+    print(
+        f"retention_ms={retention_ms} (1.5× median slice span), "
+        f"keys={n_keys}, "
+        f"slices={N_SLICES}+sentinel"
+    )
+    print("| batch | predicted retained | run 1 | run 2 |")
+    print("|---|---|---|---|")
+    for k, (p, a, b) in enumerate(zip(pad(predicted), pad(run1), pad(run2))):
+        print(f"| {k} | {p} | {a} | {b} |")
+    exact = run1 == run2 and run1 == predicted[: len(run1)]
+    print(
+        f"\nrun1 == run2: {run1 == run2}; "
+        f"runs == prediction: {run1 == predicted[: len(run1)]}; "
+        f"DETERMINISTIC-EVENT-TIME-TTL: {'HOLDS' if exact else 'FAILS'}"
+    )
+
+
+if __name__ == "__main__":
+    main()
