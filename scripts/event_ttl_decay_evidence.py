@@ -144,6 +144,9 @@ def build_source(spark, sf_dir: str) -> tuple[Path, pd.DataFrame, int]:
             F.col("slice") * 1_000_000 + F.col("user_id"),
         )
     )
+    # BOUNDED driver collect (≤50k rows by the limit() above): this
+    # dev-evidence script builds its slice files and the prediction's
+    # per-key last_ts on the driver by design — not an engine path
     pdf = ev.select(
         "slice", "user_id", "value", "ts", "event_id"
     ).toPandas()
