@@ -41,9 +41,25 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
-    for i, name in enumerate(sorted(registry)):
+    # Measurement order is PINNED: all batch queries first (sorted),
+    # then the streaming/state family (q_stream_*/q_state_*, sorted)
+    # last. The family's multi-micro-batch churn (RocksDB store
+    # commits, state-server round-trips, checkpoint builds) was
+    # inflating whichever queries happened to sort after it by 10-30%
+    # and drifting the committed map upward each round as the family
+    # grew (BASELINE.md round-9 notes); running it last keeps the
+    # batch section's environment stable run-over-run, and the extra
+    # per-query GC below isolates the family's own numbers from one
+    # another's store/checkpoint debris.
+    ordered = sorted(registry)
+    stream_family = [
+        n for n in ordered if n.startswith(("q_stream_", "q_state_"))
+    ]
+    ordered = [n for n in ordered if n not in set(stream_family)] + stream_family
+    stream_set = set(stream_family)
+    for i, name in enumerate(ordered):
         q = registry[name]
-        if i % 15 == 0:
+        if i % 15 == 0 or name in stream_set:
             # ContextCleaner only purges broadcast/shuffle state on GC;
             # over 100+ queries in one session the un-GC'd state causes
             # 2-10× slowdowns late in the run (see BASELINE.md). An
