@@ -55,8 +55,8 @@ def main() -> None:
     stream_family = [
         n for n in ordered if n.startswith(("q_stream_", "q_state_"))
     ]
-    ordered = [n for n in ordered if n not in set(stream_family)] + stream_family
     stream_set = set(stream_family)
+    ordered = [n for n in ordered if n not in stream_set] + stream_family
     for i, name in enumerate(ordered):
         q = registry[name]
         if i % 15 == 0 or name in stream_set:

@@ -103,7 +103,7 @@ _PRIORITY = [
     "q_stream_tws_event_timers",
     # ---- round-9 window ----
     # New registrations this round:
-    "q_stream_tws_event_timers",  # event-time timers: watermark-driven window close, full output oracle-exact
+    # (q_stream_tws_event_timers moved to the round-10 window above)
     "q_state_join_read",  # joinSide statestore read: retained join state hash-pinned to the watermark rule
     "q_state_change_feed",  # readChangeFeed: per-batch state PUTs == SQL replay of the ntile batch schedule
     "q_state_tws_read",  # stateVarName reads of a TWS checkpoint: MapState+ValueState rejoined, hash == aggregate
@@ -111,14 +111,14 @@ _PRIORITY = [
     "q_stream_group_timeout",  # old-API event-time timeout: hasTimedOut is the only emitter
     # Queries whose implementation or oracle changed this round (the
     # r08-advice fixes) — re-prove through the driver:
-    "q_stream_tws_map_spill",  # keep-window now ordered by the strictly increasing n_events
+    # (q_stream_tws_map_spill moved to the round-10 window above)
     # ---- round-8 window ----
     # New registrations this round:
-    "q_stream_transform_with_state",  # typed-state API unblocked by the vendored mini-protobuf
-    "q_stream_tws_list_ttl",  # ListState+TTL across 4 real micro-batches, list-derived order stats
-    "q_stream_tws_timers",  # processing-time timers: all output from handleExpiredTimer
+    # (q_stream_transform_with_state moved to the round-10 window above)
+    # (q_stream_tws_list_ttl moved to the round-10 window above)
+    # (q_stream_tws_timers moved to the round-10 window above)
     # (q_stream_tws_map_spill moved to the round-9 window above)
-    "q_stream_tws_initial_state",  # warm-start: batch backfill seeds state via handleInitialState
+    # (q_stream_tws_initial_state moved to the round-10 window above)
     "q_compaction_zorder",  # clustering-preserving compaction, disjoint-range flags
     "q_state_store_read",   # checkpoint state read back as a batch DF, hash == batch rollup
     "q_state_metadata",     # state-metadata catalog: operator + shard layout pinned

@@ -59,6 +59,28 @@ def tumbling_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     return ckpt
 
 
+
+def _project_tumbling_state(state: DataFrame, *extra) -> DataFrame:
+    """The tumbling agg's state buffers projected back into the batch
+    twin's shape — shared by every reader of that checkpoint family
+    (plain read, change feed, time travel, per-shard snapshot restore).
+    The key is struct<window:struct<start,end>, event_type>; the value
+    is the RAW aggregation buffer struct<count, sum decimal(28,6),
+    isEmpty> — money_sum's final round-to-cents/cast-to-double is a
+    RESULT expression, not buffer state, so it's applied here. `extra`
+    columns (e.g. the change feed's batch_id/change_type) land between
+    the key and the measures."""
+    return state.select(
+        F.col("key").getField("window").getField("start").alias("window_start"),
+        F.col("key").getField("event_type").alias("event_type"),
+        *extra,
+        F.col("value").getField("count").alias("n"),
+        F.round(F.col("value").getField("sum"), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 @query("q_state_store_read", oracle=_TUMBLING_ORACLE, tags=("streaming", "state-store"))
 def q_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the tumbling aggregation's STATE STORE as a batch
@@ -70,19 +92,7 @@ def q_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact, not a float round trip."""
     ckpt = tumbling_checkpoint(spark, sf_dir)
     state = spark.read.format("statestore").option("path", ckpt).load()
-    # key: struct<window:struct<start,end>, event_type>; value: the RAW
-    # aggregation buffer struct<count, sum decimal(28,6), isEmpty> —
-    # money_sum's final round-to-cents/cast-to-double is a RESULT
-    # expression, not buffer state, so it's applied here to land in
-    # the batch twin's exact shape.
-    return state.select(
-        F.col("key").getField("window").getField("start").alias("window_start"),
-        F.col("key").getField("event_type").alias("event_type"),
-        F.col("value").getField("count").alias("n"),
-        F.round(F.col("value").getField("sum"), 2)
-        .cast("double")
-        .alias("total_value"),
-    )
+    return _project_tumbling_state(state)
 
 
 _STATE_META_ORACLE = """
@@ -235,6 +245,26 @@ def q_state_join_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- state CHANGE FEED
 
 
+
+def _rocksdb_changelog_session(spark: SparkSession) -> SparkSession:
+    """Child session pinned to the RocksDB provider WITH changelog
+    checkpointing — the conf pair every changelog-consuming checkpoint
+    builder needs (change feed, per-shard snapshot restore); one
+    helper so a provider/conf rename is fixed once, not per builder."""
+    scoped = spark.newSession()
+    scoped.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    scoped.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        "true",
+    )
+    return scoped
+
+
 def changelog_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     """Drive the tumbling agg over the EXACT-ntile 4-slice source with
     RocksDB changelog checkpointing on, so the per-batch state deltas
@@ -245,17 +275,7 @@ def changelog_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     ckpt = _CKPT_CACHE.get(key)
     if ckpt is None:
         ckpt = tempfile.mkdtemp(prefix="state_read_cdf_ckpt_")
-        scoped = spark.newSession()
-        scoped.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        scoped.conf.set(
-            "spark.sql.streaming.stateStore.rocksdb."
-            "changelogCheckpointing.enabled",
-            "true",
-        )
+        scoped = _rocksdb_changelog_session(spark)
         src = split_events_dir_ntile(scoped, sf_dir)
         schema = scoped.read.parquet(src).schema
         ev = (
@@ -331,15 +351,10 @@ def q_state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("changeStartBatchId", "0")
         .load()
     )
-    return feed.select(
-        F.col("key").getField("window").getField("start").alias("window_start"),
-        F.col("key").getField("event_type").alias("event_type"),
+    return _project_tumbling_state(
+        feed,
         F.col("batch_id").cast("bigint").alias("batch_id"),
         F.col("change_type").cast("string").alias("change_type"),
-        F.col("value").getField("count").alias("n"),
-        F.round(F.col("value").getField("sum"), 2)
-        .cast("double")
-        .alias("total_value"),
     )
 
 
@@ -484,14 +499,7 @@ def q_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("batchId", "1")
         .load()
     )
-    return state.select(
-        F.col("key").getField("window").getField("start").alias("window_start"),
-        F.col("key").getField("event_type").alias("event_type"),
-        F.col("value").getField("count").alias("n"),
-        F.round(F.col("value").getField("sum"), 2)
-        .cast("double")
-        .alias("total_value"),
-    )
+    return _project_tumbling_state(state)
 
 
 # q_state_tws_read drives a live transformWithStateInPandas stream, so
@@ -593,15 +601,9 @@ def q_state_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_to_memory(
         out, "state_reshard_out", output_mode="update", partitions="16"
     )
-    latest = scoped.table("state_reshard_out")
-    from pyspark.sql import Window
+    from .stateful import keep_latest_per_user
 
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        latest.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return keep_latest_per_user(scoped.table("state_reshard_out"))
 
 
 if _tws_available():
@@ -640,17 +642,7 @@ def snapshot_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     ckpt = _CKPT_CACHE.get(key)
     if ckpt is None:
         ckpt = tempfile.mkdtemp(prefix="state_read_snap_ckpt_")
-        scoped = spark.newSession()
-        scoped.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        scoped.conf.set(
-            "spark.sql.streaming.stateStore.rocksdb."
-            "changelogCheckpointing.enabled",
-            "true",
-        )
+        scoped = _rocksdb_changelog_session(spark)
         # queue a snapshot on EVERY commit (the maintenance tick then
         # uploads whichever version is queued when it fires)
         scoped.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "1")
@@ -744,11 +736,4 @@ def q_state_snapshot_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in range(4)
     ]
     state = reduce(lambda a, b: a.unionAll(b), shards)
-    return state.select(
-        F.col("key").getField("window").getField("start").alias("window_start"),
-        F.col("key").getField("event_type").alias("event_type"),
-        F.col("value").getField("count").alias("n"),
-        F.round(F.col("value").getField("sum"), 2)
-        .cast("double")
-        .alias("total_value"),
-    )
+    return _project_tumbling_state(state)

@@ -30,6 +30,24 @@ from pyspark.sql.types import (
 from ..registry import query
 from .events import load_events_stream, run_stream_to_memory
 
+
+def keep_latest_per_user(latest: DataFrame) -> DataFrame:
+    """Update-mode memory sinks append one row per (batch, user); keep
+    each user's FINAL snapshot. n_events is strictly increasing across
+    a user's emits (every batch folds ≥1 of their rows), so max
+    n_events selects the last emit even when total_value ties (a batch
+    whose cents round to 0) — the one keep-latest rule every
+    update-mode query in this family shares."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        latest.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -130,14 +148,7 @@ def q_stream_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_to_memory(out, "stream_stateful_user_out", output_mode="update", partitions="8")
     latest = spark.table("stream_stateful_user_out")
     # update mode appends a row per (batch, user); keep the last emit
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        latest.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return keep_latest_per_user(latest)
 
 
 # ------------------- GroupState EVENT-TIME TIMEOUT (old-API timers)
@@ -434,6 +445,15 @@ def _tws_scoped_session(spark: SparkSession) -> SparkSession:
     queries are conf-identical, so cloning a fresh SessionState per
     query run buys no isolation and re-pays the vendor-path wiring.
 
+    Retention tradeoff: the cached session keeps each family query's
+    memory-sink temp view (stream_tws_out etc.) alive for the life of
+    the application — the views can't be dropped eagerly because the
+    returned DataFrames read them LAZILY (the driver collects after
+    the query function returns). Bounded by design: every sink holds
+    at most keys × micro-batches rows of narrow snapshots (a few MB at
+    sf0.1); a long-lived service reusing this session at much larger
+    key counts should drop the views between uses.
+
     The shared session also turns OFF RocksDB's per-commit total-row
     tracking (trackTotalNumberOfRows): numRowsTotal is an observability
     metric no registered query reads — every drain fixpoint polls the
@@ -497,14 +517,7 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
         out, "stream_tws_out", output_mode="update", partitions="16"
     )
     latest = scoped.table("stream_tws_out")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        latest.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return keep_latest_per_user(latest)
 
 
 # ----------------------------------- ListState + TTL over real micro-batches
@@ -645,14 +658,7 @@ def q_stream_tws_list_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         drained=all_rows_folded,
     )
     latest = scoped.table("stream_tws_list_out")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        latest.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return keep_latest_per_user(latest)
 
 
 # ------------------------------------------- timers (register/fire/delete)
@@ -786,14 +792,7 @@ def q_stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         drained=all_rows_finalized,
     )
     latest = scoped.table("stream_tws_timer_out")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        latest.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return keep_latest_per_user(latest)
 
 
 # --------------------- event-time timers (watermark-driven window close)
@@ -1134,14 +1133,7 @@ def q_stream_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "stream_tws_init_out", output_mode="update", partitions="16"
     )
     latest = scoped.table("stream_tws_init_out")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        latest.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return keep_latest_per_user(latest)
 
 
 # ------------------------- MapState iteration + removeKey (state spill)
@@ -1282,17 +1274,7 @@ def q_stream_tws_map_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "stream_tws_spill_out", output_mode="update", partitions="16"
     )
     latest = scoped.table("stream_tws_spill_out")
-    from pyspark.sql import Window
-
-    # n_events is STRICTLY increasing across a user's emits (each batch
-    # folds ≥1 row), so max n_events is the final snapshot even when
-    # total_value ties (a batch whose cents round to 0)
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        latest.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return keep_latest_per_user(latest)
 
 
 if tws_runtime_available():

@@ -26,6 +26,8 @@ from __future__ import annotations
 import os
 import sys
 
+_WARNED_REAL_WHEEL = False
+
 VENDOR_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "vendor"
 )
@@ -64,14 +66,22 @@ def ensure_protobuf(spark=None) -> bool:
         # wheel, workers don't) that turns into a worker-side
         # ImportError the first time a typed-state query runs — log one
         # line so that failure mode is diagnosable instead of silent.
-        import logging
+        global _WARNED_REAL_WHEEL
+        if not _WARNED_REAL_WHEEL:
+            _WARNED_REAL_WHEEL = True
+            import logging
 
-        logging.getLogger(__name__).info(
-            "real google.protobuf wheel active on driver (%s); vendored "
-            "runtime NOT propagated to workers — workers must have the "
-            "wheel installed too",
-            getattr(google.protobuf, "__file__", "?"),
-        )
+            # warning level: the default root logger drops INFO, and
+            # this is the only breadcrumb an asymmetric install
+            # (driver wheel, bare workers) leaves before a worker-side
+            # ImportError; once per process — ensure_protobuf is
+            # called on every typed-state query
+            logging.getLogger(__name__).warning(
+                "real google.protobuf wheel active on driver (%s); "
+                "vendored runtime NOT propagated to workers — workers "
+                "must have the wheel installed too",
+                getattr(google.protobuf, "__file__", "?"),
+            )
     if vendored_active:
         existing = os.environ.get("PYTHONPATH", "")
         if VENDOR_DIR not in existing.split(os.pathsep):

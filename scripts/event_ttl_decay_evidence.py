@@ -129,6 +129,11 @@ def build_source(spark, sf_dir: str) -> tuple[Path, pd.DataFrame, int]:
     # adaptive at small sf: keep the slice COUNT (the curve's x-axis)
     # and shrink rows-per-slice to what the table has
     rps = min(ROWS_PER_SLICE, table.count() // N_SLICES)
+    if rps < 1:
+        raise SystemExit(
+            f"events table at {sf_dir} has fewer than {N_SLICES} rows — "
+            "too small for a per-slice decay curve"
+        )
     rows = N_SLICES * rps
     ev = (
         table
@@ -282,7 +287,7 @@ def run_once(spark, src: Path, retention_ms: int, n_keys: int, tag: str):
             .count()
         )
         curve.append(int(c))
-    return curve
+    return curve, drained
 
 
 def main() -> None:
@@ -294,8 +299,8 @@ def main() -> None:
     src, per_key, retention_ms = build_source(spark, sf_dir)
     n_keys = len(per_key)
     predicted = predict_curve(per_key, retention_ms)
-    run1 = run_once(spark, src, retention_ms, n_keys, "r1")
-    run2 = run_once(spark, src, retention_ms, n_keys, "r2")
+    run1, drained1 = run_once(spark, src, retention_ms, n_keys, "r1")
+    run2, drained2 = run_once(spark, src, retention_ms, n_keys, "r2")
 
     width = max(len(run1), len(run2), len(predicted))
 
@@ -311,10 +316,19 @@ def main() -> None:
     print("|---|---|---|---|")
     for k, (p, a, b) in enumerate(zip(pad(predicted), pad(run1), pad(run2))):
         print(f"| {k} | {p} | {a} | {b} |")
-    exact = run1 == run2 and run1 == predicted[: len(run1)]
+    # HOLDS requires the FULL curve: a deadline-terminated partial run
+    # would still prefix-match the (per-batch-correct) prediction, so
+    # gate on both drain flags and on covering every predicted batch —
+    # the decay-to-zero tail IS the claim
+    exact = (
+        drained1
+        and drained2
+        and run1 == run2
+        and run1 == predicted
+    )
     print(
-        f"\nrun1 == run2: {run1 == run2}; "
-        f"runs == prediction: {run1 == predicted[: len(run1)]}; "
+        f"\ndrained: {drained1}/{drained2}; run1 == run2: {run1 == run2}; "
+        f"runs == full prediction: {run1 == predicted}; "
         f"DETERMINISTIC-EVENT-TIME-TTL: {'HOLDS' if exact else 'FAILS'}"
     )
 
