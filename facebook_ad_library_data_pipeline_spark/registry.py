@@ -93,6 +93,8 @@ _PRIORITY = [
     # New registrations this round:
     "q_state_reshard",  # re-shard escape hatch: statestore read @8p -> initialState continuation @16p
     "q_state_snapshot_shard",  # per-shard snapshot restore + changelog roll-forward, union == rollup
+    "q_state_list_read",  # ListState elements read back: multiset == per-(user, ntile-slice) cents
+    "q_state_timers_read",  # registered-timer column family: exactly one far-future row per user
     # Queries whose implementation changed this round (shared tws
     # scoped session + trackTotalNumberOfRows=false) — re-prove:
     "q_stream_transform_with_state",

@@ -737,3 +737,188 @@ def q_state_snapshot_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     state = reduce(lambda a, b: a.unionAll(b), shards)
     return _project_tumbling_state(state)
+
+
+# --------------------- ListState + registered-timer introspection
+
+FAR_TIMER_MS = 4_102_444_800_000  # 2100-01-01T00:00:00Z
+
+
+def list_timer_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """A typed-state checkpoint carrying the two variable kinds the
+    introspection family hasn't read back yet: a LISTSTATE (one
+    appended element per micro-batch per user — the user's batch cents
+    over the exact-ntile split, so every element is SQL-replayable)
+    and REGISTERED TIMERS (a constant far-future deadline per key;
+    re-registering the identical expiry is idempotent, so the timer
+    column family holds exactly one row per user and never fires
+    in-run)."""
+    import numpy as np  # noqa: F401  (worker-side import in the processor)
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .incremental import split_events_dir_ntile
+    from .stateful import _tws_scoped_session
+
+    key = (spark.sparkContext.applicationId, sf_dir, "listtimer")
+    ckpt = _CKPT_CACHE.get(key)
+    if ckpt is not None:
+        return ckpt
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("n", LongType())]
+    )
+
+    class ListTimerProcessor(StatefulProcessor):
+        """Per-batch cents appended to ListState; a constant far-future
+        timer per key. Falsifiability: a dropped/duplicated appendValue
+        changes the element multiset against the per-(user, slice)
+        oracle; a timer stored per-registration instead of per-(key,
+        expiry) breaks the one-row-per-user timer oracle."""
+
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._hist = handle.getListState("history", "cents bigint")
+            self._n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+
+            (u,) = key
+            n = self._n.get()[0] if self._n.exists() else 0
+            cents = 0
+            for pdf in rows:
+                if len(pdf):
+                    n += len(pdf)
+                    cents += int(
+                        np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum()
+                    )
+            self._hist.appendValue((cents,))
+            self._n.update((n,))
+            self._handle.registerTimer(FAR_TIMER_MS)
+            yield pd.DataFrame({"user_id": [u], "n": [n]})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            return iter(())  # deadline is past every in-run watermark
+
+        def close(self) -> None:
+            pass
+
+    scoped = _tws_scoped_session(spark)
+    ckpt = tempfile.mkdtemp(prefix="state_read_listtimer_ckpt_")
+    src = split_events_dir_ntile(scoped, sf_dir)
+    schema = scoped.read.parquet(src).schema
+    ev = (
+        scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ListTimerProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+    total = scoped.read.parquet(src).count()
+
+    def all_rows_folded() -> bool:
+        got = scoped.sql(
+            "SELECT coalesce(sum(n),0) FROM (SELECT max(n) AS n "
+            "FROM state_read_listtimer_src GROUP BY user_id)"
+        ).collect()[0][0]
+        return got == total
+
+    run_stream_to_memory(
+        out,
+        "state_read_listtimer_src",
+        output_mode="update",
+        partitions="8",
+        checkpoint_location=ckpt,
+        drained=all_rows_folded,
+    )
+    _CKPT_CACHE[key] = ckpt
+    return ckpt
+
+
+# Every ListState element is one micro-batch's fold for one user, and
+# the ntile source makes batch membership a window function — so the
+# element MULTISET is exactly the per-(user, touched-slice) cents.
+_STATE_LIST_ORACLE = """
+WITH sliced AS (
+  SELECT user_id, value,
+         ntile(4) OVER (ORDER BY ts, event_id) AS slice
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM sliced
+GROUP BY user_id, slice
+"""
+
+
+def q_state_list_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTSTATE introspection (`statestore` read with `stateVarName`
+    over a list variable): each retained element comes back as its own
+    row (the reader's collection flattening), and the element multiset
+    must hash-match the per-(user, micro-batch) fold restated in SQL —
+    an element lost to a broken appendValue, a duplicate from a
+    replayed append, or elements mangled by the list encoding all flip
+    the hash. Completes the per-variable-kind read matrix: ValueState
+    and MapState (q_state_tws_read), ListState here."""
+    ckpt = list_timer_checkpoint(spark, sf_dir)
+    return (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "history")
+        .load()
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("list_element.cents").alias("cents"),
+        )
+    )
+
+
+_STATE_TIMERS_ORACLE = f"""
+SELECT DISTINCT user_id,
+       CAST({FAR_TIMER_MS} AS BIGINT) AS expiration_timestamp_ms
+FROM events
+"""
+
+
+def q_state_timers_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED-TIMER introspection (`statestore` read with
+    `readRegisteredTimers`): the pending-timer column family of a
+    typed-state checkpoint as a batch DataFrame — the audit path for
+    'which keys still have a deadline armed' (a wedged watermark
+    shows up here as timers that never drain). The processor arms one
+    constant far-future deadline per key on every batch, so the read
+    must return EXACTLY one row per user: per-(key, expiry) storage
+    duplicating re-registrations, or a fire that silently consumed a
+    timer, both flip the hash."""
+    ckpt = list_timer_checkpoint(spark, sf_dir)
+    return (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("readRegisteredTimers", "true")
+        .load()
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("expiration_timestamp_ms").alias("expiration_timestamp_ms"),
+        )
+    )
+
+
+if _tws_available():
+    q_state_list_read = query(
+        "q_state_list_read",
+        oracle=_STATE_LIST_ORACLE,
+        tags=("streaming", "state-store", "stateful"),
+    )(q_state_list_read)
+    q_state_timers_read = query(
+        "q_state_timers_read",
+        oracle=_STATE_TIMERS_ORACLE,
+        tags=("streaming", "state-store", "stateful"),
+    )(q_state_timers_read)
