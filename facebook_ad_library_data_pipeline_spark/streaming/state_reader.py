@@ -744,6 +744,48 @@ def q_state_snapshot_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 FAR_TIMER_MS = 4_102_444_800_000  # 2100-01-01T00:00:00Z
 
 
+from pyspark.sql.streaming import StatefulProcessor
+
+
+class ListTimerProcessor(StatefulProcessor):
+    """Per-batch cents appended to ListState; a constant far-future
+    timer per key. Falsifiability: a dropped/duplicated appendValue
+    changes the element multiset against the per-(user, slice) oracle;
+    a timer stored per-registration instead of per-(key, expiry) breaks
+    the one-row-per-user timer oracle. Module-level (not nested in the
+    builder) so the protocol is replayable through the fake typed-state
+    handle in tests/test_streaming.py like every sibling processor
+    (the base class imports without the typed-state runtime — same
+    pattern as stateful.py)."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._hist = handle.getListState("history", "cents bigint")
+        self._n = handle.getValueState("n", "n bigint")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import numpy as np
+        import pandas as pd
+
+        (u,) = key
+        n = self._n.get()[0] if self._n.exists() else 0
+        cents = 0
+        for pdf in rows:
+            if len(pdf):
+                n += len(pdf)
+                cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+        self._hist.appendValue((cents,))
+        self._n.update((n,))
+        self._handle.registerTimer(FAR_TIMER_MS)
+        yield pd.DataFrame({"user_id": [u], "n": [n]})
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())  # deadline is past every in-run watermark
+
+    def close(self) -> None:
+        pass
+
+
 def list_timer_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     """A typed-state checkpoint carrying the two variable kinds the
     introspection family hasn't read back yet: a LISTSTATE (one
@@ -752,10 +794,18 @@ def list_timer_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     and REGISTERED TIMERS (a constant far-future deadline per key;
     re-registering the identical expiry is idempotent, so the timer
     column family holds exactly one row per user and never fires
-    in-run)."""
-    import numpy as np  # noqa: F401  (worker-side import in the processor)
-    import pandas as pd
-    from pyspark.sql.streaming import StatefulProcessor
+    in-run).
+
+    Drained with plain processAllAvailable — correct here because
+    EventTime mode SELF-QUIESCES on a bounded source (extra batches
+    are scheduled only by watermark advances; the far-future timers
+    are never eligible), and REQUIRED here because this checkpoint is
+    re-opened by the readers: a drained-fixpoint early q.stop() could
+    interrupt the final micro-batch between its sink write and its
+    commit-log entry, leaving a checkpoint whose statestore reads
+    resolve to the previous batch (the sink-polling drain is for
+    ProcessingTime operators, which never quiesce — see
+    run_stream_to_memory)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     from .incremental import split_events_dir_ntile
@@ -769,42 +819,6 @@ def list_timer_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     out_schema = StructType(
         [StructField("user_id", LongType()), StructField("n", LongType())]
     )
-
-    class ListTimerProcessor(StatefulProcessor):
-        """Per-batch cents appended to ListState; a constant far-future
-        timer per key. Falsifiability: a dropped/duplicated appendValue
-        changes the element multiset against the per-(user, slice)
-        oracle; a timer stored per-registration instead of per-(key,
-        expiry) breaks the one-row-per-user timer oracle."""
-
-        def init(self, handle) -> None:
-            self._handle = handle
-            self._hist = handle.getListState("history", "cents bigint")
-            self._n = handle.getValueState("n", "n bigint")
-
-        def handleInputRows(self, key, rows, timer_values):
-            import numpy as np
-
-            (u,) = key
-            n = self._n.get()[0] if self._n.exists() else 0
-            cents = 0
-            for pdf in rows:
-                if len(pdf):
-                    n += len(pdf)
-                    cents += int(
-                        np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum()
-                    )
-            self._hist.appendValue((cents,))
-            self._n.update((n,))
-            self._handle.registerTimer(FAR_TIMER_MS)
-            yield pd.DataFrame({"user_id": [u], "n": [n]})
-
-        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            return iter(())  # deadline is past every in-run watermark
-
-        def close(self) -> None:
-            pass
-
     scoped = _tws_scoped_session(spark)
     ckpt = tempfile.mkdtemp(prefix="state_read_listtimer_ckpt_")
     src = split_events_dir_ntile(scoped, sf_dir)
@@ -821,22 +835,12 @@ def list_timer_checkpoint(spark: SparkSession, sf_dir: str) -> str:
         outputMode="Update",
         timeMode="EventTime",
     )
-    total = scoped.read.parquet(src).count()
-
-    def all_rows_folded() -> bool:
-        got = scoped.sql(
-            "SELECT coalesce(sum(n),0) FROM (SELECT max(n) AS n "
-            "FROM state_read_listtimer_src GROUP BY user_id)"
-        ).collect()[0][0]
-        return got == total
-
     run_stream_to_memory(
         out,
         "state_read_listtimer_src",
         output_mode="update",
         partitions="8",
         checkpoint_location=ckpt,
-        drained=all_rows_folded,
     )
     _CKPT_CACHE[key] = ckpt
     return ckpt

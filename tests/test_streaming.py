@@ -1234,3 +1234,119 @@ def test_group_timeout_fold_protocol():
     s2 = FakeGroupState()
     assert list(_timeout_finalize((-1,), iter([batch(1, t0)]), s2)) == []
     assert s2.deadlines == []
+
+
+def test_list_timer_processor_protocol():
+    """ListTimerProcessor (the list/timer introspection checkpoint's
+    operator) replayed through a fake typed-state handle: one ListState
+    element per micro-batch carrying that batch's integer-cent fold,
+    the running n in a ValueState, and a timer re-registered at the
+    SAME constant far-future deadline every batch — so the element
+    multiset equals the per-batch cents and the timer registrations
+    collapse to one (key, expiry) pair, the two facts the statestore
+    readers' oracles hash-pin."""
+    import numpy as np
+    import pandas as pd
+
+    from facebook_ad_library_data_pipeline_spark.streaming.state_reader import (
+        FAR_TIMER_MS,
+        ListTimerProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeListState:
+        def __init__(self):
+            self.items = []
+
+        def appendValue(self, v):
+            self.items.append(tuple(v))
+
+    registered = []
+
+    class FakeHandle:
+        def __init__(self):
+            self.hist = FakeListState()
+            self.n = FakeValueState()
+
+        def getListState(self, name, schema):
+            assert name == "history"
+            return self.hist
+
+        def getValueState(self, name, schema):
+            assert name == "n"
+            return self.n
+
+        def registerTimer(self, ms):
+            registered.append(ms)
+
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame({"user_id": 3, "value": rng.uniform(0, 90, 30).round(3)})
+    batches = [pdf.iloc[:7], pdf.iloc[7:19], pdf.iloc[19:]]
+
+    proc = ListTimerProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    out = None
+    for b in batches:
+        out = pd.concat(list(proc.handleInputRows((3,), iter([b]), None)))
+
+    per_batch_cents = [
+        int(np.floor(b["value"].to_numpy() * 100 + 0.5).sum()) for b in batches
+    ]
+    assert handle.hist.items == [(c,) for c in per_batch_cents]
+    assert out["n"].iloc[-1] == 30
+    # constant deadline on every batch: idempotent under the store's
+    # (key, expiry) set semantics — the one-row-per-user timer oracle
+    assert registered == [FAR_TIMER_MS] * 3
+    # a timer fire (can't happen in-run: deadline is 2100) must emit
+    # nothing and touch no state
+    assert list(proc.handleExpiredTimer((3,), None, None)) == []
+    assert handle.hist.items == [(c,) for c in per_batch_cents]
+
+
+def test_snapshot_checkpoint_two_phase_artifacts(spark, sf_dir):
+    """The two-phase snapshot checkpoint's contract: every shard holds
+    BOTH artifact kinds at the right versions — a full snapshot at the
+    phase-1 boundary (2.zip: guaranteed by the hold-open await, and
+    the exact version q_state_snapshot_shard's snapshotStartBatchId=1
+    loads) and changelogs through the final batch (the roll-forward
+    path). Also pins that a single-partition snapshot read is
+    genuinely PARTIAL (fewer rows than the full store) while the
+    4-shard union is complete."""
+    from pathlib import Path
+
+    from facebook_ad_library_data_pipeline_spark.streaming.state_reader import (
+        snapshot_checkpoint,
+    )
+
+    ckpt = snapshot_checkpoint(spark, sf_dir)
+    shards = sorted((Path(ckpt) / "state" / "0").glob("[0-9]*"))
+    assert len(shards) == 4
+    for shard in shards:
+        names = {p.name for p in shard.iterdir()}
+        assert "2.zip" in names, f"{shard}: phase-1 snapshot missing"
+        for v in range(1, 5):
+            assert f"{v}.changelog" in names, f"{shard}: changelog {v} missing"
+
+    full = spark.read.format("statestore").option("path", ckpt).load().count()
+    shard0 = (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("snapshotStartBatchId", 1)
+        .option("snapshotPartitionId", 0)
+        .load()
+        .count()
+    )
+    assert 0 < shard0 < full
