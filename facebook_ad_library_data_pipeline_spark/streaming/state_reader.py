@@ -542,7 +542,8 @@ SELECT user_id,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
            AS total_value,
        CAST(sum(CASE WHEN slice <= 2 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_seeded
+           AS n_seeded,
+       CAST(16 AS BIGINT) AS n_shards_new
 FROM sliced
 GROUP BY user_id
 HAVING sum(CASE WHEN slice >= 3 THEN 1 ELSE 0 END) > 0
@@ -598,12 +599,31 @@ def q_state_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeMode="None",
         initialState=seed,
     )
+    new_ckpt = tempfile.mkdtemp(prefix="state_reshard_new_ckpt_")
     run_stream_to_memory(
-        out, "state_reshard_out", output_mode="update", partitions="16"
+        out,
+        "state_reshard_out",
+        output_mode="update",
+        partitions="16",
+        checkpoint_location=new_ckpt,
     )
     from .stateful import keep_latest_per_user
 
-    return keep_latest_per_user(scoped.table("state_reshard_out"))
+    # hash-PIN the re-shard itself: the continuation checkpoint's own
+    # state-metadata must say 16 shards (vs the source checkpoint's 8).
+    # Without this the "at a different partition count" claim is only
+    # implied by the conf; with it, a continuation that silently kept
+    # the old count (or any count but 16) is a red hash, not a
+    # plausible pass.
+    n_shards = (
+        scoped.read.format("state-metadata")
+        .option("path", new_ckpt)
+        .load()
+        .agg(F.min("numPartitions").cast("bigint").alias("n"))
+    )
+    return keep_latest_per_user(scoped.table("state_reshard_out")).crossJoin(
+        F.broadcast(n_shards.withColumnRenamed("n", "n_shards_new"))
+    )
 
 
 if _tws_available():
