@@ -748,3 +748,106 @@ def q_agg_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").alias("max_key"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ----------------------------------------- schema-evolution reads
+
+def evolved_epoch_dirs(spark: SparkSession, sf_dir: str) -> str:
+    """One table written at two EPOCHS with different writer schemas —
+    the lifecycle every long-lived 100 TB table goes through:
+
+    - ``epoch=1`` (the old writer): ``(o_orderkey INT32,
+      o_totalprice DOUBLE)`` — even order keys.
+    - ``epoch=2`` (after evolution): ``o_orderkey`` widened to INT64
+      and a NEW column ``o_orderpriority STRING`` — odd order keys.
+
+    Built once per (session, sf_dir) under the temp dir, mtime-stamped
+    against the source parquet and published via _publish_atomic (same
+    staleness/race contract as the other layout builders)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "evolved")
+    out = _PART_CACHE.get(key)
+    if out is None:
+        src_mtime = int(Path(f"{sf_dir}/orders.parquet").stat().st_mtime)
+        out = str(
+            Path(tempfile.gettempdir())
+            / "spark_graft_part"
+            / f"evolved_{_sf_tag(sf_dir)}_{src_mtime}"
+        )
+
+        def build(stage: Path) -> None:
+            orders = load_table(spark, sf_dir, "orders")
+            (
+                orders.filter("o_orderkey % 2 = 0")
+                .selectExpr("cast(o_orderkey AS int) AS o_orderkey", "o_totalprice")
+                .write.parquet(str(stage / "epoch=1"))
+            )
+            (
+                orders.filter("o_orderkey % 2 = 1")
+                .selectExpr(
+                    "cast(o_orderkey AS bigint) AS o_orderkey",
+                    "o_totalprice",
+                    "o_orderpriority",
+                )
+                .write.parquet(str(stage / "epoch=2"))
+            )
+            # top-level _SUCCESS: the per-epoch writes each leave one,
+            # but the publish/staleness contract probes the root
+            (stage / "_SUCCESS").touch()
+
+        _publish_atomic(Path(out), "evolved_stage_", build)
+        _PART_CACHE[key] = out
+    return out
+
+
+_EVOLVED_ORACLE = """
+SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INT) AS epoch,
+       count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
+            AS BIGINT) AS n_prio,
+       'bigint' AS key_type
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("q_schema_evolution_read", oracle=_EVOLVED_ORACLE, tags=("scan", "storage", "schema"))
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a table across a WRITER-SCHEMA EVOLUTION — files written
+    before and after a column was added and a key was widened
+    INT32→INT64 — through ONE declared unified schema: Spark 4's
+    parquet readers upcast the old files' INT32 pages to BIGINT and
+    null-fill the missing column, so the union is a single well-typed
+    relation. This is the scale path on purpose: `mergeSchema=true`
+    (a) must list and read EVERY file's footer before planning — an
+    anti-pattern over millions of files — and (b) refuses exactly this
+    evolution anyway (CANNOT_MERGE_SCHEMAS on INT vs BIGINT; asserted
+    in tests/test_plans.py, which also proves mergeSchema handles the
+    added-column-only half). A production table carries
+    its CURRENT schema in a catalog; the reader's job is to serve old
+    epochs under it — which is what the per-epoch sums prove happened
+    (epoch-1's sum_key is only correct if the INT32 pages really were
+    read and widened).
+
+    The epoch partition column doubles as the evolution boundary, so
+    the per-epoch aggregate pins: row conservation per epoch, exact
+    key sums THROUGH the widening, the added column null for every
+    pre-evolution row (n_prio counts non-nulls), and the unified
+    field's dtype read back from the DataFrame schema itself."""
+    d = evolved_epoch_dirs(spark, sf_dir)
+    unified = (
+        spark.read.schema(
+            "o_orderkey bigint, o_totalprice double, "
+            "o_orderpriority string, epoch int"
+        ).parquet(d)
+    )
+    key_type = dict(unified.dtypes)["o_orderkey"]
+    return (
+        unified.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.count("o_orderpriority").alias("n_prio"),
+        )
+        .withColumn("key_type", F.lit(key_type))
+    )

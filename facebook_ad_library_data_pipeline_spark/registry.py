@@ -89,20 +89,80 @@ _QUERY_MODULES = [
 # double-proven r01/r02 queries last). Rotate this list each round to
 # move the remaining unchecked tail through the window.
 _PRIORITY = [
-    # ---- round-10 window ----
+    # ---- round-11 window ----
     # New registrations this round:
-    "q_state_reshard",  # re-shard escape hatch: statestore read @8p -> initialState continuation @16p
-    "q_state_snapshot_shard",  # per-shard snapshot restore + changelog roll-forward, union == rollup
-    "q_state_list_read",  # ListState elements read back: multiset == per-(user, ntile-slice) cents
-    "q_state_timers_read",  # registered-timer column family: exactly one far-future row per user
-    # Queries whose implementation changed this round (shared tws
-    # scoped session + trackTotalNumberOfRows=false) — re-prove:
+    "q_schema_evolution_read",  # declared-schema read across INT32->INT64 widening + added column
+    # Queries whose implementation changed this round (shared-session
+    # active-query guard + sink snap-and-drop in the tws family;
+    # _SNAP_SHARDS single-sourcing and the _RESULT_CACHE'd reshard
+    # continuation in state_reader) — re-prove through the driver:
+    "q_state_reshard",
+    "q_state_snapshot_shard",
+    "q_state_list_read",
+    "q_state_timers_read",
     "q_stream_transform_with_state",
     "q_stream_tws_list_ttl",
     "q_stream_tws_timers",
     "q_stream_tws_initial_state",
     "q_stream_tws_map_spill",
     "q_stream_tws_event_timers",
+    # Evidence-freshness rotation (r10 verdict item 4): every query is
+    # driver-proven and locally re-proven at sf0.1 each round, but 48
+    # queries' DRIVER rows date to round 2 — re-prove the 39 stalest
+    # (alphabetical; the remaining 9 rotate through in round 12):
+    "q_agg_stats",
+    "q_asof_join",
+    "q_classify",
+    "q_conditional_pack",
+    "q_cube",
+    "q_date_pack",
+    "q_dedup_exact_digest",
+    "q_dedup_exact_text",
+    "q_dedup_keep_first",
+    "q_dedup_null_collapse",
+    "q_distinct",
+    "q_doc_fingerprint",
+    "q_doc_stats",
+    "q_except",
+    "q_flagship",
+    "q_grouping_sets",
+    "q_having",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_broadcast_dims",
+    "q_join_left_outer",
+    "q_join_multiway",
+    "q_join_range_band",
+    "q_join_semi",
+    "q_json_extract",
+    "q_json_filter_agg",
+    "q_lang_id",
+    "q_pivot",
+    "q_project_rename",
+    "q_report_derive_topk",
+    "q_rollup",
+    "q_running_max",
+    "q_snapshot_diff",
+    "q_stats_moments",
+    "q_string_pack",
+    "q_text_fallback",
+    "q_text_quality",
+    "q_token_count",
+    "q_topk_global",
+    # ---- round-10 window ----
+    # New registrations this round:
+    # (q_state_reshard moved to the round-11 window above)
+    # (q_state_snapshot_shard moved to the round-11 window above)
+    # (q_state_list_read moved to the round-11 window above)
+    # (q_state_timers_read moved to the round-11 window above)
+    # Queries whose implementation changed this round (shared tws
+    # scoped session + trackTotalNumberOfRows=false) — re-prove:
+    # (q_stream_transform_with_state moved to the round-11 window above)
+    # (q_stream_tws_list_ttl moved to the round-11 window above)
+    # (q_stream_tws_timers moved to the round-11 window above)
+    # (q_stream_tws_initial_state moved to the round-11 window above)
+    # (q_stream_tws_map_spill moved to the round-11 window above)
+    # (q_stream_tws_event_timers moved to the round-11 window above)
     # ---- round-9 window ----
     # New registrations this round:
     # (q_stream_tws_event_timers moved to the round-10 window above)

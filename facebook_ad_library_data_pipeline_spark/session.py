@@ -29,8 +29,16 @@ def get_spark(app_name: str = "facebook_ad_library_data_pipeline_spark") -> Spar
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", DEFAULT_CPUS)
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    # Task retries: local mode takes maxFailures from the MASTER STRING
+    # (local[N] pins it to 1; spark.task.maxFailures is ignored), so
+    # retry-path tests/evidence (injected first-attempt task failures —
+    # the cluster reality of speculative execution and preemption) opt
+    # in via env. Unset = fail-fast local[N], so ordinary test runs
+    # still surface flaky tasks instead of silently retrying them.
+    retries = os.environ.get("SPARK_GRAFT_TASK_RETRIES")
+    master = f"local[{cpus},{retries}]" if retries else f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", shuffle)

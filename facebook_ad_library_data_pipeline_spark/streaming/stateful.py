@@ -445,14 +445,17 @@ def _tws_scoped_session(spark: SparkSession) -> SparkSession:
     queries are conf-identical, so cloning a fresh SessionState per
     query run buys no isolation and re-pays the vendor-path wiring.
 
-    Retention tradeoff: the cached session keeps each family query's
-    memory-sink temp view (stream_tws_out etc.) alive for the life of
-    the application — the views can't be dropped eagerly because the
-    returned DataFrames read them LAZILY (the driver collects after
-    the query function returns). Bounded by design: every sink holds
-    at most keys × micro-batches rows of narrow snapshots (a few MB at
-    sf0.1); a long-lived service reusing this session at much larger
-    key counts should drop the views between uses.
+    Sharing contract (r10-advice hardening): the family's correctness
+    depends on SEQUENTIAL use — two family streams running concurrently
+    would race on shuffle.partitions (set per run_stream_to_memory
+    call) and could collide on sink view names. That invariant was
+    implicit in the harness (driver and bench both run queries one at a
+    time); it is now ASSERTED at entry — any active streaming query on
+    the shared session raises before a second stream can start. Sink
+    temp views no longer accumulate either: each family query snaps its
+    sink through _snap_sink (localCheckpoint(eager=True) cuts the
+    lineage back to the memory sink, so the view can be dropped before
+    the lazily-collected DataFrame is returned).
 
     The shared session also turns OFF RocksDB's per-commit total-row
     tracking (trackTotalNumberOfRows): numRowsTotal is an observability
@@ -483,7 +486,32 @@ def _tws_scoped_session(spark: SparkSession) -> SparkSession:
         # no-op after the first call; re-asserts the worker env in case
         # the caller's context was rebuilt under the same app id
         ensure_protobuf(scoped)
+    active = [q.name or q.id for q in scoped.streams.active]
+    if active:
+        raise RuntimeError(
+            "shared typed-state session already has active streaming "
+            f"queries {active}: the family requires sequential use "
+            "(per-run shuffle.partitions and sink views are not "
+            "concurrency-safe)"
+        )
     return scoped
+
+
+def _snap_sink(scoped: SparkSession, name: str) -> DataFrame:
+    """Materialize a drained memory sink and drop its temp view.
+
+    localCheckpoint(eager=True) snapshots the sink's rows into block-
+    manager storage (distributed, reclaimed by ContextCleaner once the
+    returned DataFrame is unreferenced), cutting the lineage back to
+    the memory sink — after which the temp view can be dropped even
+    though the caller's DataFrame is collected LATER by the harness.
+    Keeps the shared family session's catalog empty between runs
+    instead of accreting one view per family query for the application
+    lifetime. Sink sizes are keys × micro-batches narrow snapshots
+    (a few MB at sf0.1), so the eager materialization is cheap."""
+    snap = scoped.table(name).localCheckpoint(eager=True)
+    scoped.catalog.dropTempView(name)
+    return snap
 
 
 def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,7 +544,7 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
     run_stream_to_memory(
         out, "stream_tws_out", output_mode="update", partitions="16"
     )
-    latest = scoped.table("stream_tws_out")
+    latest = _snap_sink(scoped, "stream_tws_out")
     return keep_latest_per_user(latest)
 
 
@@ -657,7 +685,7 @@ def q_stream_tws_list_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         partitions="16",
         drained=all_rows_folded,
     )
-    latest = scoped.table("stream_tws_list_out")
+    latest = _snap_sink(scoped, "stream_tws_list_out")
     return keep_latest_per_user(latest)
 
 
@@ -791,7 +819,7 @@ def q_stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         partitions="16",
         drained=all_rows_finalized,
     )
-    latest = scoped.table("stream_tws_timer_out")
+    latest = _snap_sink(scoped, "stream_tws_timer_out")
     return keep_latest_per_user(latest)
 
 
@@ -1000,7 +1028,7 @@ def q_stream_tws_event_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clean run — it exists to absorb a replayed batch's duplicate
     # append (same replay discipline as the keep-max tws queries)
     return (
-        scoped.table("stream_tws_event_timer_out")
+        _snap_sink(scoped, "stream_tws_event_timer_out")
         .groupBy("user_id", "window_start")
         .agg(
             F.max("n_events").alias("n_events"),
@@ -1132,7 +1160,7 @@ def q_stream_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_to_memory(
         out, "stream_tws_init_out", output_mode="update", partitions="16"
     )
-    latest = scoped.table("stream_tws_init_out")
+    latest = _snap_sink(scoped, "stream_tws_init_out")
     return keep_latest_per_user(latest)
 
 
@@ -1273,7 +1301,7 @@ def q_stream_tws_map_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_to_memory(
         out, "stream_tws_spill_out", output_mode="update", partitions="16"
     )
-    latest = scoped.table("stream_tws_spill_out")
+    latest = _snap_sink(scoped, "stream_tws_spill_out")
     return keep_latest_per_user(latest)
 
 

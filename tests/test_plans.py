@@ -467,3 +467,52 @@ def test_publish_atomic_loser_keeps_winner(tmp_path):
 
     _publish_atomic(out, "race_test_", build_then_race)
     assert (out / "data.txt").read_text() == "winner"
+
+
+def test_schema_evolution_merge_vs_declared(spark, sf_dir):
+    """Documents WHY q_schema_evolution_read reads through a DECLARED
+    unified schema instead of mergeSchema: (a) mergeSchema=true union
+    of the two epochs fails with CANNOT_MERGE_SCHEMAS on the INT32 vs
+    INT64 key — vanilla parquet schema merging only handles
+    added/reordered fields, not widening; (b) for the added-column-only
+    half (epoch 2 read alone vs with mergeSchema against a same-typed
+    epoch) mergeSchema DOES null-fill correctly. The declared-schema
+    read's value correctness is the registered query's oracle's job;
+    here we pin the failure mode that forced the design."""
+    import pytest
+
+    from facebook_ad_library_data_pipeline_spark.operators.storage import (
+        evolved_epoch_dirs,
+    )
+
+    d = evolved_epoch_dirs(spark, sf_dir)
+    with pytest.raises(Exception, match="CANNOT_MERGE_SCHEMAS"):
+        spark.read.option("mergeSchema", "true").parquet(d).schema
+
+    # added-column evolution alone (same key type in both file sets)
+    # IS mergeable: epoch=1 files vs epoch=2 files re-cast to int
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tmp = Path(tmp)
+        e2 = spark.read.schema(
+            "o_orderkey bigint, o_totalprice double, o_orderpriority string"
+        ).parquet(f"{d}/epoch=2")
+        e2.selectExpr(
+            "cast(o_orderkey AS int) AS o_orderkey",
+            "o_totalprice",
+            "o_orderpriority",
+        ).write.parquet(str(tmp / "epoch=2"))
+        import shutil
+
+        shutil.copytree(f"{d}/epoch=1", tmp / "epoch=1")
+        merged = spark.read.option("mergeSchema", "true").parquet(str(tmp))
+        assert dict(merged.dtypes)["o_orderpriority"] == "string"
+        n_old = merged.filter(
+            "epoch = 1 AND o_orderpriority IS NULL"
+        ).count()
+        assert n_old == merged.filter("epoch = 1").count() > 0
+        assert merged.count() == (
+            spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+        )

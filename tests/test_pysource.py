@@ -210,3 +210,198 @@ def test_partitioned_stream_source_checkpoint_resume(spark, tmp_path):
     back = spark.read.parquet(str(sink))
     assert back.count() == STREAM_TOTAL_ROWS
     assert back.select("row_id").distinct().count() == STREAM_TOTAL_ROWS
+
+
+# --------------------------- the commit protocol's FAILURE half (r10
+# verdict item 1: the exactly-once claim previously rested on the
+# happy path — commit-manifest read-back — alone)
+
+
+def test_sink_abort_removes_committed_files(spark, tmp_path):
+    """Job failure → abort(): one task raises on its only attempt
+    (fail-fast local[N] master, no retries), the sibling task has
+    already written its file and returned a commit message — the
+    driver must call DataSourceWriter.abort with the collected
+    messages, the committed file must be DELETED, and no _MANIFEST
+    may be published. A sink whose abort is a no-op leaves readers a
+    half-written output that looks committed at the file level."""
+    import pytest
+
+    from facebook_ad_library_data_pipeline_spark.sources.pysource import (
+        SyntheticJsonlSink,
+        SyntheticJsonlWriter,
+    )
+
+    class AbortProbeWriter(SyntheticJsonlWriter):
+        def write(self, iterator):
+            import time
+
+            rows = list(iterator)
+            if rows and any(r.shard == 0 for r in rows):
+                # let the sibling task finish and commit first, so
+                # abort() demonstrably receives (and must clean) its
+                # commit message; raise BEFORE writing so this task
+                # itself leaves no orphan
+                time.sleep(1.5)
+                raise RuntimeError("injected permanent task failure")
+            return super().write(iter(rows))
+
+    class AbortProbeSink(SyntheticJsonlSink):
+        @classmethod
+        def name(cls) -> str:
+            return "abort_probe_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return AbortProbeWriter(self.options["path"])
+
+    register_synth_source(spark)
+    spark.dataSource.register(AbortProbeSink)
+    out = tmp_path / "rows"
+    df = (
+        spark.read.format("synth_events")
+        .option("shards", 2)
+        .option("rows_per_shard", 50)
+        .load()
+    )
+    with pytest.raises(Exception, match="injected permanent task failure"):
+        df.write.format("abort_probe_jsonl_sink").option("path", str(out)).mode(
+            "append"
+        ).save()
+    assert not (out / "_MANIFEST").exists(), "commit ran despite job failure"
+    assert list(out.glob("*.jsonl")) == [], (
+        "abort() left a committed task's file on disk"
+    )
+
+
+_RETRY_PROBE_SCRIPT = '''
+"""Subprocess probe: first-attempt task failure + successful RETRY
+through the Python datasink (master local[4,2] via
+SPARK_GRAFT_TASK_RETRIES). The failed attempt writes a PARTIAL file
+before raising (the crash-mid-write reality); the retry writes a
+fresh uniquely-named file. Exactly-once contract under test: the
+manifest references only committed attempts' files, and the
+manifest-scoped read-back reproduces the LCG closed form exactly."""
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from facebook_ad_library_data_pipeline_spark.session import get_spark
+from facebook_ad_library_data_pipeline_spark.sources.pysource import (
+    SYNTH_A,
+    SYNTH_C,
+    SYNTH_M,
+    SyntheticJsonlSink,
+    SyntheticJsonlWriter,
+    register_synth_source,
+)
+
+BASE = sys.argv[1]
+MARKER = os.path.join(BASE, "first_attempt_marker")
+ORPHAN = os.path.join(BASE, "rows", "part-failed-attempt.jsonl")
+
+
+class FailOnceWriter(SyntheticJsonlWriter):
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+
+        rows = list(iterator)
+        if rows and any(r.shard == 0 for r in rows) and not _os.path.exists(MARKER):
+            _os.makedirs(self.path, exist_ok=True)
+            with open(ORPHAN, "w") as f:
+                for row in rows[: len(rows) // 2]:
+                    f.write(_json.dumps(row.asDict()) + "\\n")
+            with open(MARKER, "w") as f:
+                f.write("first attempt failed here")
+            raise RuntimeError("injected first-attempt failure")
+        return super().write(iter(rows))
+
+
+class FailOnceSink(SyntheticJsonlSink):
+    @classmethod
+    def name(cls):
+        return "fail_once_jsonl_sink"
+
+    def writer(self, schema, overwrite):
+        return FailOnceWriter(self.options["path"])
+
+
+spark = get_spark("retry_probe")
+assert ",2]" in spark.sparkContext.master, spark.sparkContext.master
+register_synth_source(spark)
+spark.dataSource.register(FailOnceSink)
+
+out = os.path.join(BASE, "rows")
+shards, rows_per_shard = 2, 100
+df = (
+    spark.read.format("synth_events")
+    .option("shards", shards)
+    .option("rows_per_shard", rows_per_shard)
+    .load()
+)
+df.write.format("fail_once_jsonl_sink").option("path", out).mode("append").save()
+
+manifest = json.loads(open(os.path.join(out, "_MANIFEST")).read())
+back = spark.read.schema("row_id bigint, shard int, value bigint").json(
+    manifest["files"]
+)
+total = shards * rows_per_shard
+expect_sum = sum((SYNTH_A * rid + SYNTH_C) % SYNTH_M for rid in range(total))
+row = back.selectExpr(
+    "count(*) AS n", "count(DISTINCT row_id) AS nd", "sum(value) AS s"
+).collect()[0]
+verdict = {
+    "retry_happened": os.path.exists(MARKER),
+    "orphan_on_disk": os.path.exists(ORPHAN),
+    "orphan_in_manifest": ORPHAN in manifest["files"],
+    "manifest_n_rows": manifest["n_rows"],
+    "n_rows_read": row["n"],
+    "n_distinct_row_ids": row["nd"],
+    "lcg_sum_ok": row["s"] == expect_sum,
+}
+with open(os.path.join(BASE, "verdict.json"), "w") as f:
+    json.dump(verdict, f)
+spark.stop()
+'''
+
+
+def test_sink_retry_first_attempt_failure(tmp_path):
+    """The retry half of the protocol, under a REAL injected task
+    failure (not a simulated leftover file): first attempt of the
+    shard-0 task writes a partial file and raises; local[4,2] retries
+    it; the manifest must reference only the committed attempts and
+    the manifest-scoped read-back must close the LCG oracle — while
+    the aborted attempt's partial file is still sitting on disk."""
+    import os
+    import subprocess
+    import sys
+
+    script = tmp_path / "retry_probe.py"
+    script.write_text(_RETRY_PROBE_SCRIPT)
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_TASK_RETRIES": "2",
+        "SPARK_GRAFT_CPUS": "4",
+        "SPARK_GRAFT_UI": "false",
+    }
+    proc = subprocess.run(
+        [sys.executable, str(script), str(tmp_path)],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, f"probe failed:\n{proc.stdout}\n{proc.stderr}"
+    verdict = json.loads((tmp_path / "verdict.json").read_text())
+    assert verdict["retry_happened"] is True
+    # the failed attempt's partial file is on disk yet invisible to
+    # manifest-scoped readers — the exactly-once story in one line
+    assert verdict["orphan_on_disk"] is True
+    assert verdict["orphan_in_manifest"] is False
+    assert verdict["manifest_n_rows"] == 200
+    assert verdict["n_rows_read"] == 200
+    assert verdict["n_distinct_row_ids"] == 200
+    assert verdict["lcg_sum_ok"] is True

@@ -1350,3 +1350,125 @@ def test_snapshot_checkpoint_two_phase_artifacts(spark, sf_dir):
         .count()
     )
     assert 0 < shard0 < full
+
+
+def test_foreachbatch_replay_idempotent(spark, tmp_path):
+    """The replay half of foreachBatch's exactly-once recipe (r10
+    verdict item 1 stretch): the batch function crashes AFTER writing
+    batch 1's output but BEFORE the commit log records it — exactly
+    the window a real sink failure hits. On restart from the same
+    checkpoint Spark REPLAYS batch 1 (same batch id, same offsets
+    from the WAL), so an overwrite-by-batch-id layout absorbs the
+    duplicate delivery and the final table equals the source exactly.
+    An append-mode function here would double batch 1's rows — the
+    distinct/count assertions would catch it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    out.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table({"id": list(range(i * 100, (i + 1) * 100))}),
+            src / f"f{i}.parquet",
+        )
+    crashed = tmp_path / "crashed_once"
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        # deterministic per-batch path + overwrite = idempotent under
+        # replay: the second delivery of batch 1 REPLACES the first
+        batch_df.write.mode("overwrite").parquet(str(out / f"batch={batch_id}"))
+        if batch_id == 1 and not crashed.exists():
+            crashed.write_text("crashed after sink write, before commit")
+            raise RuntimeError("injected post-write pre-commit crash")
+
+    def start():
+        return (
+            spark.readStream.schema("id bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+
+    q = start()
+    try:
+        try:
+            q.processAllAvailable()
+            exc = q.exception()
+        except StreamingQueryException as e:
+            exc = e
+    finally:
+        q.stop()
+    assert exc is not None and "injected post-write pre-commit crash" in str(exc)
+    assert crashed.exists()
+
+    # restart: batch 1 replays from the WAL'd offsets, then 2 runs
+    q = start()
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    back = spark.read.parquet(str(out / "batch=*"))
+    assert back.count() == 300
+    assert back.select("id").distinct().count() == 300
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(300))
+
+
+def test_statestore_list_read_unflattened_variant(spark, sf_dir):
+    """The one statestore-reader knob not otherwise exercised:
+    `flattenCollectionTypes=false` returns each ListState variable as
+    ONE row per key holding the whole element array (`list_value`)
+    instead of the default element-per-row flattening that
+    q_state_list_read hash-pins. The two projections must be the same
+    multiset — exploding the arrays reproduces the flattened read
+    exactly, and per-key array lengths equal the key's flattened row
+    count."""
+    from pyspark.sql import functions as F
+
+    from facebook_ad_library_data_pipeline_spark.streaming.state_reader import (
+        list_timer_checkpoint,
+    )
+
+    ckpt = list_timer_checkpoint(spark, sf_dir)
+    flat = (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "history")
+        .load()
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("list_element.cents").alias("cents"),
+        )
+    )
+    nested = (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "history")
+        .option("flattenCollectionTypes", "false")
+        .load()
+    )
+    assert "list_value" in nested.columns
+    one_row_per_key = nested.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("list_value.cents").alias("cents_arr"),
+    )
+    # exactly one array row per key
+    assert (
+        one_row_per_key.groupBy("user_id").count().filter("count > 1").count() == 0
+    )
+    exploded = one_row_per_key.select(
+        "user_id", F.explode("cents_arr").alias("cents")
+    )
+    assert exploded.count() == flat.count()
+    assert (
+        exploded.exceptAll(flat).count() == 0
+        and flat.exceptAll(exploded).count() == 0
+    )
