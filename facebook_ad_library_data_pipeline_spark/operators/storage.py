@@ -805,9 +805,9 @@ SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INT) AS epoch,
        CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
        CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
             AS BIGINT) AS n_prio,
-       'bigint' AS key_type
+       CASE WHEN o_orderkey % 2 = 0 THEN 'int' ELSE 'bigint' END AS file_key_type
 FROM orders
-GROUP BY 1
+GROUP BY 1, 5
 """
 
 
@@ -832,8 +832,12 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     The epoch partition column doubles as the evolution boundary, so
     the per-epoch aggregate pins: row conservation per epoch, exact
     key sums THROUGH the widening, the added column null for every
-    pre-evolution row (n_prio counts non-nulls), and the unified
-    field's dtype read back from the DataFrame schema itself."""
+    pre-evolution row (n_prio counts non-nulls), and each epoch's
+    PHYSICAL key type read from its own parquet footers (schema
+    inference over the epoch subdirectory, no declared schema) — so
+    the oracle's 'int'-for-epoch-1 row proves the old files really
+    are INT32 on disk and the unified sum really crossed a widening,
+    not just that the declared schema says bigint."""
     d = evolved_epoch_dirs(spark, sf_dir)
     unified = (
         spark.read.schema(
@@ -841,7 +845,10 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority string, epoch int"
         ).parquet(d)
     )
-    key_type = dict(unified.dtypes)["o_orderkey"]
+    file_key_type = {
+        e: dict(spark.read.parquet(f"{d}/epoch={e}").dtypes)["o_orderkey"]
+        for e in (1, 2)
+    }
     return (
         unified.groupBy("epoch")
         .agg(
@@ -849,5 +856,10 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("sum_key"),
             F.count("o_orderpriority").alias("n_prio"),
         )
-        .withColumn("key_type", F.lit(key_type))
+        .withColumn(
+            "file_key_type",
+            F.when(F.col("epoch") == 1, F.lit(file_key_type[1])).otherwise(
+                F.lit(file_key_type[2])
+            ),
+        )
     )

@@ -36,6 +36,15 @@ def get_spark(app_name: str = "facebook_ad_library_data_pipeline_spark") -> Spar
     # in via env. Unset = fail-fast local[N], so ordinary test runs
     # still surface flaky tasks instead of silently retrying them.
     retries = os.environ.get("SPARK_GRAFT_TASK_RETRIES")
+    if retries is not None and (not retries.isdigit() or int(retries) < 1):
+        # fail HERE with the env var's name, not later with Spark's
+        # opaque "could not parse Master URL"; note the value is
+        # maxFailures (1 = fail on first failure, same as unset local[N];
+        # 2 = one retry), so 0 is meaningless rather than "default"
+        raise ValueError(
+            "SPARK_GRAFT_TASK_RETRIES must be a positive integer "
+            f"(spark maxFailures: 2 = one retry), got {retries!r}"
+        )
     master = f"local[{cpus},{retries}]" if retries else f"local[{cpus}]"
     builder = (
         SparkSession.builder.master(master)

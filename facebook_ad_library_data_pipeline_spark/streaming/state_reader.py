@@ -635,17 +635,19 @@ def q_state_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .agg(F.min("numPartitions").cast("bigint").alias("n"))
     )
-    from .stateful import _snap_sink
-
     result = (
-        keep_latest_per_user(_snap_sink(scoped, "state_reshard_out"))
+        keep_latest_per_user(scoped.table("state_reshard_out"))
         .crossJoin(F.broadcast(n_shards.withColumnRenamed("n", "n_shards_new")))
-        # materialize NOW (result is per-active-user rows, a few
-        # thousand at sf0.1) so bench repeats and the driver's
+        # one eager materialization (result is per-active-user rows, a
+        # few thousand at sf0.1): bench repeats and the driver's
         # re-collects serve from block-manager blocks instead of
-        # re-driving the continuation stream
+        # re-driving the continuation stream, and the lineage cut also
+        # frees the sink temp view for dropping below (same catalog
+        # hygiene as _snap_sink, without a second snapshot of the raw
+        # sink rows)
         .localCheckpoint(eager=True)
     )
+    scoped.catalog.dropTempView("state_reshard_out")
     _RESULT_CACHE[cache_key] = result
     return result
 
@@ -905,6 +907,10 @@ def list_timer_checkpoint(spark: SparkSession, sf_dir: str) -> str:
         partitions="8",
         checkpoint_location=ckpt,
     )
+    # the readers open the CHECKPOINT, never this sink — drop the view
+    # so the shared family session's catalog really is empty between
+    # runs (the contract _tws_scoped_session documents)
+    scoped.catalog.dropTempView("state_read_listtimer_src")
     _CKPT_CACHE[key] = ckpt
     return ckpt
 

@@ -59,11 +59,16 @@ MARK_DIR = Path(tempfile.mkdtemp(prefix="retry_evidence_"))
 
 
 def _norm(v):
-    # same normalization as the driver-twin sweep comparator
+    # STRICTER than the driver-twin sweep comparator on purpose: floats
+    # normalize at FULL precision (repr), because this script's claim
+    # is bit-for-bit reproducibility under retry — a %.6g comparator
+    # would mask exactly the small accumulation-order drift a re-run
+    # task can introduce (the round-1 q_join_multiway lesson in
+    # tests/oracle_harness.py).
     if v is None:
         return "∅"
     if isinstance(v, float):
-        return "nan" if math.isnan(v) else f"{v:.6g}"
+        return "nan" if math.isnan(v) else repr(v)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     return str(v)

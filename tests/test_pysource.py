@@ -234,15 +234,25 @@ def test_sink_abort_removes_committed_files(spark, tmp_path):
 
     class AbortProbeWriter(SyntheticJsonlWriter):
         def write(self, iterator):
+            import glob as _glob
             import time
 
             rows = list(iterator)
             if rows and any(r.shard == 0 for r in rows):
-                # let the sibling task finish and commit first, so
-                # abort() demonstrably receives (and must clean) its
-                # commit message; raise BEFORE writing so this task
-                # itself leaves no orphan
-                time.sleep(1.5)
+                # handshake, not a blind sleep: wait until the sibling
+                # task's file is ON DISK (it writes as its last step
+                # before returning its commit message), then a short
+                # grace for that return to reach the driver — so
+                # abort() demonstrably receives (and must clean) the
+                # sibling's commit message. Raise BEFORE writing so
+                # this task itself leaves no orphan.
+                deadline = time.monotonic() + 60
+                while (
+                    not _glob.glob(f"{self.path}/*.jsonl")
+                    and time.monotonic() < deadline
+                ):
+                    time.sleep(0.05)
+                time.sleep(1.0)
                 raise RuntimeError("injected permanent task failure")
             return super().write(iter(rows))
 
