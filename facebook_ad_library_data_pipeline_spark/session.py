@@ -35,7 +35,9 @@ def get_spark(app_name: str = "facebook_ad_library_data_pipeline_spark") -> Spar
     # the cluster reality of speculative execution and preemption) opt
     # in via env. Unset = fail-fast local[N], so ordinary test runs
     # still surface flaky tasks instead of silently retrying them.
-    retries = os.environ.get("SPARK_GRAFT_TASK_RETRIES")
+    # `or None`: a SET-BUT-EMPTY var behaves as unset (shells and CI
+    # configs blank vars more often than they unset them)
+    retries = os.environ.get("SPARK_GRAFT_TASK_RETRIES") or None
     if retries is not None and (not retries.isdigit() or int(retries) < 1):
         # fail HERE with the env var's name, not later with Spark's
         # opaque "could not parse Master URL"; note the value is

@@ -14,8 +14,9 @@ than assuming it:
   only retry knob — the same reason the datasink retry probe in
   tests/test_pysource.py uses it).
 - Each family query is first run CLEAN to a canonical value-hash
-  (columns sorted by name, rows sorted, the driver comparator's
-  normalization).
+  (columns sorted by name, rows sorted; floats at FULL repr precision,
+  deliberately stricter than the driver comparator's %.6g because the
+  claim here is bit-for-bit).
 - The query's ``load_table`` is then monkeypatched to interpose a
   fail-once ``mapInPandas`` passthrough: partition 0's FIRST attempt
   of every stage that scans the table drops a marker file and raises;

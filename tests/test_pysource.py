@@ -232,29 +232,36 @@ def test_sink_abort_removes_committed_files(spark, tmp_path):
         SyntheticJsonlWriter,
     )
 
+    done_marker = tmp_path / "sibling_write_done"
+
     class AbortProbeWriter(SyntheticJsonlWriter):
         def write(self, iterator):
-            import glob as _glob
+            import os as _os
             import time
 
             rows = list(iterator)
             if rows and any(r.shard == 0 for r in rows):
-                # handshake, not a blind sleep: wait until the sibling
-                # task's file is ON DISK (it writes as its last step
-                # before returning its commit message), then a short
-                # grace for that return to reach the driver — so
-                # abort() demonstrably receives (and must clean) the
-                # sibling's commit message. Raise BEFORE writing so
-                # this task itself leaves no orphan.
+                # handshake on write COMPLETION (not file creation —
+                # the base writer opens its output first thing, so a
+                # glob would match before a single row is written):
+                # the sibling drops the marker only after super().write
+                # returned with its commit message constructed. A short
+                # grace then covers the task-completion round-trip to
+                # the driver, so abort() demonstrably receives (and
+                # must clean) the sibling's commit message. Raise
+                # BEFORE writing so this task itself leaves no orphan.
                 deadline = time.monotonic() + 60
                 while (
-                    not _glob.glob(f"{self.path}/*.jsonl")
+                    not _os.path.exists(str(done_marker))
                     and time.monotonic() < deadline
                 ):
                     time.sleep(0.05)
                 time.sleep(1.0)
                 raise RuntimeError("injected permanent task failure")
-            return super().write(iter(rows))
+            msg = super().write(iter(rows))
+            with open(str(done_marker), "w") as f:
+                f.write("sibling file fully written, commit message built")
+            return msg
 
     class AbortProbeSink(SyntheticJsonlSink):
         @classmethod
