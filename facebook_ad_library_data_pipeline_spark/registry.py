@@ -92,6 +92,7 @@ _PRIORITY = [
     # ---- round-11 window ----
     # New registrations this round:
     "q_schema_evolution_read",  # declared-schema read across INT32->INT64 widening + added column
+    "q_python_datasink_stream",  # DataSourceStreamWriter: per-batch commit manifests, ntile oracle
     # Queries whose implementation changed this round (shared-session
     # active-query guard + sink snap-and-drop in the tws family;
     # _SNAP_SHARDS single-sourcing and the _RESULT_CACHE'd reshard
@@ -108,8 +109,9 @@ _PRIORITY = [
     "q_stream_tws_event_timers",
     # Evidence-freshness rotation (r10 verdict item 4): every query is
     # driver-proven and locally re-proven at sf0.1 each round, but 48
-    # queries' DRIVER rows date to round 2 — re-prove the 39 stalest
-    # (alphabetical; the remaining 9 rotate through in round 12):
+    # queries' DRIVER rows date to round 2 — re-prove the 38 stalest
+    # (alphabetical; the remaining 10, q_topk_global onward, rotate
+    # through in round 12 — the second r11 registration took its slot):
     "q_agg_stats",
     "q_asof_join",
     "q_classify",
@@ -148,7 +150,6 @@ _PRIORITY = [
     "q_text_fallback",
     "q_text_quality",
     "q_token_count",
-    "q_topk_global",
     # ---- round-10 window ----
     # New registrations this round:
     # (q_state_reshard moved to the round-11 window above)

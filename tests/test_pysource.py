@@ -5,6 +5,7 @@ reader's replay contract must reproduce any offset range."""
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 from facebook_ad_library_data_pipeline_spark.sources.pysource import (
@@ -422,3 +423,203 @@ def test_sink_retry_first_attempt_failure(tmp_path):
     assert verdict["n_rows_read"] == 200
     assert verdict["n_distinct_row_ids"] == 200
     assert verdict["lcg_sum_ok"] is True
+
+
+# ------------------- streaming sink (DataSourceStreamWriter) halves
+
+
+def _start_stream_sink(spark, src, out, ckpt, fmt_name, n_tasks=1):
+    ev = (
+        spark.readStream.schema("id bigint, grp bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    if n_tasks > 1:
+        ev = ev.repartition(n_tasks, "grp")
+    return (
+        ev.writeStream.format(fmt_name)
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+
+
+def _write_stream_src(src, n_files=3, rows_per_file=100):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src.mkdir()
+    for i in range(n_files):
+        ids = list(range(i * rows_per_file, (i + 1) * rows_per_file))
+        # grp values 1 and 2, NOT 0 and 1: murmur3 hashes 0 and 1 into
+        # the same partition mod 2, so repartition(2, "grp") would put
+        # every row in one task — 1 and 2 split into distinct tasks
+        pq.write_table(
+            pa.table({"id": ids, "grp": [1 + (x % 2) for x in ids]}),
+            src / f"f{i}.parquet",
+        )
+
+
+def test_stream_sink_replay_overwrites_manifest(spark, tmp_path):
+    """The replay half of the STREAMING sink's exactly-once story: the
+    driver crashes inside commit() AFTER batch 1's manifest is
+    published but BEFORE the checkpoint's commit log records the batch
+    — the restart therefore REPLAYS batch 1 (same batchId, WAL'd
+    offsets), write() produces fresh uniquely-named files, and the
+    atomic tmp+rename manifest publish must OVERWRITE batch 1's
+    manifest with exactly the replay attempt's files. An appending
+    commit would double batch 1 in any manifest-scoped reader."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from facebook_ad_library_data_pipeline_spark.sources.pysource import (
+        SyntheticJsonlStreamSink,
+        SyntheticJsonlStreamWriter,
+    )
+
+    crashed = tmp_path / "crashed_once"
+
+    class CrashOnceCommitWriter(SyntheticJsonlStreamWriter):
+        def commit(self, messages, batchId):
+            super().commit(messages, batchId)
+            if batchId == 1 and not crashed.exists():
+                crashed.write_text("crashed after manifest publish")
+                raise RuntimeError("injected post-publish pre-commit-log crash")
+
+    class CrashOnceSink(SyntheticJsonlStreamSink):
+        @classmethod
+        def name(cls):
+            return "crash_once_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return CrashOnceCommitWriter(self.options["path"])
+
+    spark.dataSource.register(CrashOnceSink)
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    _write_stream_src(src)
+    out.mkdir()
+
+    q = _start_stream_sink(spark, src, out, ckpt, "crash_once_stream_sink")
+    try:
+        try:
+            q.processAllAvailable()
+            exc = q.exception()
+        except StreamingQueryException as e:
+            exc = e
+    finally:
+        q.stop()
+    assert exc is not None and "injected post-publish" in str(exc)
+    first_attempt = set(
+        json.loads((out / "_MANIFEST-00001").read_text())["files"]
+    )
+    assert first_attempt
+
+    q = _start_stream_sink(spark, src, out, ckpt, "crash_once_stream_sink")
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    replay = json.loads((out / "_MANIFEST-00001").read_text())
+    assert replay["batch_id"] == 1
+    # the manifest was OVERWRITTEN: only the replay attempt's files
+    assert set(replay["files"]).isdisjoint(first_attempt)
+    # the engine called abort() on the commit failure, which deleted
+    # the first attempt's data files — so between crash and replay the
+    # published manifest pointed at deleted files (the window the
+    # atomic overwrite closes); the replay's files all exist
+    for f in first_attempt:
+        assert not os.path.exists(f)
+    for f in replay["files"]:
+        assert os.path.exists(f)
+    manifests = sorted(out.glob("_MANIFEST-*"))
+    assert [json.loads(m.read_text())["batch_id"] for m in manifests] == [0, 1, 2]
+    files = [f for m in manifests for f in json.loads(m.read_text())["files"]]
+    back = spark.read.schema("id bigint, grp bigint").json(files)
+    assert back.count() == 300
+    assert back.select("id").distinct().count() == 300
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(300))
+
+
+def test_stream_sink_task_abort_cleans_batch(spark, tmp_path):
+    """The abort half: in batch 1 one of two tasks fails permanently
+    AFTER its sibling wrote and committed — abort(messages, batchId)
+    must delete the sibling's already-written file and no manifest may
+    be published for the failed batch, while batch 0's manifest and
+    files stay untouched."""
+    import time as _time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from facebook_ad_library_data_pipeline_spark.sources.pysource import (
+        SyntheticJsonlStreamSink,
+        SyntheticJsonlStreamWriter,
+    )
+
+    sibling_done = tmp_path / "sibling_done"
+    armed = tmp_path / "armed"  # created once batch 0 committed
+
+    class FailTaskWriter(SyntheticJsonlStreamWriter):
+        def write(self, iterator):
+            rows = list(iterator)
+            if os.path.exists(str(armed)) and rows and rows[0].grp == 1:
+                deadline = _time.monotonic() + 60
+                while (
+                    not os.path.exists(str(sibling_done))
+                    and _time.monotonic() < deadline
+                ):
+                    _time.sleep(0.05)
+                _time.sleep(1.0)
+                raise RuntimeError("injected permanent stream task failure")
+            msg = super().write(iter(rows))
+            if os.path.exists(str(armed)):
+                with open(str(sibling_done), "w") as f:
+                    f.write("sibling committed")
+            return msg
+
+        def commit(self, messages, batchId):
+            super().commit(messages, batchId)
+            with open(str(armed), "w") as f:
+                f.write("batch 0 committed; fail the next batch")
+
+    class FailTaskSink(SyntheticJsonlStreamSink):
+        @classmethod
+        def name(cls):
+            return "fail_task_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return FailTaskWriter(self.options["path"])
+
+    spark.dataSource.register(FailTaskSink)
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    _write_stream_src(src, n_files=2)
+    out.mkdir()
+
+    q = _start_stream_sink(
+        spark, src, out, ckpt, "fail_task_stream_sink", n_tasks=2
+    )
+    try:
+        try:
+            q.processAllAvailable()
+            exc = q.exception()
+        except StreamingQueryException as e:
+            exc = e
+    finally:
+        q.stop()
+    assert exc is not None and "injected permanent stream task failure" in str(exc)
+
+    manifests = sorted(out.glob("_MANIFEST-*"))
+    assert [m.name for m in manifests] == ["_MANIFEST-00000"], (
+        "failed batch must publish no manifest"
+    )
+    m0 = json.loads(manifests[0].read_text())
+    for f in m0["files"]:
+        assert os.path.exists(f)
+    # batch 1: the sibling's committed file was deleted by abort();
+    # only batch 0's manifest-listed files remain on disk
+    on_disk = {str(p) for p in out.glob("*.jsonl")}
+    assert on_disk == set(m0["files"]), (
+        "abort() left a failed batch's committed task file on disk"
+    )
+    back = spark.read.schema("id bigint, grp bigint").json(m0["files"])
+    assert back.count() == 100
