@@ -540,6 +540,12 @@ class SyntheticJsonlStreamWriter(DataSourceStreamWriter):
         with open(tmp, "w") as f:
             _json.dump(manifest, f)
         os.replace(tmp, final)  # atomic publish; replay = clean overwrite
+        # an EMPTY task still wrote a zero-row file the manifest just
+        # excluded — unlink it, or a long-running stream accumulates
+        # one orphan per empty partition per batch
+        for m in messages:
+            if m and m.n_rows == 0 and m.path and os.path.exists(m.path):
+                os.remove(m.path)
 
     def abort(self, messages, batchId: int) -> None:
         import os
@@ -547,6 +553,15 @@ class SyntheticJsonlStreamWriter(DataSourceStreamWriter):
         for m in messages:
             if m and m.path and os.path.exists(m.path):
                 os.remove(m.path)
+        # abort can run AFTER a published commit (driver failed between
+        # the manifest publish and the checkpoint's commit log): the
+        # file deletions above would otherwise leave a dangling
+        # manifest pointing at nothing — remove it so the output dir
+        # never exposes a manifest whose files don't exist, even if
+        # the stream is abandoned instead of restarted
+        stale = os.path.join(self.path, f"_MANIFEST-{batchId:05d}")
+        if os.path.exists(stale):
+            os.remove(stale)
 
 
 def register_synth_stream_sink(spark: SparkSession) -> None:
@@ -636,7 +651,9 @@ def q_python_datasink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
         per_batch = []
-        for mpath in sorted(out.glob("_MANIFEST-*")):
+        # exactly 5 digits — never a leftover `.tmp` from a commit
+        # hard-killed between the tmp write and the atomic rename
+        for mpath in sorted(out.glob("_MANIFEST-" + "[0-9]" * 5)):
             m = _json.loads(mpath.read_text())
             if not m["files"]:
                 continue  # a trailing empty batch publishes no rows
@@ -649,6 +666,10 @@ def q_python_datasink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count(F.lit(1)).alias("n_rows"),
                     F.sum("cents").alias("sum_cents"),
                 )
+            )
+        if not per_batch:  # empty source: clean zero-row relation
+            return spark.createDataFrame(
+                [], "batch_id bigint, n_rows bigint, sum_cents bigint"
             )
         from functools import reduce
 

@@ -257,7 +257,7 @@ def test_sink_abort_removes_committed_files(spark, tmp_path):
                     and time.monotonic() < deadline
                 ):
                     time.sleep(0.05)
-                time.sleep(1.0)
+                time.sleep(2.0)
                 raise RuntimeError("injected permanent task failure")
             msg = super().write(iter(rows))
             with open(str(done_marker), "w") as f:
@@ -464,11 +464,12 @@ def test_stream_sink_replay_overwrites_manifest(spark, tmp_path):
     """The replay half of the STREAMING sink's exactly-once story: the
     driver crashes inside commit() AFTER batch 1's manifest is
     published but BEFORE the checkpoint's commit log records the batch
-    — the restart therefore REPLAYS batch 1 (same batchId, WAL'd
-    offsets), write() produces fresh uniquely-named files, and the
-    atomic tmp+rename manifest publish must OVERWRITE batch 1's
-    manifest with exactly the replay attempt's files. An appending
-    commit would double batch 1 in any manifest-scoped reader."""
+    — the engine aborts the batch (deleting its data files AND the
+    briefly-published manifest), and the restart REPLAYS batch 1
+    (same batchId, WAL'd offsets): write() produces fresh
+    uniquely-named files and commit republishes the manifest. The
+    atomic tmp+rename publish additionally covers the hard-kill case
+    where abort never runs and the replay must cleanly overwrite."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from facebook_ad_library_data_pipeline_spark.sources.pysource import (
@@ -508,10 +509,14 @@ def test_stream_sink_replay_overwrites_manifest(spark, tmp_path):
     finally:
         q.stop()
     assert exc is not None and "injected post-publish" in str(exc)
-    first_attempt = set(
-        json.loads((out / "_MANIFEST-00001").read_text())["files"]
-    )
-    assert first_attempt
+    # the engine responded to the commit failure with abort(batchId=1),
+    # which must clean up EVERYTHING batch 1 published — its data files
+    # AND the manifest that briefly pointed at them. Post-crash the
+    # output dir is exactly batch 0's committed state: no dangling
+    # manifest, no orphan files, even if the stream were abandoned here.
+    assert not (out / "_MANIFEST-00001").exists()
+    m0_files = set(json.loads((out / "_MANIFEST-00000").read_text())["files"])
+    assert {str(p) for p in out.glob("*.jsonl")} == m0_files
 
     q = _start_stream_sink(spark, src, out, ckpt, "crash_once_stream_sink")
     try:
@@ -522,14 +527,6 @@ def test_stream_sink_replay_overwrites_manifest(spark, tmp_path):
 
     replay = json.loads((out / "_MANIFEST-00001").read_text())
     assert replay["batch_id"] == 1
-    # the manifest was OVERWRITTEN: only the replay attempt's files
-    assert set(replay["files"]).isdisjoint(first_attempt)
-    # the engine called abort() on the commit failure, which deleted
-    # the first attempt's data files — so between crash and replay the
-    # published manifest pointed at deleted files (the window the
-    # atomic overwrite closes); the replay's files all exist
-    for f in first_attempt:
-        assert not os.path.exists(f)
     for f in replay["files"]:
         assert os.path.exists(f)
     manifests = sorted(out.glob("_MANIFEST-*"))
@@ -569,7 +566,7 @@ def test_stream_sink_task_abort_cleans_batch(spark, tmp_path):
                     and _time.monotonic() < deadline
                 ):
                     _time.sleep(0.05)
-                _time.sleep(1.0)
+                _time.sleep(2.0)
                 raise RuntimeError("injected permanent stream task failure")
             msg = super().write(iter(rows))
             if os.path.exists(str(armed)):
