@@ -418,6 +418,12 @@ class SyntheticJsonlWriter(DataSourceWriter):
         import json as _json
         import os
 
+        # an empty task still wrote a zero-row file the manifest below
+        # excludes — unlink FIRST (nothing references these), so reuse
+        # against a persistent dir can't accumulate orphans
+        for m in messages:
+            if m and m.n_rows == 0 and m.path and os.path.exists(m.path):
+                os.remove(m.path)
         manifest = {
             "files": sorted(m.path for m in messages if m.n_rows > 0),
             "n_rows": sum(m.n_rows for m in messages),
@@ -530,37 +536,63 @@ class SyntheticJsonlStreamWriter(DataSourceStreamWriter):
         import json as _json
         import os
 
+        # an EMPTY task still wrote a zero-row file the manifest below
+        # excludes — unlink BEFORE publishing (nothing references these,
+        # so a crash between unlink and publish loses nothing on
+        # replay), or a long-running stream accumulates one orphan per
+        # empty partition per batch
+        for m in messages:
+            if m and m.n_rows == 0 and m.path and os.path.exists(m.path):
+                os.remove(m.path)
         manifest = {
             "batch_id": batchId,
             "files": sorted(m.path for m in messages if m and m.n_rows > 0),
             "n_rows": sum(m.n_rows for m in messages if m),
         }
         final = os.path.join(self.path, f"_MANIFEST-{batchId:05d}")
+        # republish (hard-kill replay where abort never ran): the old
+        # manifest's files become unreferenced the moment the rename
+        # lands — unlink the ones the new attempt doesn't list, so the
+        # dir invariant (.jsonl set == union of manifest files) holds
+        # through every crash path
+        if os.path.exists(final):
+            try:
+                prior = _json.loads(open(final).read()).get("files", [])
+            except (OSError, ValueError):
+                prior = []
+            keep = set(manifest["files"])
+            for f in prior:
+                if f not in keep and os.path.exists(f):
+                    os.remove(f)
         tmp = final + ".tmp"
         with open(tmp, "w") as f:
             _json.dump(manifest, f)
         os.replace(tmp, final)  # atomic publish; replay = clean overwrite
-        # an EMPTY task still wrote a zero-row file the manifest just
-        # excluded — unlink it, or a long-running stream accumulates
-        # one orphan per empty partition per batch
-        for m in messages:
-            if m and m.n_rows == 0 and m.path and os.path.exists(m.path):
-                os.remove(m.path)
 
     def abort(self, messages, batchId: int) -> None:
+        import json as _json
         import os
 
         for m in messages:
             if m and m.path and os.path.exists(m.path):
                 os.remove(m.path)
         # abort can run AFTER a published commit (driver failed between
-        # the manifest publish and the checkpoint's commit log): the
-        # file deletions above would otherwise leave a dangling
-        # manifest pointing at nothing — remove it so the output dir
-        # never exposes a manifest whose files don't exist, even if
-        # the stream is abandoned instead of restarted
+        # the manifest publish and the checkpoint's commit log; or a
+        # REPLAY of such a batch failed a task): delete the batch's
+        # whole published state — the files the manifest references
+        # (which may be a PRIOR attempt's, not this attempt's messages)
+        # and then the manifest itself — so the output dir never
+        # exposes a manifest whose files don't exist NOR files no
+        # manifest references, even if the stream is abandoned here.
         stale = os.path.join(self.path, f"_MANIFEST-{batchId:05d}")
         if os.path.exists(stale):
+            try:
+                listed = _json.loads(open(stale).read()).get("files", [])
+            except (OSError, ValueError):
+                listed = []
+            for f in listed:
+                if os.path.exists(f):
+                    os.remove(f)
             os.remove(stale)
 
 
@@ -651,9 +683,19 @@ def q_python_datasink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
         per_batch = []
-        # exactly 5 digits — never a leftover `.tmp` from a commit
-        # hard-killed between the tmp write and the atomic rename
-        for mpath in sorted(out.glob("_MANIFEST-" + "[0-9]" * 5)):
+        # skip a leftover `.tmp` from a commit hard-killed between the
+        # tmp write and the atomic rename, and sort NUMERICALLY — the
+        # 05d zero-pad widens past batch 99999, where lexicographic
+        # order (and a fixed-width glob) would go wrong
+        manifests = sorted(
+            (
+                p
+                for p in out.glob("_MANIFEST-*")
+                if not p.name.endswith(".tmp")
+            ),
+            key=lambda p: int(p.name.rsplit("-", 1)[1]),
+        )
+        for mpath in manifests:
             m = _json.loads(mpath.read_text())
             if not m["files"]:
                 continue  # a trailing empty batch publishes no rows
@@ -667,10 +709,12 @@ def q_python_datasink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("cents").alias("sum_cents"),
                 )
             )
-        if not per_batch:  # empty source: clean zero-row relation
-            return spark.createDataFrame(
+        if not per_batch:  # empty source: clean (and cached) zero rows
+            empty = spark.createDataFrame(
                 [], "batch_id bigint, n_rows bigint, sum_cents bigint"
             )
+            _STREAM_SINK_CACHE[cache_key] = ([], empty.schema)
+            return empty
         from functools import reduce
 
         result = reduce(lambda a, b: a.unionAll(b), per_batch)

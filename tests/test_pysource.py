@@ -620,3 +620,48 @@ def test_stream_sink_task_abort_cleans_batch(spark, tmp_path):
     )
     back = spark.read.schema("id bigint, grp bigint").json(m0["files"])
     assert back.count() == 100
+
+
+def test_stream_sink_manifest_republish_overwrites(tmp_path):
+    """Protocol-level pin of the atomic overwrite guarantee the
+    crash-replay test no longer reaches (abort now clears the manifest
+    before a replay republishes): committing the SAME batchId twice —
+    the hard-kill case where abort never ran — must atomically REPLACE
+    the manifest with the second attempt's files, never append/merge,
+    and must clean the second attempt's zero-row files."""
+    from facebook_ad_library_data_pipeline_spark.sources.pysource import (
+        SyntheticJsonlStreamWriter,
+        _SinkFileCommit,
+    )
+
+    w = SyntheticJsonlStreamWriter(str(tmp_path))
+    a = tmp_path / "part-attempt1.jsonl"
+    a.write_text('{"user_id": 1, "cents": 100}\n')
+    w.commit([_SinkFileCommit(path=str(a), n_rows=1)], 7)
+    m1 = json.loads((tmp_path / "_MANIFEST-00007").read_text())
+    assert m1["files"] == [str(a)] and m1["batch_id"] == 7
+
+    b = tmp_path / "part-attempt2.jsonl"
+    b.write_text('{"user_id": 1, "cents": 100}\n')
+    empty = tmp_path / "part-attempt2-empty.jsonl"
+    empty.write_text("")
+    w.commit(
+        [
+            _SinkFileCommit(path=str(b), n_rows=1),
+            _SinkFileCommit(path=str(empty), n_rows=0),
+        ],
+        7,
+    )
+    m2 = json.loads((tmp_path / "_MANIFEST-00007").read_text())
+    assert m2["files"] == [str(b)], "republish must replace, not merge"
+    assert not empty.exists(), "zero-row attempt file must be unlinked"
+    assert not a.exists(), (
+        "republish must unlink the prior attempt's now-unreferenced files"
+    )
+
+    # abort after a published commit clears the batch's whole published
+    # state: the manifest AND the files it references (which may belong
+    # to a PRIOR attempt absent from this attempt's messages)
+    w.abort([None], 7)
+    assert not (tmp_path / "_MANIFEST-00007").exists()
+    assert not b.exists()
