@@ -57,6 +57,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.operators.components",
     "facebook_ad_library_data_pipeline_spark.operators.training_prep",
     "facebook_ad_library_data_pipeline_spark.functions.arrays",
+    "facebook_ad_library_data_pipeline_spark.functions.arrow_fns",
     "facebook_ad_library_data_pipeline_spark.functions.ivf",
     "facebook_ad_library_data_pipeline_spark.functions.pq",
     "facebook_ad_library_data_pipeline_spark.functions.ann_recall",
@@ -93,6 +94,8 @@ _PRIORITY = [
     # New registrations this round:
     "q_schema_evolution_read",  # declared-schema read across INT32->INT64 widening + added column
     "q_python_datasink_stream",  # DataSourceStreamWriter: per-batch commit manifests, ntile oracle
+    "q_arrow_token_stats",  # mapInArrow: pyarrow.compute features, no pandas conversion
+    "q_arrow_group_stats",  # applyInArrow: exact per-group median via numpy on zero-copy columns
     # Queries whose implementation changed this round (shared-session
     # active-query guard + sink snap-and-drop in the tws family;
     # _SNAP_SHARDS single-sourcing and the _RESULT_CACHE'd reshard
@@ -109,9 +112,10 @@ _PRIORITY = [
     "q_stream_tws_event_timers",
     # Evidence-freshness rotation (r10 verdict item 4): every query is
     # driver-proven and locally re-proven at sf0.1 each round, but 48
-    # queries' DRIVER rows date to round 2 — re-prove the 38 stalest
-    # (alphabetical; the remaining 10, q_topk_global onward, rotate
-    # through in round 12 — the second r11 registration took its slot):
+    # queries' DRIVER rows date to round 2 — re-prove the 36 stalest
+    # (alphabetical; the remaining 12, q_text_quality/q_token_count/
+    # q_topk_global onward, rotate through in round 12 — the four
+    # extra r11 registrations took their slots):
     "q_agg_stats",
     "q_asof_join",
     "q_classify",
@@ -148,8 +152,6 @@ _PRIORITY = [
     "q_stats_moments",
     "q_string_pack",
     "q_text_fallback",
-    "q_text_quality",
-    "q_token_count",
     # ---- round-10 window ----
     # New registrations this round:
     # (q_state_reshard moved to the round-11 window above)
