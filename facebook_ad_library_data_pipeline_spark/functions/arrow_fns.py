@@ -15,7 +15,7 @@ cogrouped-map, UDTF were already covered; mapInArrow and applyInArrow
 were the two remaining public extension APIs with no query.
 
 Reference parity note: the reference's per-row pandas transforms
-(`/root/reference/etl/transform_raw_data.py`) are the workload class
+(`/root/reference/transform_raw_data.py`) are the workload class
 these APIs accelerate; no reference code is copied.
 """
 

@@ -863,3 +863,112 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------ dynamic partition overwrite
+
+# (applicationId, sf_dir) -> {"before": snap, "after": snap} file-level
+# audit of the overwrite, consumed by tests/test_plans.py to pin the
+# untouched-partition immutability contract.
+_DPO_AUDIT: dict[tuple[str, str], dict] = {}
+
+DPO_TOUCHED = "purchase"  # the one partition the daily reload rewrites
+
+
+def _dpo_snapshot(d: str) -> dict[str, list[tuple[str, int, int]]]:
+    """(name, size, mtime_ns) of every data file, per partition dir —
+    byte-identity evidence (a rewrite that reproduced identical
+    CONTENT would still change name/mtime)."""
+    return {
+        p.name: sorted(
+            (f.name, f.stat().st_size, f.stat().st_mtime_ns)
+            for f in p.glob("*.parquet")
+        )
+        for p in Path(d).glob("event_type=*")
+    }
+
+
+def dpo_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The idempotent daily-reload writer path every 100 TB ingest
+    runs: events laid out partitioned by event_type, then EXACTLY ONE
+    partition re-derived from source and swapped in place via
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` (INSERT
+    OVERWRITE of only the partitions present in the incoming data).
+    Static mode would truncate the whole table first — at 100 TB
+    that's the difference between rewriting one day's directory and
+    rewriting the table. The reload itself is a quality fix: purchase
+    rows restated from source with sub-$1 noise rows dropped, so the
+    overwrite genuinely changes data.
+
+    Built (and mutated) once per (session, sf_dir) under a PRIVATE
+    temp dir — unlike the shared layout builders this dir is written
+    twice, so it is never shared across concurrent apps. Both file
+    snapshots (before/after the overwrite) land in ``_DPO_AUDIT`` for
+    the immutability assertion in tests/test_plans.py.
+
+    Reference anchor: the reference's per-run whole-artifact overwrite
+    handoff (``main.py:13-25``, ``utils/base.py:4-8``) — the engine
+    upgrade is overwriting only the touched partition."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _PART_CACHE.get(("dpo",) + key)
+    if out is None:
+        out = tempfile.mkdtemp(prefix="spark_graft_dpo_")
+        events = load_table(spark, sf_dir, "events")
+        events.write.partitionBy("event_type").mode("overwrite").parquet(out)
+        before = _dpo_snapshot(out)
+        restated = events.filter(
+            (F.col("event_type") == DPO_TOUCHED) & (F.col("value") >= 1.0)
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # mode("overwrite") + dynamic: only partitions present in
+            # `restated` (just event_type=purchase) are replaced; the
+            # other four directories are never listed, touched, or
+            # rewritten (asserted byte-identical in tests/test_plans.py)
+            restated.write.partitionBy("event_type").mode("overwrite").parquet(out)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _DPO_AUDIT[key] = {"before": before, "after": _dpo_snapshot(out)}
+        _PART_CACHE[("dpo",) + key] = out
+    return out
+
+
+# The oracle splices the post-reload relation relationally:
+# untouched partitions as-is UNION the touched partition restated.
+_DPO_ORACLE = f"""
+WITH spliced AS (
+  SELECT event_type, value FROM events WHERE event_type <> 'purchase'
+  UNION ALL
+  SELECT event_type, value FROM events
+  WHERE event_type = 'purchase' AND value >= 1.0
+)
+SELECT event_type,
+       count(*) AS n,
+       {money_sum_sql("value")} AS total_value
+FROM spliced
+GROUP BY 1
+"""
+
+
+@query(
+    "q_partition_overwrite_dynamic",
+    oracle=_DPO_ORACLE,
+    tags=("sink", "storage", "partition"),
+)
+def q_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition rollup of the table AFTER a dynamic-partition-
+    overwrite reload of exactly one partition (see
+    :func:`dpo_events_dir`). The hash pins the splice semantics: the
+    four untouched partitions' rows unchanged (any truncate-then-
+    reload leakage of static mode would zero them), the touched
+    partition exactly equal to its restatement (missing or duplicated
+    reload rows move n/total_value), and nothing else appeared. The
+    byte-level half of the contract — untouched partitions' FILES are
+    the identical bytes, purchase's are all new — is asserted from
+    ``_DPO_AUDIT`` in tests/test_plans.py."""
+    reloaded = spark.read.parquet(dpo_events_dir(spark, sf_dir))
+    return reloaded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum(F.col("value")).alias("total_value"),
+    )

@@ -73,6 +73,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.streaming.joins",
     "facebook_ad_library_data_pipeline_spark.streaming.stateful",
     "facebook_ad_library_data_pipeline_spark.streaming.incremental",
+    "facebook_ad_library_data_pipeline_spark.streaming.observe",
     "facebook_ad_library_data_pipeline_spark.streaming.state_reader",
     "facebook_ad_library_data_pipeline_spark.sources.roundtrip",
     "facebook_ad_library_data_pipeline_spark.sources.pysource",
@@ -85,15 +86,40 @@ _QUERY_MODULES = [
 # checked the first 50 registrations and 58 oracle-backed queries had
 # zero driver evidence despite passing the same oracles locally.
 # load_all() returns the registry reordered so never-driver-checked
-# oracle-backed queries fill the window first (names not yet registered
-# are skipped; everything else follows in registration order, already
+# oracle-backed queries fill the window first (a name absent from the
+# registry is an error — a typo here would silently shrink the re-prove
+# window; everything else follows in registration order, already
 # double-proven r01/r02 queries last). Rotate this list each round to
 # move the remaining unchecked tail through the window.
 _PRIORITY = [
+    # ---- round-12 window ----
+    # New registrations this round:
+    "q_partition_overwrite_dynamic",  # dynamic-mode single-partition reload, spliced oracle
+    "q_stream_observe",  # per-micro-batch observe() metrics == relational ntile recount
+    # Queries whose implementation changed this round (stream-sink
+    # commit now publishes BEFORE cleaning the prior attempt; batch
+    # sink manifest write now atomic tmp+replace) — re-prove:
+    "q_python_datasink_stream",
+    "q_python_datasink_roundtrip",
+    # Evidence-freshness rotation, final tranche (r11 verdict item 1):
+    # the 12 queries whose driver rows still date to round 2 — after
+    # this window, no row in the registry is older than r11:
+    "q_text_quality",
+    "q_token_count",
+    "q_topk_global",
+    "q_topk_per_group",
+    "q_tpch_q1",
+    "q_union_all",
+    "q_validate_pass",
+    "q_validate_quarantine",
+    "q_validate_stats",
+    "q_window_distribution",
+    "q_window_gap",
+    "q_window_pack",
     # ---- round-11 window ----
     # New registrations this round:
     "q_schema_evolution_read",  # declared-schema read across INT32->INT64 widening + added column
-    "q_python_datasink_stream",  # DataSourceStreamWriter: per-batch commit manifests, ntile oracle
+    # (q_python_datasink_stream moved to the round-12 window above)
     "q_arrow_token_stats",  # mapInArrow: pyarrow.compute features, no pandas conversion
     "q_arrow_group_stats",  # applyInArrow: exact per-group median via numpy on zero-copy columns
     # Queries whose implementation changed this round (shared-session
@@ -268,7 +294,7 @@ _PRIORITY = [
     "q_stream_tumbling_append",  # append mode = state-eviction path, oracle-backed
     "q_python_datasource_scan",  # Spark 4 Python DataSource, LCG-replayed oracle
     "q_python_datasource_stream",  # SimpleDataSourceStreamReader, same oracle
-    "q_python_datasink_roundtrip",  # custom Python sink, commit-protocol manifest
+    # (q_python_datasink_roundtrip moved to the round-12 window above)
     "q_attribution_last_touch",  # windowed last-touch credit, no joins
     "q_sequence_gaps",           # missing-id audit via lead()
     # new round-6 operators (third batch):
@@ -337,10 +363,17 @@ def load_all() -> dict[str, Query]:
             # (incremental build); never mask a broken transitive import.
             if e.name != mod:
                 raise
+    # A typo'd _PRIORITY entry would silently drop that query from the
+    # driver's re-prove window (it just wouldn't match REGISTRY), which
+    # defeats the evidence rotation — fail loudly instead.
+    unknown = [n for n in _PRIORITY if n not in REGISTRY]
+    if unknown:
+        raise ValueError(
+            f"_PRIORITY names not in REGISTRY (typo?): {unknown!r}"
+        )
     ordered: dict[str, Query] = {}
     for name in _PRIORITY:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
+        ordered[name] = REGISTRY[name]
     for name, q in REGISTRY.items():
         if name not in ordered:
             ordered[name] = q

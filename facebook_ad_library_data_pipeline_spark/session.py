@@ -38,7 +38,7 @@ def get_spark(app_name: str = "facebook_ad_library_data_pipeline_spark") -> Spar
     # `or None`: a SET-BUT-EMPTY var behaves as unset (shells and CI
     # configs blank vars more often than they unset them)
     retries = os.environ.get("SPARK_GRAFT_TASK_RETRIES") or None
-    if retries is not None and (not retries.isdigit() or int(retries) < 1):
+    if retries is not None and (not retries.isdecimal() or int(retries) < 1):
         # fail HERE with the env var's name, not later with Spark's
         # opaque "could not parse Master URL"; note the value is
         # maxFailures (1 = fail on first failure, same as unset local[N];

@@ -428,8 +428,11 @@ class SyntheticJsonlWriter(DataSourceWriter):
             "files": sorted(m.path for m in messages if m.n_rows > 0),
             "n_rows": sum(m.n_rows for m in messages),
         }
-        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+        final = os.path.join(self.path, "_MANIFEST")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
             _json.dump(manifest, f)
+        os.replace(tmp, final)  # atomic: readers never see a torn manifest
 
     def abort(self, messages) -> None:
         import os
@@ -550,24 +553,28 @@ class SyntheticJsonlStreamWriter(DataSourceStreamWriter):
             "n_rows": sum(m.n_rows for m in messages if m),
         }
         final = os.path.join(self.path, f"_MANIFEST-{batchId:05d}")
-        # republish (hard-kill replay where abort never ran): the old
-        # manifest's files become unreferenced the moment the rename
-        # lands — unlink the ones the new attempt doesn't list, so the
-        # dir invariant (.jsonl set == union of manifest files) holds
-        # through every crash path
+        # republish (hard-kill replay where abort never ran): PUBLISH
+        # FIRST, clean second. Unlinking the prior attempt's files
+        # before the rename opens a crash window where the still-
+        # published old manifest references deleted files (a
+        # manifest-scoped reader of the abandoned stream would fail);
+        # publishing first degrades that window to harmless
+        # unreferenced orphans, invisible to manifest-scoped readers
+        # and reclaimable by vacuum_sink_dir().
+        prior: list = []
         if os.path.exists(final):
             try:
                 prior = _json.loads(open(final).read()).get("files", [])
             except (OSError, ValueError):
                 prior = []
-            keep = set(manifest["files"])
-            for f in prior:
-                if f not in keep and os.path.exists(f):
-                    os.remove(f)
         tmp = final + ".tmp"
         with open(tmp, "w") as f:
             _json.dump(manifest, f)
         os.replace(tmp, final)  # atomic publish; replay = clean overwrite
+        keep = set(manifest["files"])
+        for f in prior:
+            if f not in keep and os.path.exists(f):
+                os.remove(f)
 
     def abort(self, messages, batchId: int) -> None:
         import json as _json
@@ -601,6 +608,59 @@ def register_synth_stream_sink(spark: SparkSession) -> None:
     if key not in _REGISTERED:
         spark.dataSource.register(SyntheticJsonlStreamSink)
         _REGISTERED.add(key)
+
+
+def vacuum_sink_dir(path: str) -> dict:
+    """Maintenance op for the Python-sink manifest layout: reclaim
+    files the commit protocol deliberately leaves on disk but OUT of
+    every manifest (abort-path survivors when the driver died before
+    abort ran, publish-first republish orphans, torn `.tmp` manifests
+    from a crash mid-publish). The protocol's safety half is
+    "manifest-scoped readers never see a partial file"; this is the
+    ops half — list-vs-manifest cleanup, the moral twin of
+    Delta/Iceberg VACUUM over our flat layout.
+
+    Scans `path` for `_MANIFEST` (batch sink) and `_MANIFEST-*`
+    (stream sink, one per batch), unions their `files` lists, and
+    unlinks every `*.jsonl` not referenced plus every `_MANIFEST*.tmp`
+    (a tmp manifest is by construction never published — os.replace
+    either landed, making the final the source of truth, or didn't,
+    making the tmp a torn write). Manifests themselves and referenced
+    files are never touched, so the op is idempotent and safe to run
+    concurrently with readers (readers only open manifest-listed
+    files; we only delete unlisted ones).
+
+    Returns {"referenced": n, "removed": [paths], "kept": n} for
+    audit logging — the reconciliation record a 100 TB deployment's
+    scheduled vacuum job would emit."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    referenced: set[str] = set()
+    for mf in _glob.glob(os.path.join(path, "_MANIFEST*")):
+        if mf.endswith(".tmp"):
+            continue
+        try:
+            referenced.update(_json.loads(open(mf).read()).get("files", []))
+        except (OSError, ValueError):
+            # torn/unreadable FINAL manifest: conservative — leave its
+            # (unknown) files alone by treating nothing as orphaned
+            # this run; surface via the report instead of deleting
+            return {"referenced": -1, "removed": [], "kept": -1,
+                    "error": f"unreadable manifest: {mf}"}
+    removed: list[str] = []
+    kept = 0
+    for f in sorted(_glob.glob(os.path.join(path, "*.jsonl"))):
+        if f in referenced:
+            kept += 1
+        else:
+            os.remove(f)
+            removed.append(f)
+    for t in sorted(_glob.glob(os.path.join(path, "_MANIFEST*.tmp"))):
+        os.remove(t)
+        removed.append(t)
+    return {"referenced": len(referenced), "removed": removed, "kept": kept}
 
 
 # Batch membership is the exact ntile(4) the split builder wrote, so

@@ -665,3 +665,84 @@ def test_stream_sink_manifest_republish_overwrites(tmp_path):
     w.abort([None], 7)
     assert not (tmp_path / "_MANIFEST-00007").exists()
     assert not b.exists()
+
+
+def test_stream_sink_republish_publishes_before_cleanup(tmp_path, monkeypatch):
+    """Crash-ordering pin for republish: the new manifest must be
+    PUBLISHED (os.replace) before the prior attempt's files are
+    unlinked. Simulated hard kill at the publish instant (os.replace
+    raises): the OLD manifest must still reference only-existing files
+    — the crash window degrades to orphans, never to a published
+    manifest pointing at deleted files."""
+    from facebook_ad_library_data_pipeline_spark.sources.pysource import (
+        SyntheticJsonlStreamWriter,
+        _SinkFileCommit,
+    )
+
+    w = SyntheticJsonlStreamWriter(str(tmp_path))
+    a = tmp_path / "part-attempt1.jsonl"
+    a.write_text('{"user_id": 1, "cents": 100}\n')
+    w.commit([_SinkFileCommit(path=str(a), n_rows=1)], 3)
+
+    b = tmp_path / "part-attempt2.jsonl"
+    b.write_text('{"user_id": 1, "cents": 200}\n')
+    real_replace = os.replace
+
+    def crash_at_publish(src, dst):
+        if "_MANIFEST" in str(dst):
+            raise OSError("injected crash at publish")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_at_publish)
+    try:
+        w.commit([_SinkFileCommit(path=str(b), n_rows=1)], 3)
+    except OSError:
+        pass
+    monkeypatch.undo()
+
+    m = json.loads((tmp_path / "_MANIFEST-00003").read_text())
+    assert m["files"] == [str(a)], "old manifest must survive a failed publish"
+    assert a.exists(), (
+        "prior attempt's files must NOT be unlinked before the new "
+        "manifest is published — a crash here must leave the published "
+        "manifest's files intact"
+    )
+
+
+def test_vacuum_sink_dir(tmp_path):
+    """vacuum_sink_dir: removes unreferenced .jsonl orphans and torn
+    .tmp manifests, keeps every manifest-listed file, idempotent."""
+    from facebook_ad_library_data_pipeline_spark.sources.pysource import (
+        SyntheticJsonlStreamWriter,
+        _SinkFileCommit,
+        vacuum_sink_dir,
+    )
+
+    w = SyntheticJsonlStreamWriter(str(tmp_path))
+    kept = tmp_path / "part-live.jsonl"
+    kept.write_text('{"user_id": 1, "cents": 100}\n')
+    w.commit([_SinkFileCommit(path=str(kept), n_rows=1)], 0)
+    orphan = tmp_path / "part-orphan.jsonl"  # abort survivor / crash debris
+    orphan.write_text('{"user_id": 2, "cents": 999}\n')
+    torn = tmp_path / "_MANIFEST-00001.tmp"  # crash mid-publish
+    torn.write_text('{"files": [')
+
+    report = vacuum_sink_dir(str(tmp_path))
+    assert kept.exists() and not orphan.exists() and not torn.exists()
+    assert sorted(report["removed"]) == sorted([str(orphan), str(torn)])
+    assert report["kept"] == 1 and report["referenced"] == 1
+
+    # idempotent: a second pass finds nothing to do
+    report2 = vacuum_sink_dir(str(tmp_path))
+    assert report2["removed"] == [] and kept.exists()
+
+    # unreadable FINAL manifest: conservative no-op with an error report
+    bad = tmp_path / "_MANIFEST-00002"
+    bad.write_text("{torn json")
+    orphan2 = tmp_path / "part-maybe.jsonl"
+    orphan2.write_text("{}\n")
+    report3 = vacuum_sink_dir(str(tmp_path))
+    assert "error" in report3 and orphan2.exists(), (
+        "an unreadable manifest must disable deletion, not risk "
+        "removing files it might reference"
+    )
