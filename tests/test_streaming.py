@@ -1472,3 +1472,49 @@ def test_statestore_list_read_unflattened_variant(spark, sf_dir):
         exploded.exceptAll(flat).count() == 0
         and flat.exceptAll(exploded).count() == 0
     )
+
+
+def test_reload_writer_modes_control(spark, tmp_path):
+    """The WHY of q_stream_idempotent_reload's dynamic mode, as a
+    three-way control on a replayed batch: append DOUBLES the batch's
+    rows, static overwrite WIPES every other batch, dynamic overwrite
+    is the only mode that makes replay a no-op while preserving the
+    rest of the table."""
+    from pyspark.sql import functions as F
+
+    from facebook_ad_library_data_pipeline_spark.streaming.incremental import (
+        _reload_projection,
+        _write_reload_batch,
+    )
+
+    events = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 2} 00:00:0{i}", float(i)) for i in range(8)],
+        "event_id long, ts_s string, value double",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    b0, b1 = events.filter("event_id < 4"), events.filter("event_id >= 4")
+
+    sink = str(tmp_path / "dyn")
+    _write_reload_batch(b0, 0, sink)
+    _write_reload_batch(b1, 1, sink)
+    # materialize the pre-replay content: the replay REPLACES batch 1's
+    # files, so a lazy plan over the old file list would FAILED_READ_FILE
+    base_rows = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    assert len(base_rows) == 8
+    # replay batch 1 through the writer under test: exact no-op
+    _write_reload_batch(b1, 1, sink)
+    after_rows = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    assert after_rows == base_rows
+
+    # control 1: append mode doubles the replayed batch
+    sink_a = str(tmp_path / "app")
+    proj0, proj1 = _reload_projection(b0, 0), _reload_projection(b1, 1)
+    for df in (proj0, proj1, proj1):
+        df.write.partitionBy("day", "batch_id").mode("append").parquet(sink_a)
+    assert spark.read.parquet(sink_a).count() == 12
+
+    # control 2: static overwrite wipes the other batch entirely
+    sink_s = str(tmp_path / "stat")
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "static"
+    proj0.write.partitionBy("day", "batch_id").mode("overwrite").parquet(sink_s)
+    proj1.write.partitionBy("day", "batch_id").mode("overwrite").parquet(sink_s)
+    assert spark.read.parquet(sink_s).filter("batch_id = 0").count() == 0
