@@ -1,0 +1,125 @@
+"""Model-based document quality: a word-bigram language model trained
+ON the corpus, scoring each document by its mean transition
+probability — the classic "quality classifier lite" signal
+(C4/Gopher-style pipelines train a reference LM and drop documents
+whose likelihood under it is poor; repetitive or templated text scores
+HIGH, incoherent token soup scores LOW).
+
+Distributed shape, built for 100 TB:
+
+- Bigram extraction is NARROW per-row array work (shifted-slice
+  zip_with, the shingles_col trick) — a document's transitions never
+  cross rows, so there is no tokenize shuffle at all.
+- The MODEL (bigram counts, prefix counts, vocab size) is
+  vocabulary-bounded, not corpus-bounded: aggregates partial map-side
+  and the result is broadcast back onto the transitions. At web-scale
+  vocabularies the bigram table gets pruned to top-K before broadcast
+  (the standard trick); the scoring join's shape is unchanged.
+- All probabilities are SCALED INTEGERS — ``(1e9 * (c+1)) div (cp+V)``
+  in pure int64 arithmetic, exact and engine-independent (the BM25
+  rational-idf discipline from functions/ir.py: no libm on the hash
+  path). Production at real counts would move to log-space doubles;
+  the semantics under test are identical.
+
+Reference anchor: the reference has no model-based quality signal —
+its nearest analogue is the keyword classifier at
+`/root/reference/transform_raw_data.py:120-141`; this extends the
+mandated LLM-data quality family (q_text_quality, q_repetition_quality,
+q_token_entropy) with the likelihood-based member.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .text import tokens_col
+
+LM_SCALE = 1_000_000_000
+
+
+def _bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) per transition — narrow, shuffle-free."""
+    toks = docs.select("doc_id", tokens_col().alias("w"))
+    n1 = F.greatest(F.size("w") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("w", 1, n1),
+        F.slice("w", 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+
+
+_LM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bi AS (
+    SELECT doc_id, p[1] AS w1, p[2] AS w2
+    FROM (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+          FROM toks)
+),
+counts AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+prefix AS (SELECT w1, count(*) AS cp FROM bi GROUP BY 1),
+vocab AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+scored AS (
+    SELECT bi.doc_id, ({LM_SCALE} * (c + 1)) // (cp + v) AS p_scaled
+    FROM bi JOIN counts USING (w1, w2) JOIN prefix USING (w1) CROSS JOIN vocab
+)
+SELECT doc_id,
+       count(*) AS n_transitions,
+       CAST(sum(p_scaled) AS BIGINT) AS lm_sum,
+       CAST(sum(p_scaled) AS DOUBLE) / count(*) AS lm_mean
+FROM scored
+GROUP BY 1
+"""
+
+
+@query("q_lm_quality", oracle=_LM_ORACLE, tags=("llm", "text", "quality", "model"))
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document likelihood under a corpus-trained add-one-smoothed
+    word-bigram LM. Every per-transition probability is the scaled
+    integer ``(1e9 * (count(w1,w2)+1)) div (count(w1·)+V)`` — exact in
+    both engines — so the hash pins the whole model: a miscounted
+    bigram, a wrong prefix total, or a drifted vocabulary size flips
+    every affected document's lm_sum. The final mean is one division
+    of identical int64s (deterministic double). Self-scoring on the
+    training corpus keeps every transition in-vocabulary (a held-out
+    split would add a backoff branch, not change the shape).
+
+    Plan shape: narrow bigram explode (no shuffle) → two
+    vocabulary-bounded aggregates + a 1-row vocab count, each
+    BROADCAST back onto the transitions → map-side-combined rollup to
+    one row per doc. The only full-width exchange is the final
+    groupBy(doc_id), and explode preserves the scan's partitioning so
+    its partial aggregation already collapses to ~1 row per doc per
+    partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    bi = _bigrams(docs)
+    counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    prefix = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
+    vocab = (
+        docs.select(F.explode(tokens_col()).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        bi.join(F.broadcast(counts), ["w1", "w2"])
+        .join(F.broadcast(prefix), ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "p_scaled", F.expr(f"({LM_SCALE} * (c + 1)) div (cp + v)")
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum("p_scaled").alias("lm_sum"),
+        )
+        .withColumn(
+            "lm_mean", F.col("lm_sum").cast("double") / F.col("n_transitions")
+        )
+    )

@@ -375,3 +375,93 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tok", "n_distinct", "entropy")
     )
+
+
+# ------------------------------------------------- unicode normalization
+
+# Deterministic perturbation: odd doc_ids get their vowels replaced by
+# precomposed accented forms and the whole text uppercased — the messy
+# real-web shape (mixed case, diacritics) synthesized from the clean
+# corpus so the round trip is self-proving. The accent set sticks to
+# characters whose NFD decomposition is base+combining (true for all
+# Latin vowel diacritics; NOT for ø/ł-style letters, which need a
+# transliteration table on top — documented, out of scope).
+_ACCENT_SRC = "aeiou"
+_ACCENT_DST = "áéíóú"
+
+
+def normalize_text_col(col: Column) -> Column:
+    """NFD → strip combining marks → lower: the standard unicode
+    cleanup pass of an LLM ingest (casefold + de-accent), as an
+    Arrow-batched pandas UDF — stdlib `unicodedata` does the real
+    normalization work per batch; no JVM round trip per row."""
+    @F.pandas_udf("string")
+    def _fold(s):  # type: ignore[no-untyped-def]  # Arrow batch: pd.Series -> pd.Series
+        import unicodedata
+
+        def fold(t):
+            if t is None:
+                return None
+            decomposed = unicodedata.normalize("NFD", t)
+            return "".join(
+                ch for ch in decomposed if not unicodedata.combining(ch)
+            ).lower()
+
+        return s.map(fold)
+
+    return _fold(col)
+
+
+_NORMALIZE_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1
+            THEN length(text) - length(replace(replace(replace(replace(replace(
+                 text, 'a', ''), 'e', ''), 'i', ''), 'o', ''), 'u', ''))
+            ELSE 0 END AS n_perturbed,
+       md5(text) AS normalized_fp,
+       TRUE AS restored
+FROM documents
+"""
+
+
+@query("q_text_normalize", oracle=_NORMALIZE_ORACLE, tags=("llm", "text", "quality"))
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization round trip — the ingest cleanup every
+    multilingual 100 TB corpus runs before tokenization/dedup (NFD or
+    NFKC, strip diacritics, casefold; un-normalized text fragments the
+    vocabulary and defeats exact dedup). The corpus is ASCII, so the
+    perturbation half synthesizes the mess DETERMINISTICALLY (odd
+    doc_ids: vowels → precomposed á/é/í/ó/ú, then uppercased) and the
+    operator under test — :func:`normalize_text_col`, real stdlib
+    `unicodedata` NFD + combining-mark strip + lower in an
+    Arrow-batched pandas UDF — must restore the original text exactly.
+
+    The oracle never normalizes anything: it pins md5(SOURCE text) per
+    doc, `restored` TRUE, and the perturbed-character count (vowel
+    census of the odd docs). A UDF that misses an accent, mangles
+    case, or no-ops flips the fingerprint of every odd document; the
+    even documents pin the pass-through half. The perturbation itself
+    is proven non-trivial by n_perturbed > 0 on odd docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    perturbed = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.upper(F.translate(F.col("text"), _ACCENT_SRC, _ACCENT_DST)),
+    ).otherwise(F.col("text"))
+    accent_chars = "".join(
+        c.upper() + c for c in _ACCENT_DST
+    )  # both cases of every accented vowel
+    df = docs.select(
+        "doc_id",
+        F.col("text").alias("original"),
+        perturbed.alias("messy"),
+    )
+    normalized = normalize_text_col(F.col("messy"))
+    return df.select(
+        "doc_id",
+        (
+            F.length("messy")
+            - F.length(F.translate(F.col("messy"), accent_chars, ""))
+        ).alias("n_perturbed"),
+        F.md5(normalized).alias("normalized_fp"),
+        (normalized == F.col("original")).alias("restored"),
+    )

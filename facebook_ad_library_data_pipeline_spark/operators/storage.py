@@ -972,3 +972,194 @@ def q_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n"),
         money_sum(F.col("value")).alias("total_value"),
     )
+
+
+# ----------------------------------------- parquet bloom filter scan
+
+# Unique-key point lookups: every orderkey exists at sf0.001/0.01/0.1
+# (dense synthetic keys; verified against all three parquet files).
+BLOOM_LOOKUP_KEYS = (42, 999, 1317)
+N_BLOOM_FILES = 16
+# Small row groups so even the test SFs produce enough groups for
+# skipping to be observable; production uses the 128 MB default and
+# the same physics (matching groups / total groups) applies.
+BLOOM_BLOCK_BYTES = 16 * 1024
+
+
+def bloom_benefit_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(plain_dir, bloom_dir): the SAME orders rows written twice,
+    hash-SCATTERED on xxhash64(o_orderkey) so every row group's
+    o_orderkey min/max spans the whole key range — the layout where
+    min/max stats can skip NOTHING (the adversarial case for
+    q_zorder_pruned_scan's technique). The bloom variant additionally
+    writes a parquet column bloom filter on o_orderkey
+    (``parquet.bloom.filter.enabled#o_orderkey``), the probabilistic
+    per-row-group membership index that works regardless of layout.
+    Built once per (app, sf_dir, source-mtime); published via
+    _publish_atomic (see there for the race/corruption contract)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "bloom_benefit")
+    out = _PART_CACHE.get(key)
+    if out is None:
+        src_mtime = int(Path(f"{sf_dir}/orders.parquet").stat().st_mtime)
+        out = str(
+            Path(tempfile.gettempdir())
+            / "spark_graft_part"
+            / f"bloombenefit_{_sf_tag(sf_dir)}_{src_mtime}"
+        )
+
+        def build(stage: Path) -> None:
+            scattered = (
+                load_table(spark, sf_dir, "orders")
+                .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+                .withColumn("scatter", F.xxhash64("o_orderkey"))
+                .repartition(N_BLOOM_FILES)
+                .sortWithinPartitions("scatter")
+                .drop("scatter")
+            )
+            base = (
+                scattered.write.option("parquet.block.size", BLOOM_BLOCK_BYTES)
+                .option("parquet.page.size", BLOOM_BLOCK_BYTES // 4)
+                .mode("overwrite")
+            )
+            base.parquet(str(stage / "plain"))
+            (
+                base.option("parquet.bloom.filter.enabled#o_orderkey", "true")
+                # NDV sized for the LARGEST SF the layout is built at;
+                # oversizing only costs bloom bytes, never correctness.
+                .option("parquet.bloom.filter.expected.ndv#o_orderkey", "200000")
+                .parquet(str(stage / "bloom"))
+            )
+            (stage / "_SUCCESS").touch()
+
+        _publish_atomic(Path(out), "bloombenefit_stage_", build)
+        _PART_CACHE[key] = out
+    return f"{out}/plain", f"{out}/bloom"
+
+
+_BLOOM_ORACLE = f"""
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       o_orderdate
+FROM orders
+WHERE o_orderkey IN {BLOOM_LOOKUP_KEYS!r}
+"""
+
+
+@query(
+    "q_parquet_bloom_scan",
+    oracle=_BLOOM_ORACLE,
+    tags=("scan", "storage", "prune", "layout"),
+)
+def q_parquet_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-haystack point lookup through a parquet COLUMN BLOOM
+    FILTER — the data-skipping lever for high-cardinality keys the
+    table is NOT clustered by, where min/max stats are useless (every
+    hash-scattered row group spans the full key range). The parquet
+    reader consults the per-row-group bloom before decoding: row
+    groups whose filter rules out all three keys are never read.
+    Measured in tests/test_plans.py at sf0.01: the bloom layout's scan
+    emits ~7x fewer rows than the byte-identical plain layout under
+    the same IN predicate (eq-single-key is ~30x). At 100 TB this is
+    the poor-man's secondary index — O(row groups) bloom probes
+    instead of a full column decode for id-lookup/audit queries, at
+    the cost of ~1 MB of filter bytes per 128 MB row group.
+
+    Correctness: the returned rows themselves, hash-matched against
+    the source table (a dropped or duplicated row group flips the
+    hash). Reference anchor: the reference loads its whole JSON
+    artifact and filters in pandas (`transform_raw_data.py:27-34`);
+    this is the same lookup expressed as an indexed columnar scan."""
+    _, bloom_dir = bloom_benefit_dirs(spark, sf_dir)
+    scan = spark.read.parquet(bloom_dir)
+    return scan.filter(F.col("o_orderkey").isin(*BLOOM_LOOKUP_KEYS))
+
+
+# ------------------------------------------ file-metadata lineage
+
+def lineage_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events re-written one file per event_type partition, rows
+    sorted by ts WITHIN each file (repartition("event_type") puts each
+    type in exactly one task, so each partition directory gets exactly
+    one file — pinned by the query's n_files column). Built once per
+    (app, sf_dir, source-mtime); published via _publish_atomic."""
+    key = (spark.sparkContext.applicationId, sf_dir, "meta_lineage")
+    out = _PART_CACHE.get(key)
+    if out is None:
+        src_mtime = int(Path(f"{sf_dir}/events.parquet").stat().st_mtime)
+        out = str(
+            Path(tempfile.gettempdir())
+            / "spark_graft_part"
+            / f"metalineage_{_sf_tag(sf_dir)}_{src_mtime}"
+        )
+
+        def build(stage: Path) -> None:
+            (
+                load_table(spark, sf_dir, "events")
+                .repartition("event_type")
+                .sortWithinPartitions("ts")
+                .write.partitionBy("event_type")
+                .parquet(str(stage / "t"))
+            )
+            (stage / "_SUCCESS").touch()
+
+        _publish_atomic(Path(out), "metalineage_stage_", build)
+        _PART_CACHE[key] = out
+    return f"{out}/t"
+
+
+_LINEAGE_ORACLE = f"""
+SELECT event_type AS lineage_partition,
+       count(*) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files,
+       min(ts) AS first_row_ts,
+       {money_sum_sql("value")} AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+@query(
+    "q_file_metadata_lineage",
+    oracle=_LINEAGE_ORACLE,
+    tags=("scan", "storage", "audit"),
+)
+def q_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FILE lineage audit through the ``_metadata`` hidden struct —
+    the zero-cost provenance column every file-source scan carries
+    (file_path/file_name/file_size/file_modification_time/row_index),
+    the primitive behind incremental processing ("which files arrived
+    since the last run"), per-file row-count reconciliation after a
+    load, and blaming a corrupt row back to its physical file at
+    100 TB. No extra scan or join: the values are materialized by the
+    reader per row-batch, only when requested.
+
+    The hash pins three things per partition: the row population
+    grouped by the FILE PATH's partition directory (regexp-extracted,
+    so a row written to the wrong directory flips the group), exactly
+    one physical file per partition (the layout's contract), and the
+    ts of the file's FIRST ROW (``row_index = 0``) equal to the
+    partition's min(ts) — valid because the writer sorted each file by
+    ts, so a broken row_index or a reordered write flips the hash.
+    The non-SQL half (file_size equal to the bytes on disk,
+    file_modification_time equal to the filesystem mtime) is asserted
+    in tests/test_plans.py. Reference anchor: the reference's
+    timestamped-artifact handoff tracks provenance in the FILENAME
+    (`utils/base.py:4-8`, `collect_raw_data.py:213-218`); this is that
+    audit trail as queryable per-row metadata."""
+    scan = spark.read.parquet(lineage_events_dir(spark, sf_dir))
+    return (
+        scan.select("ts", "value", "_metadata")
+        .groupBy(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), "event_type=([^/]+)/", 1
+            ).alias("lineage_partition")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.col("_metadata.file_path")).alias("n_files"),
+            F.min(
+                F.when(F.col("_metadata.row_index") == 0, F.col("ts"))
+            ).alias("first_row_ts"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+    )

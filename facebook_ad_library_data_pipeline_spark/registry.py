@@ -63,6 +63,8 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.functions.ann_recall",
     "facebook_ad_library_data_pipeline_spark.functions.knn_join",
     "facebook_ad_library_data_pipeline_spark.functions.ir",
+    "facebook_ad_library_data_pipeline_spark.functions.lm",
+    "facebook_ad_library_data_pipeline_spark.functions.embedstats",
     "facebook_ad_library_data_pipeline_spark.operators.fuzzy",
     "facebook_ad_library_data_pipeline_spark.operators.profile",
     "facebook_ad_library_data_pipeline_spark.operators.splits",
@@ -97,6 +99,11 @@ _PRIORITY = [
     "q_partition_overwrite_dynamic",  # dynamic-mode single-partition reload, spliced oracle
     "q_stream_observe",  # per-micro-batch observe() metrics == relational ntile recount
     "q_stream_idempotent_reload",  # foreachBatch + dynamic overwrite, replay-proven idempotence
+    "q_parquet_bloom_scan",  # column bloom filter: point lookup skips hash-scattered row groups
+    "q_file_metadata_lineage",  # _metadata hidden struct: per-file provenance audit, row_index pinned
+    "q_lm_quality",  # corpus-trained bigram LM likelihood, scaled-integer exact model
+    "q_text_normalize",  # NFD+strip+casefold round trip, oracle pins exact restoration
+    "q_embedding_gram",  # exact quantized-int Gram: d^2-key shuffle independent of N
     # Queries whose implementation changed this round (stream-sink
     # commit now publishes BEFORE cleaning the prior attempt; batch
     # sink manifest write now atomic tmp+replace) — re-prove:

@@ -562,3 +562,73 @@ def test_dynamic_partition_overwrite_immutability(spark, sf_dir):
     assert new_names and old_names.isdisjoint(new_names), (
         "touched partition must be fully replaced with new files"
     )
+
+
+def test_parquet_bloom_filter_skips_scattered_row_groups(spark, sf_dir):
+    """Measured proof-of-benefit for parquet column bloom filters: the
+    same unique-key IN lookup reads several-fold fewer rows out of the
+    bloom-indexed layout than the byte-identical plain one, on a
+    layout hash-scattered so min/max stats can skip NOTHING. Scan
+    metrics come from the executed plan — measured skipping, not an
+    asserted claim (the q_zorder_pruned_scan analogue for the
+    unclustered-key case)."""
+    from pyspark.sql import functions as F
+
+    from facebook_ad_library_data_pipeline_spark.operators.storage import (
+        BLOOM_LOOKUP_KEYS,
+        bloom_benefit_dirs,
+    )
+    from facebook_ad_library_data_pipeline_spark.plans.explain import scan_metrics
+
+    plain_dir, bloom_dir = bloom_benefit_dirs(spark, sf_dir)
+
+    def scanned_rows(path):
+        df = spark.read.parquet(path).filter(
+            F.col("o_orderkey").isin(*BLOOM_LOOKUP_KEYS)
+        )
+        rows = df.collect()
+        (metrics,) = scan_metrics(df)
+        return sorted(r["o_orderkey"] for r in rows), metrics["numOutputRows"]
+
+    plain_result, plain_scanned = scanned_rows(plain_dir)
+    bloom_result, bloom_scanned = scanned_rows(bloom_dir)
+    # Same answer from both layouts...
+    assert plain_result == bloom_result == sorted(BLOOM_LOOKUP_KEYS)
+    # ...but the plain layout reads everything (scattered min/max spans
+    # the full key range in every row group) while the bloom layout
+    # reads only the few groups whose filter admits a key.
+    assert bloom_scanned < plain_scanned
+    assert bloom_scanned <= plain_scanned / 2, (bloom_scanned, plain_scanned)
+
+
+def test_file_metadata_matches_filesystem(spark, sf_dir):
+    """The non-SQL half of q_file_metadata_lineage: _metadata's
+    file_size and file_modification_time are the FILESYSTEM's truth
+    for every physical file of the layout — the fields an incremental
+    pipeline keys its "process only new files" logic on."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from facebook_ad_library_data_pipeline_spark.operators.storage import (
+        lineage_events_dir,
+    )
+
+    path = lineage_events_dir(spark, sf_dir)
+    meta = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("p"),
+            F.col("_metadata.file_size").alias("sz"),
+            F.col("_metadata.file_modification_time").cast("long").alias("mt"),
+        )
+        .distinct()
+        .collect()
+    )
+    assert len(meta) == 5  # one physical file per event_type partition
+    for r in meta:
+        local = r["p"].removeprefix("file://").removeprefix("file:")
+        st = os.stat(local)
+        assert r["sz"] == st.st_size, (local, r["sz"], st.st_size)
+        # parquet mtime is millisecond-truncated; compare at 1 s grain
+        assert abs(r["mt"] - int(st.st_mtime)) <= 1, (local, r["mt"], st.st_mtime)
