@@ -477,3 +477,52 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_CONVO_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       md5(string_agg(event_type || ':' || CAST(event_id AS VARCHAR), '|'
+                      ORDER BY ts, event_id)) AS seq_sig,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("q_conversation_assembly", oracle=_CONVO_ORACLE, tags=("llm", "training", "agg"))
+def q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ORDERED event-sequence assembly — the chat/session
+    training-data shape (SFT turns, user trajectories, agent traces):
+    every user's events gathered into one time-ordered sequence whose
+    exact order is pinned by an md5 fingerprint over the ordered
+    (event_type:event_id) transcript. collect_list gives no ordering
+    guarantee across shuffles, so the sequence is sorted EXPLICITLY —
+    array_sort over struct(ts, event_id, event_type), the struct's
+    field order being the tie-broken sort key — the one correct way to
+    assemble ordered sequences distributively (an orderBy before
+    groupBy is not preserved through a hash aggregate). The oracle
+    rebuilds the transcript with ORDER BY inside the aggregate, so a
+    lost event, a swap of same-timestamp events (tie-break!), or
+    partition-order leakage flips the fingerprint. Plan: one shuffle
+    on user_id; the sort is per-group post-shuffle, O(k log k) in
+    group size, no global sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seq = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    transcript = F.array_join(
+        F.transform(
+            seq, lambda x: F.concat_ws(":", x["event_type"], x["event_id"])
+        ),
+        "|",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.md5(transcript).alias("seq_sig"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

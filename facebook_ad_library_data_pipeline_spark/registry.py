@@ -79,7 +79,11 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.streaming.state_reader",
     "facebook_ad_library_data_pipeline_spark.sources.roundtrip",
     "facebook_ad_library_data_pipeline_spark.sources.pysource",
+    "facebook_ad_library_data_pipeline_spark.sources.binaryfiles",
     "facebook_ad_library_data_pipeline_spark.multimodal.media",
+    "facebook_ad_library_data_pipeline_spark.functions.web",
+    "facebook_ad_library_data_pipeline_spark.functions.semdedup",
+    "facebook_ad_library_data_pipeline_spark.operators.governance",
 ]
 
 
@@ -104,6 +108,12 @@ _PRIORITY = [
     "q_lm_quality",  # corpus-trained bigram LM likelihood, scaled-integer exact model
     "q_text_normalize",  # NFD+strip+casefold round trip, oracle pins exact restoration
     "q_embedding_gram",  # exact quantized-int Gram: d^2-key shuffle independent of N
+    "q_url_host_stats",  # parse_url HOST/PATH/QUERY recovery vs arithmetic oracle
+    "q_binary_file_scan",  # binaryFile landing zone: glob-pruned listing, md5 identity
+    "q_k_anonymity",  # QI-class k-anonymity + l-diversity release gate
+    "q_forget_cascade",  # right-to-be-forgotten cascade + orphan reconciliation
+    "q_conversation_assembly",  # ordered per-user sequence, md5-pinned order
+    "q_semdedup",  # cluster-then-prune semantic dedup, fully SQL-replayed
     # Queries whose implementation changed this round (stream-sink
     # commit now publishes BEFORE cleaning the prior attempt; batch
     # sink manifest write now atomic tmp+replace) — re-prove:
