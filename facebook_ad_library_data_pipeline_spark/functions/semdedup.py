@@ -22,10 +22,10 @@ at these magnitudes (dot ≤ 2.3e9 ⇒ 100·dot² ≤ 5.3e20 ≪ 1e38).
 
 Scale posture: assignment is embarrassingly parallel — the K×d seed
 matrix broadcasts, each Arrow batch takes one int64 matmul, NO shuffle.
-The pair stage self-joins on cluster_id, so cost is Σ cluster_size²,
-never N² — the property the clustering buys. At 100 TB you raise K so
-clusters stay bounded (and salt any hot cluster); the plan shape is
-unchanged.
+The pair stage shuffles once on cluster_id and takes ONE Q·Qᵀ matmul
+per cluster (applyInPandas), so cost is Σ cluster_size², never N² —
+the property the clustering buys. At 100 TB you raise K so clusters
+stay bounded (and salt any hot cluster); the plan shape is unchanged.
 
 Reference anchor: the reference has no embedding operators; this
 completes the mandated dedup family (exact → MinHash → SimHash →
@@ -102,42 +102,67 @@ def prune_within_clusters(assigned: DataFrame) -> DataFrame:
     """Within-cluster near-dup pairs (exact integer cosine test), then
     keep-lowest-id: a vector is dropped iff a LOWER-id vector in its
     cluster clears cos ≥ 0.9. Cost: Σ cluster_size², never N²."""
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.qvec"), F.col("b.qvec"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    import numpy as np
+    import pandas as pd
+
+    # The assignment feeds both the pair stage and the final verdict
+    # join — materialize the E-step once instead of re-running the
+    # Arrow matmul per consumer (the state-reshard _RESULT_CACHE
+    # discipline; bounded: N×(d+3) longs).
+    assigned = assigned.localCheckpoint(eager=True)
+
+    def cluster_dots(pdf: pd.DataFrame) -> pd.DataFrame:
+        # One int64 matmul per cluster instead of a per-pair
+        # zip_with/aggregate over d-long arrays (measured 19 s → ~2 s
+        # at sf0.1): D = Q·Qᵀ is exact (|dot| ≤ 2.3e9 ≪ 2^63) — only
+        # the dot is computed here; the τ² inequality needs 100·dot²
+        # (~5e20, silently overflows int64 in numpy) and stays in
+        # Spark DECIMAL below.
+        g = len(pdf)
+        if g < 2:
+            return pd.DataFrame(
+                columns=["va", "vb", "dot", "na", "nb"]
+            ).astype(
+                {c: "int64" for c in ["va", "vb", "dot", "na", "nb"]}
+            )
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        Q = np.stack(pdf["qvec"].to_numpy()[order]).astype(np.int64)
+        n = pdf["n"].to_numpy()[order]
+        D = Q @ Q.T
+        iu, ju = np.triu_indices(g, k=1)  # va < vb by the sort
+        return pd.DataFrame(
+            {
+                "va": ids[iu],
+                "vb": ids[ju],
+                "dot": D[iu, ju],
+                "na": n[iu],
+                "nb": n[ju],
+            }
+        )
+
+    pairs = assigned.groupBy("cluster_id").applyInPandas(
+        cluster_dots, schema="va long, vb long, dot long, na long, nb long"
     )
     dups = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("dot", dot)
-        .filter(
+        pairs.filter(
             (F.col("dot") >= 0)
             & (
                 F.col("dot").cast("decimal(38,0)") * F.col("dot") * TAU_DEN
                 >= F.lit(TAU_NUM).cast("decimal(38,0)")
-                * F.col("a.n")
-                * F.col("b.n")
+                * F.col("na")
+                * F.col("nb")
             )
         )
-        .select(F.col("b.vec_id").alias("dropped_id"))
+        .select(F.col("vb").alias("dropped_id"))
         .distinct()
     )
-    return (
-        assigned.join(
-            dups, assigned.vec_id == dups.dropped_id, "left_anti"
-        )
-        .select("vec_id", "cluster_id", F.lit(True).alias("keep"))
-        .unionByName(
-            assigned.join(
-                dups, assigned.vec_id == dups.dropped_id, "left_semi"
-            ).select("vec_id", "cluster_id", F.lit(False).alias("keep"))
-        )
+    # no broadcast hint: the dropped set can be a large fraction of the
+    # corpus at real dup rates — AQE picks broadcast when it is small
+    return assigned.join(
+        dups, assigned.vec_id == dups.dropped_id, "left"
+    ).select(
+        "vec_id", "cluster_id", F.col("dropped_id").isNull().alias("keep")
     )
 
 

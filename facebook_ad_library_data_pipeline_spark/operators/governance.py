@@ -212,3 +212,70 @@ def q_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("lineitem", lineitem, li_after, li_purged,
                            orphan_li))
     )
+
+
+_FK_EDGES = [
+    # (edge label, child table, child key, parent table, parent key)
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    # events are APP telemetry, not warehouse-loaded: user_id is not
+    # FK-guaranteed against customer — the audit's live edge
+    ("events->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+_FK_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{label}' AS edge,
+       (SELECT count(*) FROM {child} WHERE {ckey} IS NOT NULL) AS n_child,
+       (SELECT count(*) FROM {child}
+        WHERE {ckey} IS NOT NULL
+          AND {ckey} NOT IN (SELECT {pkey} FROM {parent})) AS n_dangling,
+       (SELECT count(*) FROM {child}
+        WHERE {ckey} IS NOT NULL
+          AND {ckey} NOT IN (SELECT {pkey} FROM {parent})) = 0 AS ok"""
+    for label, child, ckey, parent, pkey in _FK_EDGES
+)
+
+
+@query("q_referential_audit", oracle=_FK_ORACLE, tags=("governance", "quality", "join"))
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide foreign-key integrity audit: every FK edge in the
+    schema checked for dangling child keys (child value absent from
+    the parent), one row per edge with child count, dangling count,
+    and the ok verdict — the load-gate report that runs after every
+    ingest batch. The events→customer edge is deliberately
+    NOT-guaranteed (telemetry user_ids vs warehouse customers), so the
+    audit exercises both verdicts on real data. Plan: per edge, one
+    distinct-key anti-join — dims broadcast, the two fact-to-fact
+    edges shuffle on the key with the child side pre-distinct'd
+    (dangling detection needs distinct child keys only, so the
+    shuffle carries keys, not rows); 8 independent scans that
+    parallelize across the cluster."""
+    rows = []
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).filter(F.col(ckey).isNotNull())
+        p = load_table(spark, sf_dir, parent).select(pkey)
+        # distinct child keys with their multiplicities: the anti-join
+        # then moves |distinct keys| rows, and the dangling row count
+        # is recovered exactly from the multiplicities
+        keys = c.groupBy(ckey).agg(F.count(F.lit(1)).alias("mult"))
+        dangling = keys.join(
+            p, keys[ckey] == p[pkey], "left_anti"
+        ).agg(F.coalesce(F.sum("mult"), F.lit(0)).alias("n_dangling"))
+        total = c.agg(F.count(F.lit(1)).alias("n_child"))
+        rows.append(
+            total.crossJoin(dangling).select(
+                F.lit(label).alias("edge"),
+                "n_child",
+                "n_dangling",
+                (F.col("n_dangling") == 0).alias("ok"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

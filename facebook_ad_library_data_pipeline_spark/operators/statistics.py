@@ -1,0 +1,200 @@
+"""Robust statistics for pipeline monitoring: MAD-based outlier
+detection and deterministic Poisson-bootstrap confidence intervals —
+the two workhorses of data-drift alerting over a continuously ingested
+corpus (is today's value distribution off? is the metric's movement
+outside its sampling noise?).
+
+Both are exact-arithmetic by construction so the driver can hash them:
+
+- Medians run on integer cents, so every interpolated midpoint is
+  k.0/k.5 — exact in double, identical in Spark's ``percentile`` and
+  DuckDB's ``quantile_cont`` (same p·(n−1) definition).
+- The bootstrap's resample weights are DETERMINISTIC Poisson(1) draws:
+  the portable 60-bit md5 hash (dedup_near.portable_hash60 — Spark
+  ``conv(substring(md5,1,15),16,10)`` ≡ DuckDB
+  ``('0x'||substr(md5,1,15))::BIGINT``) of (event_id, replica) maps to
+  u ∈ [0, 1e9), inverted through the Poisson CDF with PINNED integer
+  thresholds (⌊1e9·P(X≤k)⌋, k=0..4, tail capped at 5). Seeded-noise
+  resampling is the standard trick for REPRODUCIBLE uncertainty in a
+  distributed pipeline — same data, same CI, any engine, any retry.
+
+Scale: the bootstrap explodes B=20 replicas before one (key, replica)
+aggregate — map-side combine absorbs the fan-out, and B is a constant,
+so shuffle volume is B× the group count, not B× the data. The MAD pass
+is two broadcast joins of a per-key stats table (|keys| rows) against
+the fact — never a fact-to-fact shuffle.
+
+Reference anchor: the reference computes plain means in pandas
+(transform_raw_data.py aggregate step) with no robustness or
+uncertainty — this is the beyond-reference monitoring layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .dedup_near import portable_hash60
+
+# ⌊1e9 · P(Poisson(1) ≤ k)⌋ for k = 0..4; u ≥ last ⇒ weight 5 (cap).
+_POIS_CDF = [367879441, 735758882, 919698602, 981011843, 996340153]
+_B = 20  # bootstrap replicas
+
+_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+def _poisson_weight(u9):
+    w = F.lit(5)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u9 < _POIS_CDF[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def _poisson_weight_sql(u9: str) -> str:
+    branches = " ".join(
+        f"WHEN {u9} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+_MAD_ORACLE = f"""
+WITH ev AS (
+    SELECT event_type, {_CENTS} AS cents FROM events
+), med AS (
+    SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+    FROM ev GROUP BY event_type
+), dev AS (
+    SELECT e.event_type, e.cents, m.med_cents,
+           abs(e.cents - m.med_cents) AS adev
+    FROM ev e JOIN med m USING (event_type)
+), mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad_cents
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       any_value(d.med_cents) AS med_cents,
+       any_value(m.mad_cents) AS mad_cents,
+       CAST(sum(CASE WHEN d.adev > 3 * m.mad_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       max(d.adev) AS max_dev
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@query("q_mad_outliers", oracle=_MAD_ORACLE, tags=("stats", "quality", "agg"))
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier census: median + MAD (median absolute
+    deviation) over integer cents, events flagged when their deviation
+    exceeds 3·MAD — the standard robust z-score gate, immune to the
+    outliers it hunts (unlike stddev-based gates). Exact medians over
+    ints make every midpoint k.0/k.5, so Spark and DuckDB agree
+    bit-for-bit and the hash pins the whole procedure. Plan: two
+    per-key stats tables (≤ |event_type| rows) broadcast back against
+    the fact — no fact-to-fact shuffle; three aggregate exchanges on a
+    5-key column."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(_CENTS).alias("cents")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("cents", 0.5).alias("med_cents")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.any_value("med_cents").alias("med_cents"),
+            F.any_value("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.max("adev").alias("max_dev"),
+        )
+    )
+
+
+_BOOT_ORACLE = f"""
+WITH ev AS (
+    SELECT event_id, event_type, {_CENTS} AS cents FROM events
+), rep AS (
+    SELECT e.event_type, b.b, e.cents,
+           {_poisson_weight_sql(
+               "(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':' "
+               "|| CAST(b.b AS VARCHAR)), 1, 15))::BIGINT % 1000000000)"
+           )} AS w
+    FROM ev e
+    CROSS JOIN (SELECT unnest(generate_series(0, {_B - 1})) AS b) b
+), means AS (
+    SELECT event_type, b,
+           CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_b
+    FROM rep GROUP BY event_type, b
+), point AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS DOUBLE) / count(*) AS mean_cents
+    FROM ev GROUP BY event_type
+)
+SELECT p.event_type, p.n, p.mean_cents,
+       min(m.mean_b) AS ci_lo,
+       max(m.mean_b) AS ci_hi,
+       CAST({_B} AS BIGINT) AS n_replicas
+FROM point p JOIN means m USING (event_type)
+GROUP BY p.event_type, p.n, p.mean_cents
+"""
+
+
+@query("q_bootstrap_ci", oracle=_BOOT_ORACLE, tags=("stats", "agg"))
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap of the per-type mean: each
+    (event, replica) pair draws a reproducible Poisson(1) resample
+    weight from the portable md5 hash, 20 replica means bracket the
+    sampling range (min/max envelope), emitted next to the exact point
+    estimate. The oracle replays the hash, the pinned CDF inversion,
+    and every weighted mean, so one flipped weight anywhere in
+    events×20 moves a replica mean and the hash. Plan: explode B=20
+    constant replicas → ONE aggregate on (type, replica) with map-side
+    combine (shuffle rows = 5·20, not |events|·20) → per-type
+    envelope; B is a constant so the plan is scale-free."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.expr(_CENTS).alias("cents")
+    )
+    rep = ev.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(_B - 1)))
+    ).withColumn(
+        "w",
+        _poisson_weight(
+            portable_hash60(
+                F.concat_ws(":", F.col("event_id"), F.col("b"))
+            )
+            % F.lit(1_000_000_000)
+        ),
+    )
+    means = rep.groupBy("event_type", "b").agg(
+        (
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_b")
+    )
+    point = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mean_cents"),
+    )
+    return (
+        point.join(means, "event_type")
+        .groupBy("event_type", "n", "mean_cents")
+        .agg(
+            F.min("mean_b").alias("ci_lo"),
+            F.max("mean_b").alias("ci_hi"),
+            F.lit(_B).cast("long").alias("n_replicas"),
+        )
+    )

@@ -84,6 +84,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.functions.web",
     "facebook_ad_library_data_pipeline_spark.functions.semdedup",
     "facebook_ad_library_data_pipeline_spark.operators.governance",
+    "facebook_ad_library_data_pipeline_spark.operators.statistics",
 ]
 
 
@@ -114,6 +115,9 @@ _PRIORITY = [
     "q_forget_cascade",  # right-to-be-forgotten cascade + orphan reconciliation
     "q_conversation_assembly",  # ordered per-user sequence, md5-pinned order
     "q_semdedup",  # cluster-then-prune semantic dedup, fully SQL-replayed
+    "q_mad_outliers",  # exact median/MAD robust outlier census
+    "q_bootstrap_ci",  # deterministic Poisson-bootstrap mean envelope
+    "q_referential_audit",  # warehouse-wide FK dangling-key audit
     # Queries whose implementation changed this round (stream-sink
     # commit now publishes BEFORE cleaning the prior attempt; batch
     # sink manifest write now atomic tmp+replace) — re-prove:
