@@ -465,3 +465,46 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalized).alias("normalized_fp"),
         (normalized == F.col("original")).alias("restored"),
     )
+
+
+# Content blocklist (C4/RefinedWeb-style "bad words" gate). The list is
+# a deterministic stand-in drawn from the corpus vocabulary; production
+# swaps in the real blocklist. Matching is TOKEN-level (multiplicities
+# count), gate fires when flagged tokens exceed 5% of the document.
+BLOCKLIST = ["slow", "dup", "skew", "spill", "big"]
+_BLOCK_NUM, _BLOCK_DEN = 5, 100  # flagged/total > 5%
+
+_BLOCKLIST_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains({BLOCKLIST!r}, t))) AS BIGINT) AS n_flagged,
+       len(list_filter(string_split(text, ' '),
+           t -> list_contains({BLOCKLIST!r}, t))) * {_BLOCK_DEN}
+           > len(string_split(text, ' ')) * {_BLOCK_NUM} AS blocked
+FROM documents
+"""
+
+
+@query("q_blocklist_filter", oracle=_BLOCKLIST_ORACLE, tags=("llm", "text", "quality"))
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based content gate: per-doc flagged-token count over
+    the broadcast blocklist, blocked when flagged exceeds 5% of tokens
+    (cross-multiplied integers — no float ratio on the verdict path).
+    The dictionary rides as a literal array into a native
+    filter/array_contains projection — shuffle-FREE, one codegen'd
+    stage, the right plan while the dictionary fits in an expression
+    (production 10⁵-term lists move to a broadcast map lookup inside
+    the same projection; an explode + join would shuffle every token
+    of the corpus for no reason). Oracle replays the tokenization,
+    the multiplicity-counting match, and the rational gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    blk = F.array(*[F.lit(t) for t in BLOCKLIST])
+    toks = tokens_col()
+    flagged = F.size(F.filter(toks, lambda t: F.array_contains(blk, t)))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        flagged.cast("long").alias("n_flagged"),
+        (flagged * _BLOCK_DEN > F.size(toks) * _BLOCK_NUM).alias("blocked"),
+    )

@@ -198,3 +198,68 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_B).cast("long").alias("n_replicas"),
         )
     )
+
+
+_AUC_ORACLE = f"""
+WITH ev AS (
+    SELECT {_CENTS} AS cents,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+), s AS (
+    SELECT cents, sum(pos) AS npos, sum(1 - pos) AS nneg
+    FROM ev GROUP BY cents
+), c AS (
+    SELECT npos, nneg,
+           coalesce(sum(nneg) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+    FROM s
+)
+SELECT CAST(sum(npos) AS BIGINT) AS n_pos,
+       CAST(sum(nneg) AS BIGINT) AS n_neg,
+       CAST(sum(npos * (2 * cumneg + nneg)) AS BIGINT) AS u2,
+       CAST(2 * sum(npos) * sum(nneg) AS BIGINT) AS denom,
+       CAST(sum(npos * (2 * cumneg + nneg)) AS DOUBLE)
+           / CAST(2 * sum(npos) * sum(nneg) AS DOUBLE) AS auc
+FROM c
+"""
+
+
+@query("q_rank_auc", oracle=_AUC_ORACLE, tags=("stats", "window", "agg"))
+def q_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed AUC (Mann-Whitney U) of event value as a
+    classifier for the purchase label — the model-eval primitive every
+    training pipeline runs on held-out scores. Tie-aware without
+    enumerating pairs: collapse to DISTINCT scores with per-score
+    pos/neg counts (one shuffle, map-side combine), running negative
+    count below each score, then U·2 = Σ npos·(2·cumneg + nneg) —
+    all int64, ties get exact half credit, AUC emitted as the IEEE
+    division of two pinned integers. The running sum is a
+    single-partition window over the DISTINCT-SCORE table, bounded by
+    the score domain (prices quantize), never the row count — the same
+    shape at 100 TB. The oracle replays the collapse, the running
+    count, and both integers, so a tie mishandled anywhere moves u2."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(_CENTS).alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    s = ev.groupBy("cents").agg(
+        F.sum("pos").alias("npos"), F.sum(1 - F.col("pos")).alias("nneg")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    c = s.withColumn("cumneg", F.coalesce(F.sum("nneg").over(w), F.lit(0)))
+    return c.agg(
+        F.sum("npos").cast("long").alias("n_pos"),
+        F.sum("nneg").cast("long").alias("n_neg"),
+        F.sum(F.col("npos") * (2 * F.col("cumneg") + F.col("nneg")))
+        .cast("long")
+        .alias("u2"),
+        (2 * F.sum("npos") * F.sum("nneg")).cast("long").alias("denom"),
+        (
+            F.sum(F.col("npos") * (2 * F.col("cumneg") + F.col("nneg"))).cast(
+                "double"
+            )
+            / (2 * F.sum("npos") * F.sum("nneg")).cast("double")
+        ).alias("auc"),
+    )

@@ -118,6 +118,8 @@ _PRIORITY = [
     "q_mad_outliers",  # exact median/MAD robust outlier census
     "q_bootstrap_ci",  # deterministic Poisson-bootstrap mean envelope
     "q_referential_audit",  # warehouse-wide FK dangling-key audit
+    "q_blocklist_filter",  # dictionary content gate, shuffle-free token match
+    "q_rank_auc",  # exact tie-aware Mann-Whitney AUC, integer-pinned
     # Queries whose implementation changed this round (stream-sink
     # commit now publishes BEFORE cleaning the prior attempt; batch
     # sink manifest write now atomic tmp+replace) — re-prove:

@@ -57,3 +57,40 @@ def test_mad_midpoints_are_exact_halves(spark):
 
 def test_replica_count_is_scale_free_constant():
     assert _B == 20
+
+
+def test_rank_auc_known_values(spark):
+    """Hand-checkable AUC with a tie: scores pos={3,2}, neg={2,1} →
+    pairs: (3>2)=1, (3>1)=1, (2==2)=.5, (2>1)=1 → U=3.5 of 4 → .875."""
+    import shutil
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from facebook_ad_library_data_pipeline_spark.operators.statistics import (
+        q_rank_auc,
+    )
+
+    d = Path(tempfile.gettempdir()) / f"auc_{uuid.uuid4().hex}"
+    d.mkdir()
+    try:
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array([0, 0, 0, 0], pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+                "event_type": ["purchase", "purchase", "view", "view"],
+                "value": pa.array([0.03, 0.02, 0.02, 0.01], pa.float64()),
+                "props": ["{}", "{}", "{}", "{}"],
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        row = q_rank_auc(spark, str(d)).collect()[0]
+        assert (row.n_pos, row.n_neg) == (2, 2)
+        assert row.u2 == 7 and row.denom == 8  # 2U=7
+        assert row.auc == 0.875
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
