@@ -493,3 +493,112 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", (F.col("off") + F.sum("delta").over(w_day)).alias("conc")
     )
     return run.groupBy("day").agg(F.max("conc").cast("long").alias("max_concurrent"))
+
+
+_WEEK = "CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7"
+_WEEK_SPARK = "CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) div 7"
+
+_COHORT_ORACLE = f"""
+WITH weeks AS (
+    SELECT user_id, {_WEEK} AS wk FROM events
+), cohorts AS (
+    SELECT user_id, min(wk) AS cohort_wk FROM weeks GROUP BY user_id
+), sized AS (
+    SELECT cohort_wk, count(*) AS cohort_n FROM cohorts GROUP BY cohort_wk
+)
+SELECT c.cohort_wk,
+       w.wk - c.cohort_wk AS week_offset,
+       CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active,
+       CAST(any_value(s.cohort_n) AS BIGINT) AS cohort_size,
+       CAST(count(DISTINCT w.user_id) AS DOUBLE)
+           / CAST(any_value(s.cohort_n) AS DOUBLE) AS retention
+FROM weeks w
+JOIN cohorts c USING (user_id)
+JOIN sized s ON s.cohort_wk = c.cohort_wk
+GROUP BY 1, 2
+"""
+
+
+@query("q_cohort_retention", oracle=_COHORT_ORACLE, tags=("timeseries", "agg", "window"))
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by the week of their FIRST event, then distinct-active
+    counts per (cohort, weeks-since) cell with the retention ratio as
+    the IEEE quotient of two pinned integers. Week boundaries are pure
+    integer arithmetic on the epoch (floor(epoch/86400) div 7), so no
+    calendar/locale divergence can split the engines. Plan: one
+    aggregate to find each user's first week (map-side combine), the
+    tiny user→cohort table joins back on user_id, one distinct-count
+    aggregate over ≤ weeks² cells; nothing scales worse than the
+    event scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(_WEEK_SPARK).alias("wk")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sized = cohorts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    return (
+        ev.join(cohorts, "user_id")
+        .join(F.broadcast(sized), "cohort_wk")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.any_value("cohort_n").cast("long").alias("cohort_size"),
+            (
+                F.countDistinct("user_id").cast("double")
+                / F.any_value("cohort_n").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+), pairs AS (
+    SELECT prev_type, event_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+), totals AS (
+    SELECT prev_type, sum(n) AS row_n FROM pairs GROUP BY prev_type
+)
+SELECT p.prev_type, p.event_type,
+       CAST(p.n AS BIGINT) AS n,
+       CAST(t.row_n AS BIGINT) AS row_total,
+       CAST(p.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS prob
+FROM pairs p JOIN totals t USING (prev_type)
+"""
+
+
+@query("q_event_transitions", oracle=_TRANSITION_ORACLE, tags=("timeseries", "window", "agg"))
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: per-user
+    event sequences ordered by (ts, event_id) — the tie-break pinned —
+    lag() pairs, per-(from, to) counts and row-normalized transition
+    probabilities (IEEE quotient of pinned integers). The behavioral
+    twin of the text bigram LM (functions/lm.py), same shuffle shape:
+    one window partition on user_id, one aggregate over |types|² keys.
+    The oracle replays ordering, lag, and both integers."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("row_n").cast("long").alias("row_total"),
+        (F.col("n").cast("double") / F.col("row_n").cast("double")).alias("prob"),
+    )

@@ -120,6 +120,8 @@ _PRIORITY = [
     "q_referential_audit",  # warehouse-wide FK dangling-key audit
     "q_blocklist_filter",  # dictionary content gate, shuffle-free token match
     "q_rank_auc",  # exact tie-aware Mann-Whitney AUC, integer-pinned
+    "q_cohort_retention",  # first-week cohort x offset retention matrix
+    "q_event_transitions",  # first-order Markov matrix of user behavior
     # Queries whose implementation changed this round (stream-sink
     # commit now publishes BEFORE cleaning the prior attempt; batch
     # sink manifest write now atomic tmp+replace) — re-prove:
