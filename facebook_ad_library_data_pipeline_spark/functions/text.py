@@ -508,3 +508,50 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.cast("long").alias("n_flagged"),
         (flagged * _BLOCK_DEN > F.size(toks) * _BLOCK_NUM).alias("blocked"),
     )
+
+
+_COOC_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents
+), pairs AS (
+    SELECT a.tok AS ta, b.tok AS tb, count(*) AS n
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY 1, 2
+)
+SELECT ta AS tok_a, tb AS tok_b, CAST(n AS BIGINT) AS n_docs
+FROM pairs
+ORDER BY n DESC, ta, tb
+LIMIT 20
+"""
+
+
+@query("q_token_cooccurrence", oracle=_COOC_ORACLE, tags=("llm", "text", "join"))
+def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-occurring token pairs across the corpus — the
+    association-mining primitive behind phrase detection, topic seeds,
+    and collocation-aware tokenizers: per-doc DISTINCT token sets,
+    within-doc pairs (lexicographic a < b so each pair counts once),
+    document frequency per pair, deterministic top-k on
+    (count desc, pair asc). Plan: explode distinct tokens → self-join
+    co-partitioned on doc_id (cost Σ per-doc-vocab², never corpus²) →
+    pair aggregate (keys bounded by vocabulary², tiny after map-side
+    combine) → TakeOrderedAndProject. The vocabulary self-join is the
+    same blocked shape as the n-gram inverted index in dedup_near —
+    at 100 TB, per-doc vocab stays bounded (docs have bounded length),
+    so the join output scales linearly with docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.tok") < F.col("b.tok")),
+    ).groupBy(
+        F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    return pairs.orderBy(
+        F.desc("n_docs"), F.asc("tok_a"), F.asc("tok_b")
+    ).limit(20)

@@ -263,3 +263,70 @@ def q_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.sum("npos") * F.sum("nneg")).cast("double")
         ).alias("auc"),
     )
+
+
+_TRIM_PCT = 5  # drop the lowest and highest 5% (floor) per group
+
+_TRIM_ORACLE = f"""
+WITH ev AS (
+    SELECT event_id, event_type, {_CENTS} AS cents FROM events
+), ranked AS (
+    SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM ev
+)
+SELECT event_type,
+       CAST(any_value(n) AS BIGINT) AS n,
+       CAST(any_value(n) // 20 AS BIGINT) AS n_trimmed_each,
+       CAST(sum(CASE WHEN rk > n // 20 AND rk <= n - n // 20
+                     THEN cents ELSE 0 END) AS BIGINT) AS kept_sum,
+       CAST(sum(CASE WHEN rk > n // 20 AND rk <= n - n // 20
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_n,
+       CAST(sum(CASE WHEN rk > n // 20 AND rk <= n - n // 20
+                     THEN cents ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CASE WHEN rk > n // 20 AND rk <= n - n // 20
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS trimmed_mean
+FROM ranked
+GROUP BY event_type
+"""
+
+
+@query("q_trimmed_mean", oracle=_TRIM_ORACLE, tags=("stats", "window", "agg"))
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean per type — the robust location estimate between
+    the mean (outlier-hostage) and the median (throws away data): rank
+    within each type by (cents, event_id) — the tie-break pinned so
+    equal values trim deterministically — drop floor(n/20) rows from
+    each tail, emit the kept sum and count as pinned integers with the
+    trimmed mean their IEEE quotient. One window shuffle on the type
+    key; the trim is a rank predicate, not a second pass. The oracle
+    replays ranking, both cutoffs, and both integers."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.expr(_CENTS).alias("cents")
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = F.floor(F.col("n") / 20)
+    kept = F.when((F.col("rk") > k) & (F.col("rk") <= F.col("n") - k), 1).otherwise(0)
+    return ranked.groupBy("event_type").agg(
+        F.any_value("n").cast("long").alias("n"),
+        F.floor(F.any_value("n") / 20).cast("long").alias("n_trimmed_each"),
+        F.sum(F.when(kept == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("kept_sum"),
+        F.sum(kept).cast("long").alias("kept_n"),
+        (
+            F.sum(F.when(kept == 1, F.col("cents")).otherwise(0)).cast("double")
+            / F.sum(kept).cast("double")
+        ).alias("trimmed_mean"),
+    )

@@ -122,6 +122,8 @@ _PRIORITY = [
     "q_rank_auc",  # exact tie-aware Mann-Whitney AUC, integer-pinned
     "q_cohort_retention",  # first-week cohort x offset retention matrix
     "q_event_transitions",  # first-order Markov matrix of user behavior
+    "q_trimmed_mean",  # rank-trimmed robust mean, pinned integer cutoffs
+    "q_token_cooccurrence",  # within-doc pair mining, deterministic top-k
     # Queries whose implementation changed this round (stream-sink
     # commit now publishes BEFORE cleaning the prior attempt; batch
     # sink manifest write now atomic tmp+replace) — re-prove:
