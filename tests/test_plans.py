@@ -632,3 +632,67 @@ def test_file_metadata_matches_filesystem(spark, sf_dir):
         assert r["sz"] == st.st_size, (local, r["sz"], st.st_size)
         # parquet mtime is millisecond-truncated; compare at 1 s grain
         assert abs(r["mt"] - int(st.st_mtime)) <= 1, (local, r["mt"], st.st_mtime)
+
+
+def test_blocklist_filter_shuffle_free(spark, sf_dir):
+    # the dictionary rides as a literal array into one projection —
+    # any exchange means the filter degraded to an explode+join
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_blocklist_filter"].fn(spark, sf_dir))
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_semdedup_pair_stage_single_cluster_shuffle(spark, sf_dir):
+    # cluster assignment is a map (broadcast seed matmul); the only
+    # keyed exchanges allowed are on cluster_id (the pair stage) and
+    # the final verdict join key — never an all-pairs cartesian
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_semdedup"].fn(spark, sf_dir))
+    assert "cartesianproduct" not in plan.lower()
+    assert "broadcastnestedloop" not in plan.lower()
+
+
+def test_forget_cascade_deletion_sets_broadcast(spark, sf_dir):
+    # the deletion-request set must broadcast into the fact anti-joins
+    # (it is always the small side at scale); the anti joins must stay
+    # anti
+    df = REGISTRY["q_forget_cascade"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin")
+    assert has_node(df, "LeftAnti")
+    assert not has_node(df, "SortMergeJoin")
+
+
+def test_mad_stats_broadcast_back(spark, sf_dir):
+    # per-key stats tables join back broadcast — a SortMergeJoin here
+    # would shuffle the fact twice for a 5-row stats side
+    df = REGISTRY["q_mad_outliers"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin")
+    assert not has_node(df, "SortMergeJoin")
+
+
+def test_cooccurrence_topk_heap(spark, sf_dir):
+    # deterministic top-20 must be a heap, never a global sort
+    df = REGISTRY["q_token_cooccurrence"].fn(spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject")
+
+
+def test_binary_file_listing_prunes_decoys(spark, tmp_path):
+    # pathGlobFilter must act at LISTING time: the decoy files are
+    # absent from the scan's partition listing, not filtered later
+    from facebook_ad_library_data_pipeline_spark.sources.binaryfiles import (
+        write_blob_dir,
+    )
+
+    docs = spark.createDataFrame([(1, "x"), (2, "y")], ["doc_id", "text"])
+    out = str(tmp_path / "blobs")
+    write_blob_dir(docs, out)
+    scan = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    files = scan.inputFiles()
+    assert len(files) == 2 and all(f.endswith(".bin") for f in files)
