@@ -105,6 +105,12 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("cents") - F.col("med_cents"))
     )
+    # dev feeds both the MAD aggregate and the final census —
+    # materialize once instead of re-scanning events per consumer
+    # (the semdedup/_RESULT_CACHE bounded-reuse discipline; at scale
+    # this is a persist of N×3 narrow columns, standard for two-pass
+    # robust statistics)
+    dev = dev.localCheckpoint(eager=True)
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", 0.5).alias("mad_cents")
     )

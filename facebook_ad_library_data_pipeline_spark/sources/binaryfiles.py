@@ -45,7 +45,11 @@ _STRIDE = 97
 def write_blob_dir(docs: DataFrame, out_dir: str) -> None:
     """Land each document's text bytes as doc_<id>.bin — executor-side,
     one file per row, idempotent under task retry (same name, same
-    bytes). Stands in for the upstream blob producer."""
+    bytes). Stands in for the upstream blob producer. out_dir must be
+    visible to every executor AND the driver (local mode, NFS, or a
+    fuse-mounted object store): on a multi-node cluster a node-local
+    path would scatter the blobs across machines and the scan below
+    would silently list only the driver's files."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -62,7 +66,7 @@ def write_blob_dir(docs: DataFrame, out_dir: str) -> None:
 
 
 _BLOB_ORACLE = f"""
-SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS file_name,
+SELECT printf('doc_%08d', doc_id) AS file_name,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS digest,
        TRUE AS size_consistent

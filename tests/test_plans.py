@@ -679,20 +679,6 @@ def test_cooccurrence_topk_heap(spark, sf_dir):
     assert has_node(df, "TakeOrderedAndProject")
 
 
-def test_binary_file_listing_prunes_decoys(spark, tmp_path):
-    # pathGlobFilter must act at LISTING time: the decoy files are
-    # absent from the scan's partition listing, not filtered later
-    from facebook_ad_library_data_pipeline_spark.sources.binaryfiles import (
-        write_blob_dir,
-    )
-
-    docs = spark.createDataFrame([(1, "x"), (2, "y")], ["doc_id", "text"])
-    out = str(tmp_path / "blobs")
-    write_blob_dir(docs, out)
-    scan = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bin")
-        .load(out)
-    )
-    files = scan.inputFiles()
-    assert len(files) == 2 and all(f.endswith(".bin") for f in files)
+# (binaryFile listing-level decoy pruning is asserted in
+# tests/test_web_governance.py::test_binaryfile_glob_excludes_decoys,
+# which shares the same fixture — no separate copy here)

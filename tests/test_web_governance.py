@@ -56,6 +56,10 @@ def test_binaryfile_glob_excludes_decoys(spark, tmp_path):
         .option("pathGlobFilter", "*.bin")
         .load(out)
     )
+    # pruning happens at LISTING time: the decoys never enter the
+    # scan's file list (not merely filtered out of the rows later)
+    files = scan.inputFiles()
+    assert len(files) == 2 and all(f.endswith(".bin") for f in files)
     names = sorted(
         r.name
         for r in scan.select(
