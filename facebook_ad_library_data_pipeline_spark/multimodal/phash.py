@@ -1,0 +1,179 @@
+"""Perceptual image dedup (average-hash): the multimodal member of the
+dedup family — text has exact/MinHash/SimHash, embeddings have
+LSH/SemDeDup, and image corpora dedup on PERCEPTUAL hashes of decoded
+pixels (aHash/pHash/dHash), robust to re-encoding and tiny edits where
+byte digests are not.
+
+aHash here is integer-exact end to end: decode the REAL BMP payload
+(multimodal/bmp.py codec), g3 = r+g+b per pixel (3× the grayscale —
+same ordering, no //3 rounding), 8×8 grid of 4×4-pixel block sums over
+the 32×32 fixture, bit b = [blocksum·64 > total] (cross-multiplied —
+no division), packed into two 32-bit halves (a single 64-bit pack
+would overflow the signed BIGINT at bit 63). Docs sharing both halves
+are perceptual duplicates; keep-lowest-id canonicalization as in every
+other dedup operator.
+
+The fixture makes the dedup REAL: image content is keyed by
+doc_id % 64 (≈ N/64 copies of each distinct image) and every other
+key-group member carries a 3-pixel perturbation (+1 on scattered red
+pixels) — the re-encode-with-noise case perceptual hashing exists
+for. Whether a perturbed variant lands in the same bucket is decided
+by the SAME closed-form arithmetic in both engines, so the oracle
+replays decode-equivalent pixels, block sums, every bit, and the
+group verdicts.
+
+Scale: decode + hash is a pure map (mapInPandas after fan_out — the
+multimodal codec discipline, measured linear in codec_scale_evidence);
+grouping is one shuffle on the 64-bit key. At 100 TB this is exactly
+the production shape: hash every image once, group by hash.
+
+Reference anchor: the reference downloads ad media URLs
+(collect_raw_data.py) but never analyzes payloads; the mandated
+multimodal dedup extends dedup_near.py's family to images.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import fan_out, load_table
+from ..registry import query
+from .bmp import decode_bmp24, encode_bmp24
+
+AH_SIDE = 32  # fixture image side (32×32)
+AH_BLOCK = 4  # 4×4-pixel blocks → 8×8 grid → 64 bits
+AH_KEYS = 64  # distinct images: image_key = doc_id % 64
+AH_PERTURB_MOD = 331  # +1 on red where (y*32+x) % 331 == 0 (4 px)
+
+
+def synth_ahash_pixels(doc_id: int):
+    """Deterministic 32×32 RGB fixture: content keyed by
+    doc_id % AH_KEYS, every other key-group member perturbed by +1 on
+    4 scattered red pixels (the near-duplicate variant)."""
+    import numpy as np
+
+    k = doc_id % AH_KEYS
+    y = np.arange(AH_SIDE).reshape(-1, 1, 1)
+    x = np.arange(AH_SIDE).reshape(1, -1, 1)
+    c = np.arange(3).reshape(1, 1, -1)
+    img = ((k * 7 + y * 31 + x * 13 + c * 5) % 256).astype(np.int32)
+    if (doc_id // AH_KEYS) % 2 == 1:
+        flat = (
+            np.arange(AH_SIDE).reshape(-1, 1) * AH_SIDE
+            + np.arange(AH_SIDE).reshape(1, -1)
+        )
+        img[..., 0] = img[..., 0] + (flat % AH_PERTURB_MOD == 0)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _ahash_rows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import numpy as np
+    import pandas as pd
+
+    grid = AH_SIDE // AH_BLOCK
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            payload = encode_bmp24(synth_ahash_pixels(int(doc_id)))
+            img = decode_bmp24(payload).astype(np.int64)
+            g3 = img.sum(axis=2)  # r+g+b per pixel
+            bsum = (
+                g3.reshape(grid, AH_BLOCK, grid, AH_BLOCK)
+                .sum(axis=(1, 3))
+                .reshape(-1)
+            )  # 64 block sums, row-major (by*8+bx)
+            total = int(g3.sum())
+            bits = (bsum * 64 > total).astype(np.int64)
+            lo = int((bits[:32] << np.arange(32)).sum())
+            hi = int((bits[32:] << np.arange(32)).sum())
+            rows.append(
+                {"doc_id": int(doc_id), "ahash_hi": hi, "ahash_lo": lo}
+            )
+        yield pd.DataFrame(rows)
+
+
+_AHASH_ORACLE = f"""
+WITH px AS (
+    SELECT d.doc_id, d.doc_id % {AH_KEYS} AS k,
+           (d.doc_id // {AH_KEYS}) % 2 AS variant,
+           y.y, x.x
+    FROM documents d,
+         generate_series(0, {AH_SIDE - 1}) AS y(y),
+         generate_series(0, {AH_SIDE - 1}) AS x(x)
+), g AS (
+    SELECT doc_id, (y // {AH_BLOCK}) * 8 + (x // {AH_BLOCK}) AS blk,
+           (k * 7 + y * 31 + x * 13) % 256
+           + (k * 7 + y * 31 + x * 13 + 5) % 256
+           + (k * 7 + y * 31 + x * 13 + 10) % 256
+           + CASE WHEN variant = 1
+                   AND (y * {AH_SIDE} + x) % {AH_PERTURB_MOD} = 0
+                   AND (k * 7 + y * 31 + x * 13) % 256 < 255
+                  THEN 1 ELSE 0 END AS g3
+    FROM px
+), blocks AS (
+    SELECT doc_id, blk, sum(g3) AS bsum FROM g GROUP BY 1, 2
+), totals AS (
+    SELECT doc_id, sum(bsum) AS total FROM blocks GROUP BY 1
+), bits AS (
+    SELECT b.doc_id, b.blk,
+           CASE WHEN b.bsum * 64 > t.total THEN 1 ELSE 0 END AS bit
+    FROM blocks b JOIN totals t USING (doc_id)
+), hashes AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN blk >= 32
+                         THEN bit * (1::BIGINT << (blk - 32))
+                         ELSE 0 END) AS BIGINT) AS ahash_hi,
+           CAST(sum(CASE WHEN blk < 32
+                         THEN bit * (1::BIGINT << blk)
+                         ELSE 0 END) AS BIGINT) AS ahash_lo
+    FROM bits GROUP BY doc_id
+), grouped AS (
+    SELECT ahash_hi, ahash_lo,
+           count(*) AS n_same, min(doc_id) AS canonical
+    FROM hashes GROUP BY 1, 2
+)
+SELECT h.doc_id, h.ahash_hi, h.ahash_lo,
+       CAST(g.n_same AS BIGINT) AS n_same,
+       (h.doc_id = g.canonical) AS is_canonical
+FROM hashes h JOIN grouped g USING (ahash_hi, ahash_lo)
+"""
+
+
+@query("q_image_ahash_dedup", oracle=_AHASH_ORACLE, tags=("llm", "multimodal", "dedup"))
+def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL decoded BMP payloads: per doc,
+    encode the keyed fixture to actual BMP bytes, decode with the
+    pure-numpy codec, compute the 64-bit integer-exact average hash
+    (8×8 block-sum grid, cross-multiplied threshold, two 32-bit
+    halves), then group by hash for duplicate sets with keep-lowest-id
+    canonicalization. The oracle replays the pixels in closed form and
+    every bit of both halves, so a codec defect (stride, BGR, row
+    order), a block indexed column-major, or a threshold off-by-one
+    flips hashes and group verdicts. Plan: pure map for decode+hash
+    (fan_out then mapInPandas, no shuffle), one exchange on the hash
+    key, then the group table joins back (AQE broadcasts it when the
+    distinct-image count fits)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
+    hashes = docs.mapInPandas(
+        _ahash_rows, schema="doc_id long, ahash_hi long, ahash_lo long"
+    )
+    hashes = hashes.localCheckpoint(eager=True)  # feeds group + verdict
+    grouped = hashes.groupBy("ahash_hi", "ahash_lo").agg(
+        F.count(F.lit(1)).alias("n_same"),
+        F.min("doc_id").alias("canonical"),
+    )
+    # no broadcast hint: the group table has one row per DISTINCT
+    # image — tiny here (≤128 fixtures), corpus-sized at 100 TB where
+    # dup rates are low; AQE broadcasts when it actually fits
+    return hashes.join(
+        grouped, ["ahash_hi", "ahash_lo"]
+    ).select(
+        "doc_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.col("n_same").cast("long").alias("n_same"),
+        (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
+    )

@@ -81,6 +81,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.sources.pysource",
     "facebook_ad_library_data_pipeline_spark.sources.binaryfiles",
     "facebook_ad_library_data_pipeline_spark.multimodal.media",
+    "facebook_ad_library_data_pipeline_spark.multimodal.phash",
     "facebook_ad_library_data_pipeline_spark.functions.web",
     "facebook_ad_library_data_pipeline_spark.functions.semdedup",
     "facebook_ad_library_data_pipeline_spark.operators.governance",
@@ -124,6 +125,7 @@ _PRIORITY = [
     "q_event_transitions",  # first-order Markov matrix of user behavior
     "q_trimmed_mean",  # rank-trimmed robust mean, pinned integer cutoffs
     "q_token_cooccurrence",  # within-doc pair mining, deterministic top-k
+    "q_image_ahash_dedup",  # perceptual aHash dedup over decoded BMP pixels
     # Queries whose implementation changed this round (stream-sink
     # commit now publishes BEFORE cleaning the prior attempt; batch
     # sink manifest write now atomic tmp+replace) — re-prove:
