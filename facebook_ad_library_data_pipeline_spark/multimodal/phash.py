@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from ..catalog import fan_out, load_table
 from ..registry import query
 from .bmp import decode_bmp24, encode_bmp24
+from .wav import decode_wav_pcm16, encode_wav_pcm16
 
 AH_SIDE = 32  # fixture image side (32×32)
 AH_BLOCK = 4  # 4×4-pixel blocks → 8×8 grid → 64 bits
@@ -174,6 +175,115 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "ahash_hi",
         "ahash_lo",
+        F.col("n_same").cast("long").alias("n_same"),
+        (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
+    )
+
+
+# ------------------------------------------------- audio envelope hash
+
+AU_KEYS = 32  # distinct waveforms: audio_key = doc_id % 32
+AU_N = 1024  # samples per fixture clip
+AU_WINDOWS = 16  # envelope windows of AU_N/AU_WINDOWS samples
+AU_PERTURB_MOD = 257  # +1 on scattered left samples (the variant)
+
+
+def synth_audio_samples(doc_id: int):
+    """Deterministic stereo int16 fixture keyed by doc_id % AU_KEYS;
+    every other key-group member perturbed by +1 on ~4 left-channel
+    samples (guarded below int16 max — the oracle applies the same
+    guard)."""
+    import numpy as np
+
+    k = doc_id % AU_KEYS
+    i = np.arange(AU_N)
+    l = ((k * 31 + i * 13) % 4096) - 2048
+    r = ((k * 31 + 7 + i * 13) % 4096) - 2048
+    if (doc_id // AU_KEYS) % 2 == 1:
+        l = l + ((i % AU_PERTURB_MOD == 0) & (l < 2047))
+    return np.stack([l, r], axis=1).astype(np.int16)
+
+
+def _audio_hash_rows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import numpy as np
+    import pandas as pd
+
+    win = AU_N // AU_WINDOWS
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            payload = encode_wav_pcm16(synth_audio_samples(int(doc_id)))
+            samples, _rate = decode_wav_pcm16(payload)
+            s = samples.astype(np.int64)
+            energy = (np.abs(s[:, 0]) + np.abs(s[:, 1])).reshape(
+                AU_WINDOWS, win
+            ).sum(axis=1)
+            total = int(energy.sum())
+            bits = (energy * AU_WINDOWS > total).astype(np.int64)
+            ehash = int((bits << np.arange(AU_WINDOWS)).sum())
+            rows.append({"doc_id": int(doc_id), "ehash": ehash})
+        yield pd.DataFrame(rows)
+
+
+_AUDIO_HASH_ORACLE = f"""
+WITH s AS (
+    SELECT d.doc_id,
+           i.i AS i,
+           i.i // {AU_N // AU_WINDOWS} AS w,
+           ((d.doc_id % {AU_KEYS}) * 31 + i.i * 13) % 4096 - 2048 AS l0,
+           ((d.doc_id % {AU_KEYS}) * 31 + 7 + i.i * 13) % 4096 - 2048 AS r
+    FROM documents d, generate_series(0, {AU_N - 1}) AS i(i)
+), p AS (
+    SELECT doc_id, w,
+           l0 + CASE WHEN (doc_id // {AU_KEYS}) % 2 = 1
+                      AND i % {AU_PERTURB_MOD} = 0 AND l0 < 2047
+                     THEN 1 ELSE 0 END AS l,
+           r
+    FROM s
+), wins AS (
+    SELECT doc_id, w, sum(abs(l) + abs(r)) AS energy FROM p GROUP BY 1, 2
+), totals AS (
+    SELECT doc_id, sum(energy) AS total FROM wins GROUP BY 1
+), hashes AS (
+    SELECT w.doc_id,
+           CAST(sum(CASE WHEN w.energy * {AU_WINDOWS} > t.total
+                         THEN 1::BIGINT << w.w ELSE 0 END) AS BIGINT) AS ehash
+    FROM wins w JOIN totals t USING (doc_id)
+    GROUP BY w.doc_id
+), grouped AS (
+    SELECT ehash, count(*) AS n_same, min(doc_id) AS canonical
+    FROM hashes GROUP BY ehash
+)
+SELECT h.doc_id, h.ehash,
+       CAST(g.n_same AS BIGINT) AS n_same,
+       (h.doc_id = g.canonical) AS is_canonical
+FROM hashes h JOIN grouped g USING (ehash)
+"""
+
+
+@query("q_audio_envelope_dedup", oracle=_AUDIO_HASH_ORACLE, tags=("llm", "multimodal", "dedup"))
+def q_audio_envelope_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup over REAL decoded WAV payloads — the
+    audio member of the dedup family (chromaprint's shape at fixture
+    scale): encode the keyed stereo clip to actual RIFF/WAVE PCM16
+    bytes, decode (multimodal/wav.py), hash the 16-window |l|+|r|
+    energy ENVELOPE with the cross-multiplied threshold (window·16 >
+    total — all int64), group hash-equal clips with keep-lowest-id
+    canonicalization. Perturbed variants (+1 on 4 samples) hash into
+    their base's bucket — re-encode robustness, same as the image
+    twin. The oracle replays samples, window energies, every bit, and
+    the verdicts in closed form. Plan: pure map for decode+hash, one
+    exchange on the hash key."""
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
+    hashes = docs.mapInPandas(_audio_hash_rows, schema="doc_id long, ehash long")
+    hashes = hashes.localCheckpoint(eager=True)  # feeds group + verdict
+    grouped = hashes.groupBy("ehash").agg(
+        F.count(F.lit(1)).alias("n_same"),
+        F.min("doc_id").alias("canonical"),
+    )
+    return hashes.join(grouped, "ehash").select(
+        "doc_id",
+        "ehash",
         F.col("n_same").cast("long").alias("n_same"),
         (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
     )

@@ -126,6 +126,7 @@ _PRIORITY = [
     "q_trimmed_mean",  # rank-trimmed robust mean, pinned integer cutoffs
     "q_token_cooccurrence",  # within-doc pair mining, deterministic top-k
     "q_image_ahash_dedup",  # perceptual aHash dedup over decoded BMP pixels
+    "q_audio_envelope_dedup",  # envelope-hash dedup over decoded WAV samples
     # Queries whose implementation changed this round (stream-sink
     # commit now publishes BEFORE cleaning the prior attempt; batch
     # sink manifest write now atomic tmp+replace) — re-prove:
