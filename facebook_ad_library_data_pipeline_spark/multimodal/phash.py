@@ -15,7 +15,7 @@ other dedup operator.
 
 The fixture makes the dedup REAL: image content is keyed by
 doc_id % 64 (≈ N/64 copies of each distinct image) and every other
-key-group member carries a 3-pixel perturbation (+1 on scattered red
+key-group member carries a 4-pixel perturbation (+1 on scattered red
 pixels) — the re-encode-with-noise case perceptual hashing exists
 for. Whether a perturbed variant lands in the same bucket is decided
 by the SAME closed-form arithmetic in both engines, so the oracle
@@ -70,26 +70,35 @@ def synth_ahash_pixels(doc_id: int):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def _ahash_rows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+def ahash(img) -> tuple[int, int]:
+    """Integer-exact 64-bit average hash of an HxWx3 uint8 array,
+    packed as (hi, lo) 32-bit halves. The SINGLE implementation —
+    the query's mapInPandas and the unit pins both call this, so the
+    threshold/bit-pack cannot drift between what ships and what the
+    tests assert."""
     import numpy as np
-    import pandas as pd
 
     grid = AH_SIDE // AH_BLOCK
+    g3 = img.astype(np.int64).sum(axis=2)  # r+g+b per pixel
+    bsum = (
+        g3.reshape(grid, AH_BLOCK, grid, AH_BLOCK)
+        .sum(axis=(1, 3))
+        .reshape(-1)
+    )  # 64 block sums, row-major (by*8+bx)
+    bits = (bsum * 64 > int(g3.sum())).astype(np.int64)
+    lo = int((bits[:32] << np.arange(32)).sum())
+    hi = int((bits[32:] << np.arange(32)).sum())
+    return hi, lo
+
+
+def _ahash_rows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
     for pdf in batches:
         rows = []
         for doc_id in pdf["doc_id"]:
             payload = encode_bmp24(synth_ahash_pixels(int(doc_id)))
-            img = decode_bmp24(payload).astype(np.int64)
-            g3 = img.sum(axis=2)  # r+g+b per pixel
-            bsum = (
-                g3.reshape(grid, AH_BLOCK, grid, AH_BLOCK)
-                .sum(axis=(1, 3))
-                .reshape(-1)
-            )  # 64 block sums, row-major (by*8+bx)
-            total = int(g3.sum())
-            bits = (bsum * 64 > total).astype(np.int64)
-            lo = int((bits[:32] << np.arange(32)).sum())
-            hi = int((bits[32:] << np.arange(32)).sum())
+            hi, lo = ahash(decode_bmp24(payload))
             rows.append(
                 {"doc_id": int(doc_id), "ahash_hi": hi, "ahash_lo": lo}
             )
@@ -204,24 +213,31 @@ def synth_audio_samples(doc_id: int):
     return np.stack([l, r], axis=1).astype(np.int16)
 
 
-def _audio_hash_rows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+def envelope_hash(samples) -> int:
+    """Integer-exact 16-bit energy-envelope hash of an (n, 2) int16
+    sample array. The SINGLE implementation shared by the query and
+    the unit pins (same no-drift contract as ahash())."""
     import numpy as np
+
+    s = samples.astype(np.int64)
+    energy = (np.abs(s[:, 0]) + np.abs(s[:, 1])).reshape(
+        AU_WINDOWS, AU_N // AU_WINDOWS
+    ).sum(axis=1)
+    bits = (energy * AU_WINDOWS > int(energy.sum())).astype(np.int64)
+    return int((bits << np.arange(AU_WINDOWS)).sum())
+
+
+def _audio_hash_rows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
     import pandas as pd
 
-    win = AU_N // AU_WINDOWS
     for pdf in batches:
         rows = []
         for doc_id in pdf["doc_id"]:
             payload = encode_wav_pcm16(synth_audio_samples(int(doc_id)))
             samples, _rate = decode_wav_pcm16(payload)
-            s = samples.astype(np.int64)
-            energy = (np.abs(s[:, 0]) + np.abs(s[:, 1])).reshape(
-                AU_WINDOWS, win
-            ).sum(axis=1)
-            total = int(energy.sum())
-            bits = (energy * AU_WINDOWS > total).astype(np.int64)
-            ehash = int((bits << np.arange(AU_WINDOWS)).sum())
-            rows.append({"doc_id": int(doc_id), "ehash": ehash})
+            rows.append(
+                {"doc_id": int(doc_id), "ehash": envelope_hash(samples)}
+            )
         yield pd.DataFrame(rows)
 
 

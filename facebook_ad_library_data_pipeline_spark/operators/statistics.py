@@ -109,8 +109,11 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize once instead of re-scanning events per consumer
     # (the semdedup/_RESULT_CACHE bounded-reuse discipline; at scale
     # this is a persist of N×3 narrow columns, standard for two-pass
-    # robust statistics)
-    dev = dev.localCheckpoint(eager=True)
+    # robust statistics). cents is dead after adev — drop it before
+    # the snapshot.
+    dev = dev.select("event_type", "med_cents", "adev").localCheckpoint(
+        eager=True
+    )
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", 0.5).alias("mad_cents")
     )

@@ -44,6 +44,10 @@ def shuffle_records(spark) -> int:
     import json
     import urllib.request
 
+    assert spark.sparkContext.uiWebUrl, (
+        "UI disabled — run with SPARK_GRAFT_UI=true (the REST API is "
+        "where the measured shuffle-record counts come from)"
+    )
     app = spark.sparkContext.applicationId
     url = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{app}/stages"
     stages = json.load(urllib.request.urlopen(url))
@@ -86,7 +90,13 @@ def main() -> None:
     import glob
     import shutil
 
-    part = glob.glob(os.path.join(rep_dir, "emb_tmp", "part-*.parquet"))[0]
+    parts = glob.glob(os.path.join(rep_dir, "emb_tmp", "part-*.parquet"))
+    assert len(parts) == 1, (
+        f"expected exactly one part file in {rep_dir}/emb_tmp, "
+        f"found {len(parts)} — coalesce(1) write produced an "
+        "unexpected layout"
+    )
+    part = parts[0]
     shutil.move(part, os.path.join(rep_dir, "embeddings.parquet"))
     shutil.rmtree(os.path.join(rep_dir, "emb_tmp"))
 
