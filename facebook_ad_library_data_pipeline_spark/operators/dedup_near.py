@@ -798,3 +798,71 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_equal") / 32.0, 6).alias("est_jaccard"),
         )
     )
+
+
+# ------------------------------------------------- containment (asymmetric)
+
+CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLE_EXPLODED_SQL}
+SELECT d1 AS contained, d2 AS container,
+       round(inter * 1.0 / sa.n, 6) AS containment
+FROM pairs JOIN sizes sa ON d1 = sa.doc_id
+WHERE inter * 1.0 / sa.n >= {CONTAINMENT_THRESHOLD}
+UNION ALL
+SELECT d2, d1, round(inter * 1.0 / sb.n, 6)
+FROM pairs JOIN sizes sb ON d2 = sb.doc_id
+WHERE inter * 1.0 / sb.n >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@query("q_containment_pairs", oracle=_CONTAINMENT_ORACLE, tags=("llm", "dedup", "neardup"))
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle-set containment |A∩B| / |A| ≥ 0.8
+    — the quote/excerpt signal Jaccard misses (a paragraph lifted into
+    a much longer doc has high containment but low Jaccard, because
+    Jaccard's denominator is the UNION). Directed (contained,
+    container) edges, both directions tested from each undirected
+    candidate pair, same inverted-index plan as q_ngram_jaccard_pairs:
+    one exchange on shingle (df-capped, shuffle_hash — an exploded
+    index never broadcasts), one on the pair key; per-doc sizes ride
+    the explode so no extra size-lookup join. The oracle restates both
+    directed ratios relationally."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = exploded_shingles(docs).localCheckpoint(eager=False)
+    hot = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+    ex = ex.join(hot, "s", "left_anti").localCheckpoint(eager=False)
+    a = ex.alias("a")
+    b = ex.hint("shuffle_hash").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n")).alias("n1"),
+            F.first(F.col("b.n")).alias("n2"),
+        )
+    )
+    c12 = F.col("inter") / F.col("n1")
+    c21 = F.col("inter") / F.col("n2")
+    fwd = pairs.filter(c12 >= CONTAINMENT_THRESHOLD).select(
+        F.col("d1").alias("contained"),
+        F.col("d2").alias("container"),
+        F.round(c12, 6).alias("containment"),
+    )
+    rev = pairs.filter(c21 >= CONTAINMENT_THRESHOLD).select(
+        F.col("d2").alias("contained"),
+        F.col("d1").alias("container"),
+        F.round(c21, 6).alias("containment"),
+    )
+    return fwd.unionByName(rev)

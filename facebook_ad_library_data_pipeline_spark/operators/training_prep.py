@@ -526,3 +526,74 @@ def q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+_NEG_K = 4  # candidates per anchor
+_NEG_STRIDE = 97  # systematic probe stride (prime, never 0 mod corpus sizes)
+
+_NEG_ORACLE = f"""
+WITH n AS (SELECT count(*) AS total FROM embeddings),
+cand AS (
+    SELECT e.vec_id, e.label AS anchor_label,
+           (e.vec_id + j.j * {_NEG_STRIDE}) % n.total AS cand_id
+    FROM embeddings e, n, generate_series(1, {_NEG_K}) AS j(j)
+)
+SELECT c.vec_id,
+       CAST({_NEG_K} AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN t.label <> c.anchor_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_negatives,
+       CAST(sum(CASE WHEN t.label <> c.anchor_label THEN t.vec_id ELSE 0 END)
+            AS BIGINT) AS neg_checksum
+FROM cand c JOIN embeddings t ON t.vec_id = c.cand_id
+GROUP BY c.vec_id
+"""
+
+
+@query("q_negative_sampling", oracle=_NEG_ORACLE, tags=("llm", "training", "embedding"))
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor probes 4 systematic candidates (vec_id + j·97 mod N — the
+    reproducible stand-in for random draws, same property as the
+    portable-hash samplers: any engine, any retry, same negatives) and
+    keeps those with a DIFFERENT label; per anchor the kept count and
+    an id checksum pin exactly which negatives were drawn. Plan: the
+    corpus count broadcasts (1 row), candidates explode K=4 constant
+    rows per anchor, ONE join back on cand_id to fetch candidate
+    labels (the shuffle), one aggregate; K is constant so shuffle
+    volume is K×N rows of 3 ints. The oracle replays the stride
+    arithmetic, the label test, and the checksum."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    total = emb.agg(F.count(F.lit(1)).alias("total"))
+    cand = (
+        emb.crossJoin(F.broadcast(total))
+        .withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))))
+        .select(
+            "vec_id",
+            F.col("label").alias("anchor_label"),
+            ((F.col("vec_id") + F.col("j") * _NEG_STRIDE) % F.col("total")).alias(
+                "cand_id"
+            ),
+        )
+    )
+    tgt = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label")
+    )
+    return (
+        cand.join(tgt, "cand_id")
+        .groupBy("vec_id")
+        .agg(
+            F.lit(_NEG_K).cast("long").alias("n_candidates"),
+            F.sum(
+                F.when(F.col("cand_label") != F.col("anchor_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_negatives"),
+            F.sum(
+                F.when(
+                    F.col("cand_label") != F.col("anchor_label"), F.col("cand_id")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("neg_checksum"),
+        )
+    )

@@ -127,6 +127,8 @@ _PRIORITY = [
     "q_token_cooccurrence",  # within-doc pair mining, deterministic top-k
     "q_image_ahash_dedup",  # perceptual aHash dedup over decoded BMP pixels
     "q_audio_envelope_dedup",  # envelope-hash dedup over decoded WAV samples
+    "q_containment_pairs",  # asymmetric shingle containment (quote/excerpt)
+    "q_negative_sampling",  # deterministic contrastive negatives, checksum-pinned
     # Queries whose implementation changed this round (stream-sink
     # commit now publishes BEFORE cleaning the prior attempt; batch
     # sink manifest write now atomic tmp+replace) — re-prove:
