@@ -303,3 +303,148 @@ def q_audio_envelope_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_same").cast("long").alias("n_same"),
         (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
     )
+
+
+# ------------------------------------------------- video clip fingerprint
+
+VD_KEYS = 24  # distinct clips: video_key = doc_id % 24
+VD_FRAMES = 6  # frames per fixture clip
+VD_SIDE = 16  # frame side (16×16)
+VD_BLOCK = 4  # 4×4 blocks → 4×4 grid → 16 bits per frame
+VD_PERTURB_MOD = 103  # +1 on red where (y*16+x) % 103 == 0, frame 0 only
+
+
+def synth_video_frames(doc_id: int) -> list:
+    """VD_FRAMES deterministic 16×16 RGB frames keyed by
+    doc_id % VD_KEYS; every other key-group member perturbs FRAME 0 by
+    +1 on 3 scattered red pixels (guarded under 255)."""
+    import numpy as np
+
+    k = doc_id % VD_KEYS
+    y = np.arange(VD_SIDE).reshape(-1, 1, 1)
+    x = np.arange(VD_SIDE).reshape(1, -1, 1)
+    c = np.arange(3).reshape(1, 1, -1)
+    frames = []
+    for f in range(VD_FRAMES):
+        img = ((k * 7 + f * 13 + y * 31 + x * 17 + c * 5) % 256).astype(np.int32)
+        if f == 0 and (doc_id // VD_KEYS) % 2 == 1:
+            flat = (
+                np.arange(VD_SIDE).reshape(-1, 1) * VD_SIDE
+                + np.arange(VD_SIDE).reshape(1, -1)
+            )
+            img[..., 0] = img[..., 0] + (
+                (flat % VD_PERTURB_MOD == 0) & (img[..., 0] < 255)
+            )
+        frames.append(img.astype(np.uint8))
+    return frames
+
+
+def frame_hash16(img) -> int:
+    """16-bit average hash of a 16×16×3 frame (4×4 block grid,
+    cross-multiplied threshold) — shared by the query and unit pins."""
+    import numpy as np
+
+    grid = VD_SIDE // VD_BLOCK
+    g3 = img.astype(np.int64).sum(axis=2)
+    bsum = (
+        g3.reshape(grid, VD_BLOCK, grid, VD_BLOCK).sum(axis=(1, 3)).reshape(-1)
+    )
+    bits = (bsum * (grid * grid) > int(g3.sum())).astype(np.int64)
+    return int((bits << np.arange(grid * grid)).sum())
+
+
+def _video_fp_rows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    from .media import decode_video_container, encode_video_container
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            payload = encode_video_container(
+                [encode_bmp24(fr) for fr in synth_video_frames(int(doc_id))]
+            )
+            hashes = [
+                frame_hash16(decode_bmp24(fb))
+                for _idx, fb in decode_video_container(payload)
+            ]
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "clip_sig": "|".join(str(h) for h in hashes),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+_VIDEO_FP_ORACLE = f"""
+WITH px AS (
+    SELECT d.doc_id, d.doc_id % {VD_KEYS} AS k,
+           (d.doc_id // {VD_KEYS}) % 2 AS variant,
+           f.f, y.y, x.x
+    FROM documents d,
+         generate_series(0, {VD_FRAMES - 1}) AS f(f),
+         generate_series(0, {VD_SIDE - 1}) AS y(y),
+         generate_series(0, {VD_SIDE - 1}) AS x(x)
+), g AS (
+    SELECT doc_id, f,
+           (y // {VD_BLOCK}) * {VD_SIDE // VD_BLOCK} + (x // {VD_BLOCK}) AS blk,
+           (k * 7 + f * 13 + y * 31 + x * 17) % 256
+           + (k * 7 + f * 13 + y * 31 + x * 17 + 5) % 256
+           + (k * 7 + f * 13 + y * 31 + x * 17 + 10) % 256
+           + CASE WHEN variant = 1 AND f = 0
+                   AND (y * {VD_SIDE} + x) % {VD_PERTURB_MOD} = 0
+                   AND (k * 7 + f * 13 + y * 31 + x * 17) % 256 < 255
+                  THEN 1 ELSE 0 END AS g3
+    FROM px
+), blocks AS (
+    SELECT doc_id, f, blk, sum(g3) AS bsum FROM g GROUP BY 1, 2, 3
+), totals AS (
+    SELECT doc_id, f, sum(bsum) AS total FROM blocks GROUP BY 1, 2
+), fhash AS (
+    SELECT b.doc_id, b.f,
+           CAST(sum(CASE WHEN b.bsum * 16 > t.total
+                         THEN 1::BIGINT << b.blk ELSE 0 END) AS BIGINT) AS h
+    FROM blocks b JOIN totals t USING (doc_id, f)
+    GROUP BY 1, 2
+), sigs AS (
+    SELECT doc_id,
+           string_agg(CAST(h AS VARCHAR), '|' ORDER BY f) AS clip_sig
+    FROM fhash GROUP BY doc_id
+), grouped AS (
+    SELECT clip_sig, count(*) AS n_same, min(doc_id) AS canonical
+    FROM sigs GROUP BY clip_sig
+)
+SELECT s.doc_id, s.clip_sig,
+       CAST(g.n_same AS BIGINT) AS n_same,
+       (s.doc_id = g.canonical) AS is_canonical
+FROM sigs s JOIN grouped g USING (clip_sig)
+"""
+
+
+@query("q_video_clip_dedup", oracle=_VIDEO_FP_ORACLE, tags=("llm", "multimodal", "dedup"))
+def q_video_clip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO dedup — the third modality (image aHash, audio
+    envelope, now clips): each doc's keyed 6-frame fixture goes
+    through the REAL pipeline (BMP-encode every frame → SGVC container
+    encode → container decode → per-frame BMP decode → 16-bit
+    per-frame average hash), and the clip signature is the ORDERED
+    frame-hash sequence — so a dropped frame, a reordered container
+    walk, or one flipped hash bit changes the signature. Frame-0
+    perturbed variants hash into their base's clip group (re-encode
+    robustness at the clip level). The oracle replays every frame's
+    bits and the ordered join in closed form. Plan: pure map for the
+    codec chain, one exchange on the signature."""
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
+    sigs = docs.mapInPandas(_video_fp_rows, schema="doc_id long, clip_sig string")
+    sigs = sigs.localCheckpoint(eager=True)  # feeds group + verdict
+    grouped = sigs.groupBy("clip_sig").agg(
+        F.count(F.lit(1)).alias("n_same"),
+        F.min("doc_id").alias("canonical"),
+    )
+    return sigs.join(grouped, "clip_sig").select(
+        "doc_id",
+        "clip_sig",
+        F.col("n_same").cast("long").alias("n_same"),
+        (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
+    )

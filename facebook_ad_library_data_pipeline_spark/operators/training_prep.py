@@ -597,3 +597,84 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("neg_checksum"),
         )
     )
+
+
+_MASK_PCT = 15  # mask where portable hash of (doc_id, position) % 100 < 15
+
+_MLM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+), marked AS (
+    SELECT doc_id, pos, tok,
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                            CAST(pos AS VARCHAR)), 1, 15))::BIGINT % 100)
+               < {_MASK_PCT} AS masked
+    FROM toks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(sum(CASE WHEN masked THEN pos ELSE 0 END) AS BIGINT)
+           AS mask_pos_checksum,
+       md5(string_agg(CASE WHEN masked THEN '[MASK]' ELSE tok END, ' '
+                      ORDER BY pos)) AS masked_fp
+FROM marked
+GROUP BY doc_id
+"""
+
+
+@query("q_mlm_masking_plan", oracle=_MLM_ORACLE, tags=("llm", "training", "text"))
+def q_mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MLM masking plan: every (doc, position) draws its
+    mask decision from the portable md5 hash (15% rate) — the
+    reproducible twin of random masking, so a preempted-and-retried
+    prep job masks the SAME positions (the task-retry-determinism
+    property every training-data writer here guarantees). Per doc: the
+    masked count, a position checksum, and the md5 fingerprint of the
+    actual masked sequence ('[MASK]' substituted in order) — the
+    oracle rebuilds the sequence with ORDER BY inside the aggregate,
+    so one flipped decision or a position swap changes the
+    fingerprint. Plan: posexplode → hash projection (JVM-side md5) →
+    one groupBy(doc_id) with an in-group sort — the conversation-
+    assembly shape; no joins, no driver state."""
+    from ..operators.dedup_near import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    marked = toks.withColumn(
+        "masked",
+        (
+            portable_hash60(
+                F.concat_ws(":", F.col("doc_id"), F.col("pos"))
+            )
+            % 100
+        )
+        < _MASK_PCT,
+    )
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "pos",
+                F.when(F.col("masked"), F.lit("[MASK]"))
+                .otherwise(F.col("tok"))
+                .alias("out"),
+            )
+        )
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("masked"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_masked"),
+        F.sum(F.when(F.col("masked"), F.col("pos")).otherwise(0))
+        .cast("long")
+        .alias("mask_pos_checksum"),
+        F.md5(F.array_join(F.transform(seq, lambda x: x["out"]), " ")).alias(
+            "masked_fp"
+        ),
+    )

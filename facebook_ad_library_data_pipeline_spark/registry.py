@@ -129,6 +129,8 @@ _PRIORITY = [
     "q_audio_envelope_dedup",  # envelope-hash dedup over decoded WAV samples
     "q_containment_pairs",  # asymmetric shingle containment (quote/excerpt)
     "q_negative_sampling",  # deterministic contrastive negatives, checksum-pinned
+    "q_mlm_masking_plan",  # portable-hash MLM mask plan, sequence-fp pinned
+    "q_video_clip_dedup",  # ordered per-frame hash clip fingerprint dedup
     # Queries whose implementation changed this round (stream-sink
     # commit now publishes BEFORE cleaning the prior attempt; batch
     # sink manifest write now atomic tmp+replace) — re-prove:

@@ -51,3 +51,20 @@ def test_audio_envelope_robust_and_roundtrip():
     decoded, rate = decode_wav_pcm16(encode_wav_pcm16(base))
     assert np.array_equal(decoded, base) and rate == 8000
     assert envelope_hash(decoded) == envelope_hash(base)
+
+
+def test_video_clip_signature_robust_and_ordered():
+    """Frame-0 perturbation must not change the clip signature; frame
+    ORDER must (the signature pins the sequence, not the set)."""
+    from facebook_ad_library_data_pipeline_spark.multimodal.phash import (
+        VD_KEYS,
+        frame_hash16,
+        synth_video_frames,
+    )
+
+    base = [frame_hash16(f) for f in synth_video_frames(3)]
+    variant = [frame_hash16(f) for f in synth_video_frames(3 + VD_KEYS)]
+    other = [frame_hash16(f) for f in synth_video_frames(4)]
+    assert base == variant  # perturbed frame 0 hashes identically
+    assert base != other
+    assert "|".join(map(str, base)) != "|".join(map(str, reversed(base)))
