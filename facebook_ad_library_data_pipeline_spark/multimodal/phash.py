@@ -70,22 +70,30 @@ def synth_ahash_pixels(doc_id: int):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def ahash(img) -> tuple[int, int]:
-    """Integer-exact 64-bit average hash of an HxWx3 uint8 array,
-    packed as (hi, lo) 32-bit halves. The SINGLE implementation —
-    the query's mapInPandas and the unit pins both call this, so the
-    threshold/bit-pack cannot drift between what ships and what the
-    tests assert."""
+def block_bits(img, block: int):
+    """Row-major average-hash bit vector of an HxWx3 uint8 array: g3 =
+    r+g+b per pixel, (side/block)² block sums, bit = blocksum·n_blocks
+    > total (cross-multiplied — no division). The ONE threshold/
+    blocking implementation behind the image aHash AND the per-frame
+    video hash, so a tweak (e.g. > vs >=) can never drift between
+    modalities — only the bit PACKING differs per caller."""
     import numpy as np
 
-    grid = AH_SIDE // AH_BLOCK
+    grid = img.shape[0] // block
     g3 = img.astype(np.int64).sum(axis=2)  # r+g+b per pixel
     bsum = (
-        g3.reshape(grid, AH_BLOCK, grid, AH_BLOCK)
-        .sum(axis=(1, 3))
-        .reshape(-1)
-    )  # 64 block sums, row-major (by*8+bx)
-    bits = (bsum * 64 > int(g3.sum())).astype(np.int64)
+        g3.reshape(grid, block, grid, block).sum(axis=(1, 3)).reshape(-1)
+    )  # block sums, row-major (by*grid+bx)
+    return (bsum * (grid * grid) > int(g3.sum())).astype(np.int64)
+
+
+def ahash(img) -> tuple[int, int]:
+    """Integer-exact 64-bit average hash of a 32×32×3 array, packed as
+    (hi, lo) 32-bit halves. Shared by the query's mapInPandas and the
+    unit pins (no-drift contract)."""
+    import numpy as np
+
+    bits = block_bits(img, AH_BLOCK)
     lo = int((bits[:32] << np.arange(32)).sum())
     hi = int((bits[32:] << np.arange(32)).sum())
     return hi, lo
@@ -340,17 +348,12 @@ def synth_video_frames(doc_id: int) -> list:
 
 
 def frame_hash16(img) -> int:
-    """16-bit average hash of a 16×16×3 frame (4×4 block grid,
-    cross-multiplied threshold) — shared by the query and unit pins."""
+    """16-bit average hash of a 16×16×3 frame — same block_bits core
+    as the image aHash, 16-bit pack."""
     import numpy as np
 
-    grid = VD_SIDE // VD_BLOCK
-    g3 = img.astype(np.int64).sum(axis=2)
-    bsum = (
-        g3.reshape(grid, VD_BLOCK, grid, VD_BLOCK).sum(axis=(1, 3)).reshape(-1)
-    )
-    bits = (bsum * (grid * grid) > int(g3.sum())).astype(np.int64)
-    return int((bits << np.arange(grid * grid)).sum())
+    bits = block_bits(img, VD_BLOCK)
+    return int((bits << np.arange(bits.size)).sum())
 
 
 def _video_fp_rows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -91,25 +91,17 @@ def exploded_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_pairs(
-    docs: DataFrame, threshold: float, max_shingle_df: int | None = SHINGLE_DF_CAP
+def candidate_pairs(
+    docs: DataFrame, max_shingle_df: int | None = SHINGLE_DF_CAP
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for all pairs sharing ≥1 non-hot
-    shingle. Shuffle plan: one exchange on shingle for the df cap (the
-    anti-join reuses that partitioning for the self-join), one on the
-    pair key (the count) — nothing else.
+    """(d1, d2, inter, n1, n2): the pre-threshold candidate pipeline
+    shared by Jaccard AND containment scoring — ONE implementation so
+    the cap/hint/join shape cannot drift between the two metrics.
 
-    ``max_shingle_df`` bounds each shingle's candidate contribution to
-    C(cap, 2) pairs — the guard that keeps one viral shingle from
-    making the self-join quadratic in corpus size. The Jaccard
-    denominator stays the doc's FULL distinct-shingle count (``n`` is
-    carried from before the cap), so capping only lowers scores of
-    pairs whose overlap was hot-shingle-only; it can never promote a
-    below-threshold pair. None disables the cap."""
-    # Materialize the inverted index ONCE: a self-join otherwise
-    # recomputes the tokenize→shingle→distinct→explode lineage for each
-    # side (2× the CPU of the whole index build). localCheckpoint keeps
-    # it executor-local (memory+disk), no driver roundtrip.
+    Materialize the inverted index ONCE: a self-join otherwise
+    recomputes the tokenize→shingle→distinct→explode lineage for each
+    side (2× the CPU of the whole index build). localCheckpoint keeps
+    it executor-local (memory+disk), no driver roundtrip."""
     ex = exploded_shingles(docs).localCheckpoint(eager=False)
     if max_shingle_df is not None:
         hot = (
@@ -129,7 +121,7 @@ def jaccard_pairs(
     # large broadcasts thrash the driver (profiled: default BHJ degraded
     # 14s→153s across runs; shuffle-hash stayed 2-15s).
     b = ex.hint("shuffle_hash").alias("b")
-    pairs = (
+    return (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(
@@ -138,6 +130,24 @@ def jaccard_pairs(
             F.first(F.col("b.n")).alias("n2"),
         )
     )
+
+
+def jaccard_pairs(
+    docs: DataFrame, threshold: float, max_shingle_df: int | None = SHINGLE_DF_CAP
+) -> DataFrame:
+    """Exact shingle-set Jaccard for all pairs sharing ≥1 non-hot
+    shingle. Shuffle plan: one exchange on shingle for the df cap (the
+    anti-join reuses that partitioning for the self-join), one on the
+    pair key (the count) — nothing else.
+
+    ``max_shingle_df`` bounds each shingle's candidate contribution to
+    C(cap, 2) pairs — the guard that keeps one viral shingle from
+    making the self-join quadratic in corpus size. The Jaccard
+    denominator stays the doc's FULL distinct-shingle count (``n`` is
+    carried from before the cap), so capping only lowers scores of
+    pairs whose overlap was hot-shingle-only; it can never promote a
+    below-threshold pair. None disables the cap."""
+    pairs = candidate_pairs(docs, max_shingle_df)
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
     return pairs.filter(jac >= threshold).select(
         "d1", "d2", F.round(jac, 6).alias("jaccard")
@@ -164,6 +174,24 @@ def shared_jaccard_pairs(
         docs = load_table(spark, sf_dir, "documents")
         df = jaccard_pairs(docs, threshold).localCheckpoint(eager=False)
         _EDGE_CACHE[key] = df
+    return df
+
+
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached pre-threshold candidate pairs over the documents
+    table — the same one-copy-per-session discipline as
+    shared_jaccard_pairs, so a session scoring BOTH Jaccard and
+    containment builds the inverted index and runs the pair self-join
+    once."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PAIR_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = candidate_pairs(docs).localCheckpoint(eager=False)
+        _PAIR_CACHE[key] = df
     return df
 
 
@@ -829,30 +857,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index never broadcasts), one on the pair key; per-doc sizes ride
     the explode so no extra size-lookup join. The oracle restates both
     directed ratios relationally."""
-    docs = load_table(spark, sf_dir, "documents")
-    ex = exploded_shingles(docs).localCheckpoint(eager=False)
-    hot = (
-        ex.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > SHINGLE_DF_CAP)
-        .select("s")
-    )
-    ex = ex.join(hot, "s", "left_anti").localCheckpoint(eager=False)
-    a = ex.alias("a")
-    b = ex.hint("shuffle_hash").alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first(F.col("a.n")).alias("n1"),
-            F.first(F.col("b.n")).alias("n2"),
-        )
-    )
+    pairs = shared_candidate_pairs(spark, sf_dir)
     c12 = F.col("inter") / F.col("n1")
     c21 = F.col("inter") / F.col("n2")
     fwd = pairs.filter(c12 >= CONTAINMENT_THRESHOLD).select(

@@ -528,8 +528,13 @@ def q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEG_K = 4  # candidates per anchor
-_NEG_STRIDE = 97  # systematic probe stride (prime, never 0 mod corpus sizes)
+_NEG_K = 4  # probes per anchor
+# Systematic probe stride. NOT self-collision-proof for every corpus
+# size (j·97 ≡ 0 mod N whenever 97 | N) and id-space probing can MISS
+# when vec_ids are sparse — so the aggregate below counts what was
+# actually FOUND (left join, self-probes excluded) instead of claiming
+# _NEG_K; n_candidates is the honest denominator a loss function needs.
+_NEG_STRIDE = 97
 
 _NEG_ORACLE = f"""
 WITH n AS (SELECT count(*) AS total FROM embeddings),
@@ -539,12 +544,13 @@ cand AS (
     FROM embeddings e, n, generate_series(1, {_NEG_K}) AS j(j)
 )
 SELECT c.vec_id,
-       CAST({_NEG_K} AS BIGINT) AS n_candidates,
-       CAST(sum(CASE WHEN t.label <> c.anchor_label THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_negatives,
-       CAST(sum(CASE WHEN t.label <> c.anchor_label THEN t.vec_id ELSE 0 END)
-            AS BIGINT) AS neg_checksum
-FROM cand c JOIN embeddings t ON t.vec_id = c.cand_id
+       CAST(sum(CASE WHEN t.vec_id IS NOT NULL AND c.cand_id <> c.vec_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN c.cand_id <> c.vec_id AND t.label <> c.anchor_label
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_negatives,
+       CAST(sum(CASE WHEN c.cand_id <> c.vec_id AND t.label <> c.anchor_label
+                     THEN t.vec_id ELSE 0 END) AS BIGINT) AS neg_checksum
+FROM cand c LEFT JOIN embeddings t ON t.vec_id = c.cand_id
 GROUP BY c.vec_id
 """
 
@@ -555,13 +561,17 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor probes 4 systematic candidates (vec_id + j·97 mod N — the
     reproducible stand-in for random draws, same property as the
     portable-hash samplers: any engine, any retry, same negatives) and
-    keeps those with a DIFFERENT label; per anchor the kept count and
-    an id checksum pin exactly which negatives were drawn. Plan: the
-    corpus count broadcasts (1 row), candidates explode K=4 constant
-    rows per anchor, ONE join back on cand_id to fetch candidate
-    labels (the shuffle), one aggregate; K is constant so shuffle
-    volume is K×N rows of 3 ints. The oracle replays the stride
-    arithmetic, the label test, and the checksum."""
+    keeps those with a DIFFERENT label; per anchor the count of
+    candidates actually FOUND (self-probes and ids absent from the
+    corpus excluded — id-space probing over a sparse post-filter
+    corpus legitimately misses, and the report must say so, not claim
+    K) plus an id checksum pinning exactly which negatives were drawn.
+    Plan: the corpus count broadcasts (1 row), candidates explode K=4
+    constant rows per anchor, ONE left join back on cand_id to fetch
+    candidate labels (the shuffle), one aggregate; K is constant so
+    shuffle volume is K×N rows of 3 ints. The oracle replays the
+    stride arithmetic, the found/self exclusions, the label test, and
+    the checksum."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     total = emb.agg(F.count(F.lit(1)).alias("total"))
     cand = (
@@ -578,21 +588,23 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = emb.select(
         F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label")
     )
+    found = F.col("cand_label").isNotNull() & (
+        F.col("cand_id") != F.col("vec_id")
+    )
+    is_neg = (F.col("cand_id") != F.col("vec_id")) & (
+        F.col("cand_label") != F.col("anchor_label")
+    )
     return (
-        cand.join(tgt, "cand_id")
+        cand.join(tgt, "cand_id", "left")
         .groupBy("vec_id")
         .agg(
-            F.lit(_NEG_K).cast("long").alias("n_candidates"),
-            F.sum(
-                F.when(F.col("cand_label") != F.col("anchor_label"), 1).otherwise(0)
-            )
+            F.sum(F.when(found, 1).otherwise(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.sum(F.when(is_neg, 1).otherwise(0))
             .cast("long")
             .alias("n_negatives"),
-            F.sum(
-                F.when(
-                    F.col("cand_label") != F.col("anchor_label"), F.col("cand_id")
-                ).otherwise(0)
-            )
+            F.sum(F.when(is_neg, F.col("cand_id")).otherwise(0))
             .cast("long")
             .alias("neg_checksum"),
         )
