@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load_table
 from ..registry import query
+from .similarity import QUERY_VEC_ID, _emb_double, cosine
 from .text import tokens_col
 
 # Fixed query: one rare term ("dup" — df≈2.6% of docs) so the ranking
@@ -56,8 +57,10 @@ _CONTRIB_SQL = f"""
                  * ({1.0 - BM25_B} + {BM25_B} * dl.dl / n.avgdl)))
 """
 
-_BM25_ORACLE = f"""
-WITH toks AS (
+# CTE chain through `scored` (doc_id, score) — shared by the BM25
+# top-k oracle and the q_rank_fusion oracle so the lexical scorer can
+# never drift between the standalone and fused rankings.
+_BM25_CTES = f"""toks AS (
     SELECT doc_id, s.tok AS term
     FROM documents, unnest(string_split(text, ' ')) AS s(tok)
 ),
@@ -92,7 +95,10 @@ scored AS (
                   + coalesce(sum(CASE WHEN term = 'stream' THEN c END), 0))
                  * 1000000.0 + 0.5) / 1000000 AS score
     FROM contrib GROUP BY doc_id
-)
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_CTES}
 SELECT doc_id, score,
        row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
 FROM scored
@@ -101,15 +107,10 @@ LIMIT {BM25_TOPK}
 """
 
 
-@query("q_bm25_topk", oracle=_BM25_ORACLE, tags=("llm", "text", "topk", "ir"))
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 documents for a fixed 3-term query under BM25
-    (k1=1.2, b=0.75) with the rational idf (see module docstring).
-    Each CASE-summed conditional aggregate sees exactly one row per
-    (doc, term) — after the TF grouping a term appears at most once per
-    doc — so no float accumulation-order is ever exercised; the three
-    per-term contributions are then added in fixed textual order,
-    matching the oracle character-for-character."""
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score): the BM25 scorer shared by q_bm25_topk and
+    q_rank_fusion — ONE implementation, like the oracle's shared
+    _BM25_CTES, so the two rankings cannot desynchronize."""
     docs = load_table(spark, sf_dir, "documents")
     toks = fan_out(docs).select("doc_id", F.explode(tokens_col()).alias("term"))
     # Document length is size(split(text)) — a per-row projection, NOT
@@ -157,9 +158,21 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = per_term[0]
     for p in per_term[1:]:
         total = total + p
-    scored = contrib.groupBy("doc_id").agg(
+    return contrib.groupBy("doc_id").agg(
         (F.floor(total * 1000000.0 + F.lit(0.5)) / 1000000).alias("score")
     )
+
+
+@query("q_bm25_topk", oracle=_BM25_ORACLE, tags=("llm", "text", "topk", "ir"))
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a fixed 3-term query under BM25
+    (k1=1.2, b=0.75) with the rational idf (see module docstring).
+    Each CASE-summed conditional aggregate sees exactly one row per
+    (doc, term) — after the TF grouping a term appears at most once per
+    doc — so no float accumulation-order is ever exercised; the three
+    per-term contributions are then added in fixed textual order,
+    matching the oracle character-for-character."""
+    scored = bm25_scored(spark, sf_dir)
     return (
         scored.select(
             "doc_id",
@@ -171,3 +184,114 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_TOPK)
     )
+
+
+# --------------------------------------------- reciprocal-rank fusion
+
+# RRF (Cormack et al., SIGIR'09): fuse a lexical and a dense ranking
+# by summing 1/(k + rank) over the lists each document appears in.
+# k=60 is the canonical constant. Hash-exactness: each reciprocal is
+# ONE IEEE division of pinned integers and the fusion is ONE addition
+# in fixed textual order (lexical term first) — correctly rounded and
+# engine-independent, the q_top_terms/no-libm rule.
+RRF_K = 60
+RRF_DEPTH = 20  # fuse the top-20 of each retriever
+
+_RRF_ORACLE = f"""
+WITH {_BM25_CTES},
+bm AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank_bm25
+    FROM (SELECT doc_id, score FROM scored
+          ORDER BY score DESC, doc_id LIMIT {RRF_DEPTH})
+),
+cs AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank_cos
+    FROM (SELECT e.vec_id AS doc_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                              q.embedding::DOUBLE[]), 6)
+                     AS cos_sim
+          FROM embeddings e
+          CROSS JOIN (SELECT embedding FROM embeddings
+                      WHERE vec_id = {QUERY_VEC_ID}) q
+          WHERE e.vec_id <> {QUERY_VEC_ID}
+          ORDER BY cos_sim DESC, e.vec_id LIMIT {RRF_DEPTH})
+),
+fused AS (
+    SELECT coalesce(bm.doc_id, cs.doc_id) AS doc_id, rank_bm25, rank_cos,
+           coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + rank_bm25),
+                    CAST(0 AS DOUBLE))
+           + coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + rank_cos),
+                      CAST(0 AS DOUBLE)) AS rrf_score
+    FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id
+)
+SELECT doc_id, rank_bm25, rank_cos, rrf_score,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
+FROM fused
+ORDER BY fused_rank
+"""
+
+
+@query("q_rank_fusion", oracle=_RRF_ORACLE, tags=("llm", "ir", "similarity", "topk", "ranking"))
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of BM25 (the fixed 3-term query, shared
+    scorer ``bm25_scored``) and dense cosine retrieval (query vector
+    QUERY_VEC_ID, the q_embedding_topk scorer) at depth 20 — the
+    hybrid-retrieval step an eval-set/RAG pipeline runs to combine
+    lexical and semantic evidence. Emits both source ranks (NULL when
+    a doc appears in only one list), the fused score, and the final
+    rank with deterministic tie-break.
+
+    Plan shape at scale: each retriever ends in TakeOrderedAndProject
+    (top-20, no global sort); the row_number windows and the full
+    outer join run over the two 20-row lists — constant-size, so the
+    fusion itself is free at any corpus size. The oracle replays both
+    rankings (sharing the BM25 CTE chain) and both reciprocals."""
+    _QID = QUERY_VEC_ID
+    bm_top = (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+    )
+    bm = bm_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank_bm25"),
+    )
+    emb = _emb_double(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == _QID).select(F.col("emb").alias("q_emb"))
+    cos_top = (
+        emb.filter(F.col("vec_id") != _QID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+    )
+    cs = cos_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("doc_id")))
+        .alias("rank_cos"),
+    )
+    fused = bm.join(cs, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_bm25",
+        "rank_cos",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_bm25")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_cos")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    return fused.withColumn(
+        "fused_rank",
+        F.row_number().over(Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))),
+    ).orderBy("fused_rank")

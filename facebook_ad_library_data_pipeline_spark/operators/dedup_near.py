@@ -46,7 +46,12 @@ JACCARD_THRESHOLD = 0.6
 # orders of magnitude below this, so test/oracle results are unchanged.
 SHINGLE_DF_CAP = 512
 
-_SHINGLE_EXPLODED_SQL = """
+# The exk CTE replays candidate_pairs' SHINGLE_DF_CAP hot-shingle
+# exclusion (r12 ADVICE: the cap is above any testdata df, but the
+# oracle must replay it so a df-crossing fixture can never flip the
+# hash — `inter` is capped on BOTH sides; `sizes` stays UNcapped,
+# matching the Spark side carrying n from before the cap).
+_SHINGLE_EXPLODED_SQL = f"""
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT doc_id,
                   CASE WHEN len(t) >= 3
@@ -56,8 +61,10 @@ _SHINGLE_EXPLODED_SQL = """
            FROM toks),
     ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
     sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    exk AS (SELECT doc_id, s FROM ex
+            QUALIFY count(*) OVER (PARTITION BY s) <= {SHINGLE_DF_CAP}),
     pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
 """
 

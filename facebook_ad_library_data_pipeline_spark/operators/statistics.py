@@ -144,8 +144,12 @@ WITH ev AS (
     FROM ev e
     CROSS JOIN (SELECT unnest(generate_series(0, {_B - 1})) AS b) b
 ), means AS (
+    -- NULLIF guards the (probability e^-n, but unguarded) all-zero
+    -- replica: DuckDB's IEEE float 0/0 is NaN while Spark's is NULL;
+    -- pin the degenerate case to NULL in BOTH engines (r12 ADVICE).
     SELECT event_type, b,
-           CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_b
+           CAST(sum(w * cents) AS DOUBLE)
+               / CAST(NULLIF(sum(w), 0) AS DOUBLE) AS mean_b
     FROM rep GROUP BY event_type, b
 ), point AS (
     SELECT event_type,
@@ -188,10 +192,13 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             % F.lit(1_000_000_000)
         ),
     )
+    # nullif mirrors the oracle's NULLIF(sum(w),0): an all-zero-weight
+    # replica (probability e^-n per replica) is NULL in both engines
+    # instead of Spark-NULL vs DuckDB-NaN.
     means = rep.groupBy("event_type", "b").agg(
         (
             F.sum(F.col("w") * F.col("cents")).cast("double")
-            / F.sum("w").cast("double")
+            / F.nullif(F.sum("w"), F.lit(0)).cast("double")
         ).alias("mean_b")
     )
     point = ev.groupBy("event_type").agg(

@@ -585,10 +585,15 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # found_id is the joined row's own key, NOT its label: label is a
+    # nullable column, so a NULL-labeled candidate must still count as
+    # FOUND (mirrors the oracle's `t.vec_id IS NOT NULL`; r12 ADVICE).
     tgt = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label")
+        F.col("vec_id").alias("cand_id"),
+        F.col("vec_id").alias("found_id"),
+        F.col("label").alias("cand_label"),
     )
-    found = F.col("cand_label").isNotNull() & (
+    found = F.col("found_id").isNotNull() & (
         F.col("cand_id") != F.col("vec_id")
     )
     is_neg = (F.col("cand_id") != F.col("vec_id")) & (

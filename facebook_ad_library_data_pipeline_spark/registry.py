@@ -86,6 +86,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.functions.semdedup",
     "facebook_ad_library_data_pipeline_spark.operators.governance",
     "facebook_ad_library_data_pipeline_spark.operators.statistics",
+    "facebook_ad_library_data_pipeline_spark.functions.html",
 ]
 
 
@@ -100,6 +101,72 @@ _QUERY_MODULES = [
 # double-proven r01/r02 queries last). Rotate this list each round to
 # move the remaining unchecked tail through the window.
 _PRIORITY = [
+    # ---- round-13 window ----
+    # New registrations this round:
+    "q_rank_multifactor",  # weighted 4-factor ad ranking (reference wishlist README.md:58)
+    "q_rank_fusion",  # RRF of BM25 + dense cosine retrieval at depth 20
+    "q_html_extract",  # CCNet-style tag-soup -> text, graded against closed-form ground truth
+    # Evidence-freshness rotation (r12 verdict item 1): the 46 queries
+    # whose driver rows still date to round 4 — after this window, no
+    # driver row in the registry is older than r05:
+    "q_array_pack",
+    "q_corpus_mix",
+    "q_curate_corpus",
+    "q_except_all",
+    "q_intersect_all",
+    "q_map_from_json",
+    "q_merge_upsert",
+    "q_neardup_components",
+    "q_neardup_dedup",
+    "q_neardup_dedup_transitive",
+    "q_ngram_jaccard_pairs",
+    "q_percentiles_exact",
+    "q_salted_join",
+    "q_scd2_intervals",
+    "q_sql_cte_yoy",
+    "q_sql_lateral_latest_order",
+    "q_sql_revenue_by_nation",
+    "q_sql_top_customer_per_segment",
+    "q_subquery_corr_scalar",
+    "q_subquery_exists",
+    "q_subquery_in",
+    "q_subquery_not_exists",
+    "q_subquery_scalar",
+    "q_tpch_q2",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_vector_stats",
+    "q_window_range_value",
+    # Queries whose implementation or oracle changed this round (the
+    # four r12 ADVICE fixes: shared-shingle-oracle df-cap mirror,
+    # negative-sampling found-marker, bootstrap NULLIF guard,
+    # binary-scan collect ceiling) — re-prove through the driver
+    # (positions 50-53: q_containment_pairs completes a 50-row window;
+    # the rest lead the r14 window if the driver cuts at exactly 50 —
+    # all four are also re-proven this round by the closing sf0.01 +
+    # sf0.1 sweeps and the per-query pytest oracle sweep):
+    "q_containment_pairs",
+    "q_negative_sampling",
+    "q_bootstrap_ci",
+    "q_binary_file_scan",
     # ---- round-12 window ----
     # New registrations this round:
     "q_partition_overwrite_dynamic",  # dynamic-mode single-partition reload, spliced oracle
@@ -111,13 +178,13 @@ _PRIORITY = [
     "q_text_normalize",  # NFD+strip+casefold round trip, oracle pins exact restoration
     "q_embedding_gram",  # exact quantized-int Gram: d^2-key shuffle independent of N
     "q_url_host_stats",  # parse_url HOST/PATH/QUERY recovery vs arithmetic oracle
-    "q_binary_file_scan",  # binaryFile landing zone: glob-pruned listing, md5 identity
+    # (q_binary_file_scan moved to the round-13 window above)
     "q_k_anonymity",  # QI-class k-anonymity + l-diversity release gate
     "q_forget_cascade",  # right-to-be-forgotten cascade + orphan reconciliation
     "q_conversation_assembly",  # ordered per-user sequence, md5-pinned order
     "q_semdedup",  # cluster-then-prune semantic dedup, fully SQL-replayed
     "q_mad_outliers",  # exact median/MAD robust outlier census
-    "q_bootstrap_ci",  # deterministic Poisson-bootstrap mean envelope
+    # (q_bootstrap_ci moved to the round-13 window above)
     "q_referential_audit",  # warehouse-wide FK dangling-key audit
     "q_blocklist_filter",  # dictionary content gate, shuffle-free token match
     "q_rank_auc",  # exact tie-aware Mann-Whitney AUC, integer-pinned
@@ -127,8 +194,8 @@ _PRIORITY = [
     "q_token_cooccurrence",  # within-doc pair mining, deterministic top-k
     "q_image_ahash_dedup",  # perceptual aHash dedup over decoded BMP pixels
     "q_audio_envelope_dedup",  # envelope-hash dedup over decoded WAV samples
-    "q_containment_pairs",  # asymmetric shingle containment (quote/excerpt)
-    "q_negative_sampling",  # deterministic contrastive negatives, checksum-pinned
+    # (q_containment_pairs moved to the round-13 window above)
+    # (q_negative_sampling moved to the round-13 window above)
     "q_mlm_masking_plan",  # portable-hash MLM mask plan, sequence-fp pinned
     "q_video_clip_dedup",  # ordered per-frame hash clip fingerprint dedup
     # Queries whose implementation changed this round (stream-sink
