@@ -28,10 +28,14 @@ real parser for the long tail):
 The query synthesizes deterministic adversarial markup AROUND each
 document's text (nested tags, entities, a style body with a fake
 ``<p>``, a script body with ``<``/``&&`` soup, a commented-out
-paragraph) and must recover the known plain text; the oracle computes
-that expected text DIRECTLY from the source table — ground truth, not
-a replay of the cascade — so an extraction bug anywhere (order of the
-cascade, entity decode, whitespace) flips the hash.
+paragraph; the text itself is entity-ESCAPED like any well-formed
+page, so the round trip is total — a document containing raw ``<``,
+``>``, ``&``, or even markup survives extraction byte-for-byte, with
+no assumption about what the fixture text contains) and must recover
+the known plain text; the oracle computes that expected text DIRECTLY
+from the source table — ground truth, not a replay of the cascade —
+so an extraction or escape bug anywhere (order of the cascade, entity
+decode, whitespace) flips the hash.
 
 Scale: pure per-row projection, no shuffle, no UDF; parallelism is
 the scan's. fan_out first — like the shingle pipeline, regex over
@@ -60,15 +64,28 @@ _PRE_LEAD = '</h1><p class="lead">&lt;lead&gt;</p><p>'
 _POST_TEXT = "</p></div><!-- <p>ghost</p> --></body></html>"
 
 
+def html_escape_text(text: Column) -> Column:
+    """Entity-encode text content the way a well-formed page does
+    (``&`` FIRST, then ``<``/``>``). This is what makes the synthesized
+    round trip total: the cascade's entity DECODE inverts it exactly,
+    so a document whose text contains raw ``<``, ``>``, or ``&`` (or
+    even a literal ``&amp;``) survives extraction byte-for-byte — no
+    silent fixture precondition."""
+    t = F.regexp_replace(text, r"&", "&amp;")
+    t = F.regexp_replace(t, r"<", "&lt;")
+    return F.regexp_replace(t, r">", "&gt;")
+
+
 def synth_html(doc_id: Column, text: Column) -> Column:
-    """Deterministic adversarial page around a document's text."""
+    """Deterministic adversarial page around a document's text (the
+    text is entity-escaped, as in real markup)."""
     return F.concat(
         F.lit(_PRE_TITLE),
         doc_id,
         F.lit(_POST_TITLE),
         doc_id,
         F.lit(_PRE_LEAD),
-        text,
+        html_escape_text(text),
         F.lit(_POST_TEXT),
     )
 

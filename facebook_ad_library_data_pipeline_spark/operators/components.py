@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.dedup_near import JACCARD_THRESHOLD, shared_jaccard_pairs
+from ..operators.dedup_near import JACCARD_THRESHOLD, SHINGLE_DF_CAP, shared_jaccard_pairs
 from ..registry import query
 
 
@@ -121,9 +121,14 @@ sh AS (SELECT doc_id,
                    ELSE [] END AS shingles
        FROM toks),
 ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+-- exk replays candidate_pairs' SHINGLE_DF_CAP hot-shingle exclusion
+-- (same as dedup_near's shared CTE): inter is capped on BOTH sides,
+-- n stays UNcapped -- matching the Spark pipeline exactly.
+exk AS (SELECT doc_id, n, s FROM ex
+        QUALIFY count(*) OVER (PARTITION BY s) <= {SHINGLE_DF_CAP}),
 pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
                  any_value(a.n) AS n1, any_value(b.n) AS n2
-          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id),
 edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
           WHERE inter * 1.0 / (n1 + n2 - inter) >= {JACCARD_THRESHOLD}),
@@ -182,9 +187,14 @@ sh AS (SELECT doc_id,
                    ELSE [] END AS shingles
        FROM toks),
 ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+-- exk replays candidate_pairs' SHINGLE_DF_CAP hot-shingle exclusion
+-- (same as dedup_near's shared CTE): inter is capped on BOTH sides,
+-- n stays UNcapped -- matching the Spark pipeline exactly.
+exk AS (SELECT doc_id, n, s FROM ex
+        QUALIFY count(*) OVER (PARTITION BY s) <= {SHINGLE_DF_CAP}),
 pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
                  any_value(a.n) AS n1, any_value(b.n) AS n2
-          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id),
 edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
           WHERE inter * 1.0 / (n1 + n2 - inter) >= {JACCARD_THRESHOLD}),

@@ -167,6 +167,10 @@ _PRIORITY = [
     "q_negative_sampling",
     "q_bootstrap_ci",
     "q_binary_file_scan",
+    # The review pass extended the df-cap oracle mirror to the four
+    # sibling CTEs (components.py, curation.py); three of those are in
+    # the stale-46 rotation above — the fourth re-proves here:
+    "q_canonical_docs",
     # ---- round-12 window ----
     # New registrations this round:
     "q_partition_overwrite_dynamic",  # dynamic-mode single-partition reload, spliced oracle

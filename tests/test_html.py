@@ -82,8 +82,21 @@ def test_extract_adversarial_fixtures(spark):
 
 def test_synth_roundtrip_recovers_text(spark):
     """The registered query's synthesized page recovers exactly the
-    known plain text for a handful of handpicked texts."""
-    texts = ["hello world", "", "a  b", "one"]
+    known plain text — INCLUDING texts that themselves contain raw
+    markup characters (the synth step entity-escapes them, the cascade
+    decodes them back), so the oracle's raw-text expectation holds for
+    any fixture content, not just word soup."""
+    texts = [
+        "hello world",
+        "",
+        "a  b",
+        "one",
+        "x < y and z > w",
+        "tom & jerry",
+        "literal &amp; stays",
+        "<script>evil()</script> inside text",
+        "a<b>c</b>d",
+    ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
@@ -98,4 +111,4 @@ def test_synth_roundtrip_recovers_text(spark):
     }
     for i, t in enumerate(texts):
         expected = f"d{i} Doc & Title {i} <lead> " + " ".join(t.split())
-        assert out[i] == expected.strip(), (i, out[i])
+        assert out[i] == expected.strip(), (i, out[i], expected)

@@ -102,7 +102,11 @@ def test_shingle_df_cap_bounds_hot_shingle_blowup(spark):
 
 def test_shingle_cap_default_inactive_on_testdata(spark, sf_dir):
     """SHINGLE_DF_CAP must sit far above any real testdata df so the
-    oracle-checked queries are unaffected by the cap."""
+    oracle-checked queries are unaffected by the cap. (Since r13 the
+    cap is also REPLAYED by every oracle's shingle CTE, so a crossing
+    could no longer flip a hash — but the cap's documentation promises
+    results are cap-independent at test scale, and a regenerated
+    fixture drifting toward the cap should fail loudly here first.)"""
     from facebook_ad_library_data_pipeline_spark.operators.dedup_near import (
         SHINGLE_DF_CAP,
         exploded_shingles,
@@ -119,29 +123,3 @@ def test_shingle_cap_default_inactive_on_testdata(spark, sf_dir):
     )
     assert max_df <= SHINGLE_DF_CAP // 4, (max_df, SHINGLE_DF_CAP)
 
-
-def test_shingle_df_stays_below_cap(spark, sf_dir):
-    """The SHINGLE_DF_CAP hot-shingle exclusion is now replayed by the
-    shared oracle CTE (r12 ADVICE), so Spark and DuckDB agree even if
-    a shingle crosses it — but the cap's DOCUMENTATION ('far above any
-    testdata df') must stay true too: if a testdata generation ever
-    pushes a shingle's document frequency near the cap, this fails
-    loudly instead of silently changing which pairs are scored."""
-    from facebook_ad_library_data_pipeline_spark.operators.dedup_near import (
-        SHINGLE_DF_CAP,
-        exploded_shingles,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    max_df = (
-        exploded_shingles(docs)
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .agg(F.max("df").alias("m"))
-        .collect()[0]
-        .m
-    )
-    assert max_df <= SHINGLE_DF_CAP // 2, (
-        f"max shingle df {max_df} is within 2x of SHINGLE_DF_CAP "
-        f"{SHINGLE_DF_CAP} — revisit the cap before results shift"
-    )
