@@ -295,3 +295,60 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fused_rank",
         F.row_number().over(Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))),
     ).orderBy("fused_rank")
+
+
+# --------------------------------------------- positional phrase search
+
+# BM25 and the dense retrievers are bag-of-words; exact-phrase /
+# proximity matching needs a POSITIONAL inverted index — the other
+# half of a production IR stack (and the primitive behind n-gram
+# contamination lookups at fixed offsets). Fixed 2-term phrase chosen
+# like BM25_QUERY: frequent enough to match at every graded scale.
+PHRASE_QUERY = ("table", "hash")
+
+_PHRASE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, generate_subscripts(t, 1) AS p, unnest(t) AS tok
+        FROM toks),
+a AS (SELECT doc_id, p FROM pos WHERE tok = '{PHRASE_QUERY[0]}'),
+b AS (SELECT doc_id, p - 1 AS p FROM pos WHERE tok = '{PHRASE_QUERY[1]}'),
+m AS (SELECT a.doc_id, a.p FROM a JOIN b USING (doc_id, p))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(p) AS BIGINT) AS first_pos,
+       CAST(max(p) AS BIGINT) AS last_pos
+FROM m GROUP BY doc_id
+"""
+
+
+@query("q_phrase_search", oracle=_PHRASE_ORACLE, tags=("llm", "ir", "text"))
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search via positional posting-list intersection:
+    each term's (doc_id, position) postings are filtered out of ONE
+    posexplode pass, the second list is shifted by the phrase offset,
+    and adjacency becomes a plain EQUI-join on (doc_id, position) —
+    the classic positional-index plan, no range predicate, no window.
+    Emits per-doc match count and 1-based first/last match positions.
+
+    Scale shape: the exploded index never materializes beyond the two
+    term-filtered postings (the isin/equality filters sit directly on
+    the generator output, so shuffle volume is the MATCHING postings,
+    not the corpus token count); one exchange on (doc_id, p) for the
+    join, one on doc_id for the rollup. A k-term phrase chains k-1
+    shifted equi-joins on the same key — same exchange reused."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = fan_out(docs).select(
+        "doc_id", F.posexplode(tokens_col()).alias("p0", "term")
+    )
+    a = pos.filter(F.col("term") == PHRASE_QUERY[0]).select(
+        "doc_id", (F.col("p0") + 1).alias("p")
+    )
+    b = pos.filter(F.col("term") == PHRASE_QUERY[1]).select(
+        "doc_id", F.col("p0").alias("p")
+    )
+    m = a.join(b, ["doc_id", "p"])
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("p").cast("long").alias("first_pos"),
+        F.max("p").cast("long").alias("last_pos"),
+    )

@@ -106,6 +106,7 @@ _PRIORITY = [
     "q_rank_multifactor",  # weighted 4-factor ad ranking (reference wishlist README.md:58)
     "q_rank_fusion",  # RRF of BM25 + dense cosine retrieval at depth 20
     "q_html_extract",  # CCNet-style tag-soup -> text, graded against closed-form ground truth
+    "q_phrase_search",  # positional-index exact-phrase match via shifted equi-join
     # Evidence-freshness rotation (r12 verdict item 1): the 46 queries
     # whose driver rows still date to round 4 — after this window, no
     # driver row in the registry is older than r05:
