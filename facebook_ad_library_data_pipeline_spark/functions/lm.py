@@ -40,17 +40,19 @@ from .text import tokens_col
 LM_SCALE = 1_000_000_000
 
 
-def _bigrams(docs: DataFrame) -> DataFrame:
-    """(doc_id, w1, w2) per transition — narrow, shuffle-free."""
-    toks = docs.select("doc_id", tokens_col().alias("w"))
+def _bigrams(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, [extra_cols...,] w1, w2) per transition — narrow,
+    shuffle-free; extra columns (e.g. the provenance label) ride the
+    explode so no corpus-width join is ever needed to recover them."""
+    toks = docs.select("doc_id", *extra_cols, tokens_col().alias("w"))
     n1 = F.greatest(F.size("w") - 1, F.lit(0))
     pairs = F.zip_with(
         F.slice("w", 1, n1),
         F.slice("w", 2, n1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    return toks.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", "p.w1", "p.w2"
+    return toks.select("doc_id", *extra_cols, F.explode(pairs).alias("p")).select(
+        "doc_id", *extra_cols, "p.w1", "p.w2"
     )
 
 
@@ -122,4 +124,122 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "lm_mean", F.col("lm_sum").cast("double") / F.col("n_transitions")
         )
+    )
+
+
+# ------------------------------------------ DSIR-style target affinity
+
+# Data Selection via Importance Resampling (Xie et al., 2023): weight
+# each candidate document by how much more likely a TARGET-domain LM
+# finds it than the general-corpus LM, then resample by that weight to
+# tilt a web-scale corpus toward the target distribution. Production
+# DSIR uses hashed-ngram log-likelihood ratios; the hash-exact twin
+# here keeps the ratio but replaces each log-probability sum with the
+# engine-exact scaled-integer sum the q_lm_quality model already pins
+# — same selection ORDERING semantics for fixed-length comparisons,
+# zero libm on the hash path. The target domain is the 'src0' slice of
+# the corpus (documents.source is the provenance label).
+AFFINITY_TARGET_SOURCE = "src0"
+
+_AFFINITY_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+bi AS (
+    SELECT doc_id, source, p[1] AS w1, p[2] AS w2
+    FROM (SELECT doc_id, source,
+                 unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+          FROM toks)
+),
+tcounts AS (SELECT w1, w2, count(*) AS ct FROM bi
+            WHERE source = '{AFFINITY_TARGET_SOURCE}' GROUP BY 1, 2),
+tprefix AS (SELECT w1, count(*) AS cpt FROM bi
+            WHERE source = '{AFFINITY_TARGET_SOURCE}' GROUP BY 1),
+tvocab AS (SELECT count(DISTINCT tok) AS vt
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents WHERE source = '{AFFINITY_TARGET_SOURCE}')),
+ccounts AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+cprefix AS (SELECT w1, count(*) AS cp FROM bi GROUP BY 1),
+cvocab AS (SELECT count(DISTINCT tok) AS v
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+scored AS (
+    SELECT bi.doc_id,
+           ({LM_SCALE} * (coalesce(t.ct, 0) + 1))
+               // (coalesce(tp.cpt, 0) + tv.vt) AS pt_scaled,
+           ({LM_SCALE} * (c.c + 1)) // (cp.cp + cv.v) AS pc_scaled
+    FROM bi
+    LEFT JOIN tcounts t USING (w1, w2)
+    LEFT JOIN tprefix tp USING (w1)
+    JOIN ccounts c USING (w1, w2)
+    JOIN cprefix cp USING (w1)
+    CROSS JOIN tvocab tv CROSS JOIN cvocab cv
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(sum(pt_scaled) AS BIGINT) AS target_sum,
+       CAST(sum(pc_scaled) AS BIGINT) AS corpus_sum,
+       CAST(sum(pt_scaled) AS DOUBLE) / CAST(sum(pc_scaled) AS DOUBLE)
+           AS affinity
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@query("q_domain_affinity", oracle=_AFFINITY_ORACLE, tags=("llm", "text", "quality", "model", "curation"))
+def q_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document target-domain affinity: the DSIR importance weight
+    with both likelihood sums in exact scaled-integer arithmetic — a
+    target LM (add-one smoothed on the src0 slice; transitions unseen
+    by the target back off to its smoothing floor via LEFT join +
+    coalesce-0) and the corpus LM score every document, and the
+    affinity is ONE IEEE division of the two pinned int64 sums. The
+    oracle replays both models end-to-end, so a miscounted target
+    bigram, a wrong backoff denominator, or a vocabulary drift in
+    either model flips the hash.
+
+    Plan shape: the single narrow bigram explode feeds BOTH models;
+    all four model aggregates are vocabulary-bounded (not corpus-
+    bounded) and broadcast back onto the transitions; the only
+    full-width exchange is the final per-doc rollup — identical
+    scaling to q_lm_quality, one extra broadcast pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    bi_src = _bigrams(docs, "source")
+    tgt = bi_src.filter(F.col("source") == AFFINITY_TARGET_SOURCE)
+    tcounts = tgt.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("ct"))
+    tprefix = tgt.groupBy("w1").agg(F.count(F.lit(1)).alias("cpt"))
+    tvocab = (
+        docs.filter(F.col("source") == AFFINITY_TARGET_SOURCE)
+        .select(F.explode(tokens_col()).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vt"))
+    )
+    ccounts = bi_src.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cprefix = bi_src.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
+    cvocab = (
+        docs.select(F.explode(tokens_col()).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        bi_src.join(F.broadcast(tcounts), ["w1", "w2"], "left")
+        .join(F.broadcast(tprefix), ["w1"], "left")
+        .join(F.broadcast(ccounts), ["w1", "w2"])
+        .join(F.broadcast(cprefix), ["w1"])
+        .crossJoin(F.broadcast(tvocab))
+        .crossJoin(F.broadcast(cvocab))
+        .withColumn(
+            "pt_scaled",
+            F.expr(
+                f"({LM_SCALE} * (coalesce(ct, 0) + 1))"
+                " div (coalesce(cpt, 0) + vt)"
+            ),
+        )
+        .withColumn(
+            "pc_scaled", F.expr(f"({LM_SCALE} * (c + 1)) div (cp + v)")
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum("pt_scaled").alias("target_sum"),
+        F.sum("pc_scaled").alias("corpus_sum"),
+        (
+            F.sum("pt_scaled").cast("double")
+            / F.sum("pc_scaled").cast("double")
+        ).alias("affinity"),
     )

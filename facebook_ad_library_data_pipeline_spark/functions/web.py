@@ -150,3 +150,110 @@ def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_subdomain"),
         F.sum("path_depth").alias("depth_sum"),
     )
+
+
+# ----------------------------------------- URL canonicalization + dedup
+
+# The CCNet/RefinedWeb crawl-dedup FRONT step: the same resource
+# arrives under many surface forms (http vs https, optional www.,
+# host case, trailing slash, utm_* tracking params, fragments) and
+# must collapse to ONE canonical key before any content is fetched or
+# hashed. Synthesis follows the module pattern: the mess bits are
+# event-arithmetic-derived, so the oracle can state each row's
+# canonical form CLOSED-FORM without ever parsing a string — Spark
+# must earn the same answer by actually normalizing the messy URL.
+_TRACKING_PREFIX = "utm_"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Messy URL → canonical key, all native (parse_url + array ops):
+    lowercase host, strip a leading ``www.``, drop the scheme, drop
+    the fragment (parse_url never returns it), drop ``utm_*`` params
+    while PRESERVING real params and their order, strip one trailing
+    slash from the path."""
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), r"/$", "")
+    query = F.parse_url(url, F.lit("QUERY"))
+    kept = F.array_join(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda kv: (kv != "") & ~kv.startswith(_TRACKING_PREFIX),
+        ),
+        "&",
+    )
+    return F.concat(
+        host,
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+
+
+def _synth_messy_url(df: DataFrame) -> DataFrame:
+    """One messy URL per event; every mess bit keyed on arithmetic the
+    oracle replays. Underlying resource: site(user_id%50).com
+    /p/(event_id%200) ?id=(user_id%10)."""
+    e = F.col("event_id")
+    host_core = F.concat(F.lit("site"), (F.col("user_id") % 50).cast("string"))
+    host = F.concat(
+        F.when(e % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(e % 11 == 0, F.upper(host_core)).otherwise(host_core),
+        F.lit(".com"),
+    )
+    url = F.concat(
+        F.when(e % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        host,
+        F.lit("/p/"),
+        (e % 200).cast("string"),
+        F.when(e % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="),
+        (F.col("user_id") % 10).cast("string"),
+        F.when(e % 4 == 0, F.lit("&utm_source=ads")).otherwise(F.lit("")),
+        F.when(e % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return df.withColumn("url", url)
+
+
+_CANON_ORACLE = """
+WITH canon AS (
+    SELECT event_id,
+           'site' || CAST(user_id % 50 AS VARCHAR) || '.com/p/'
+                  || CAST(event_id % 200 AS VARCHAR)
+                  || '?id=' || CAST(user_id % 10 AS VARCHAR) AS canonical_url
+    FROM events
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(min(event_id) AS BIGINT) AS first_event
+FROM canon
+GROUP BY canonical_url
+"""
+
+
+@query("q_url_canonical_dedup", oracle=_CANON_ORACLE, tags=("web", "llm", "dedup", "ingest"))
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + keep-first dedup — the crawl-frontier
+    collapse every web corpus runs before fetching/hashing content:
+    scheme and fragment dropped, host lowercased and de-www'd, one
+    trailing slash stripped, utm_* tracking params removed with real
+    params preserved in order, then group on the canonical key with
+    the representative pinned as min(event_id). The oracle states each
+    row's canonical form closed-form from the source arithmetic (it
+    never parses), so a normalization miss — case-sensitive host
+    compare, tracking param kept, slash retained, fragment leaking in
+    — splits or merges a group and flips the hash. Plan: narrow scan →
+    one codegen'd parse/normalize projection → ONE groupBy exchange on
+    the canonical key; scan-bound at 100 TB, exactly like production
+    frontier dedup."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    messy = _synth_messy_url(ev)
+    return (
+        messy.select(
+            "event_id", canonicalize_url(F.col("url")).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("event_id").cast("long").alias("first_event"),
+        )
+    )

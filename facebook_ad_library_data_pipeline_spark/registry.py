@@ -107,6 +107,8 @@ _PRIORITY = [
     "q_rank_fusion",  # RRF of BM25 + dense cosine retrieval at depth 20
     "q_html_extract",  # CCNet-style tag-soup -> text, graded against closed-form ground truth
     "q_phrase_search",  # positional-index exact-phrase match via shifted equi-join
+    "q_url_canonical_dedup",  # crawl-frontier URL canonicalization + keep-first collapse
+    "q_domain_affinity",  # DSIR-style target/corpus LM importance weight, integer-exact
     # Evidence-freshness rotation (r12 verdict item 1): the 46 queries
     # whose driver rows still date to round 4 — after this window, no
     # driver row in the registry is older than r05:

@@ -102,3 +102,40 @@ def test_anonymity_verdict_boundaries(spark):
     assert by_seg["A"].at_risk and by_seg["A"].k_size == 4 and by_seg["A"].l_div == 4
     assert by_seg["B"].at_risk and by_seg["B"].k_size == 5 and by_seg["B"].l_div == 1
     assert not by_seg["C"].at_risk
+
+
+def test_canonicalize_url_fixtures(spark):
+    """Handcrafted messy-URL matrix for the crawl-frontier collapse:
+    each case targets one normalization rule, including the ones the
+    synthesized corpus can't combine freely."""
+    from facebook_ad_library_data_pipeline_spark.functions.web import (
+        canonicalize_url,
+    )
+
+    cases = [
+        # scheme dropped, host lowercased, www stripped
+        ("https://WWW.Site1.com/p/1?id=2", "site1.com/p/1?id=2"),
+        ("http://site1.com/p/1?id=2", "site1.com/p/1?id=2"),
+        # trailing slash stripped (one level)
+        ("https://site1.com/p/1/?id=2", "site1.com/p/1?id=2"),
+        # tracking params dropped wherever they sit; real params keep order
+        ("https://site1.com/p/1?utm_source=x&id=2&utm_medium=y&b=3",
+         "site1.com/p/1?id=2&b=3"),
+        # all-tracking query collapses to no query at all
+        ("https://site1.com/p/1?utm_source=x", "site1.com/p/1"),
+        # fragment never leaks in
+        ("https://site1.com/p/1?id=2#frag", "site1.com/p/1?id=2"),
+        # no query, no fragment
+        ("http://www.site9.com/a", "site9.com/a"),
+        # www only stripped as a PREFIX label
+        ("https://cdn.www-like.com/x?id=1", "cdn.www-like.com/x?id=1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (u, expected) in enumerate(cases):
+        assert got[i] == expected, (u, got[i], expected)
