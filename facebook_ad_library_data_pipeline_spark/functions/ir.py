@@ -291,10 +291,13 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rrf_score"),
     )
+    # No final orderBy: fused_rank IS the ordering, the compare is
+    # order-insensitive, and a sort of the ≤2·DEPTH-row result would
+    # add a rangepartitioning exchange for nothing.
     return fused.withColumn(
         "fused_rank",
         F.row_number().over(Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))),
-    ).orderBy("fused_rank")
+    )
 
 
 # --------------------------------------------- positional phrase search

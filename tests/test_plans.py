@@ -682,3 +682,75 @@ def test_cooccurrence_topk_heap(spark, sf_dir):
 # (binaryFile listing-level decoy pruning is asserted in
 # tests/test_web_governance.py::test_binaryfile_glob_excludes_decoys,
 # which shares the same fixture — no separate copy here)
+
+
+def test_rank_multifactor_topk_heap_and_broadcast_count(spark, sf_dir):
+    # top-15 must be a heap, never a full sort; the corpus-count side
+    # of the creative-lookup modulo join is 1 row and must broadcast
+    df = REGISTRY["q_rank_multifactor"].fn(spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject")
+    assert has_node(df, "BroadcastHashJoin") or has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_rank_fusion_retrievers_end_in_topk(spark, sf_dir):
+    # both retrieval arms cut to depth-20 via TakeOrderedAndProject
+    # BEFORE any window/join; the fused windows run over constant-size
+    # lists, so no rangepartitioning (global sort) may appear
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["q_rank_fusion"].fn(spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject")
+    plan = formatted_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_html_extract_shuffle_free(spark, sf_dir):
+    # synth + cascade is one codegen'd projection over the scan — any
+    # exchange means a regex step degraded to a shuffle-bearing shape
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_html_extract"].fn(spark, sf_dir))
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_phrase_search_filters_before_exchange(spark, sf_dir):
+    # the per-term postings filters must sit below the join exchange
+    # (shuffle volume = matching postings, not the corpus token count),
+    # and the posting-list intersection must never broadcast or go
+    # cartesian (an exploded index never fits the broadcast budget)
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_phrase_search"].fn(spark, sf_dir))
+    assert "cartesianproduct" not in plan.lower()
+    assert "broadcastnestedloop" not in plan.lower()
+    import re
+
+    # every exchange must be on (doc_id, p) or doc_id — i.e. AFTER the
+    # term filter projected postings down to (doc_id, p)
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        args = m.group(1)
+        assert "term" not in args, f"exchange carries raw terms: {args}"
+
+
+def test_url_canonical_dedup_single_exchange(spark, sf_dir):
+    # parse/normalize is one codegen'd projection; the ONLY exchange
+    # is the groupBy on the canonical key
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_url_canonical_dedup"].fn(spark, sf_dir))
+    assert plan.lower().count("hashpartitioning(canonical_url") >= 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_domain_affinity_models_broadcast(spark, sf_dir):
+    # all four model aggregates (target/corpus counts+prefixes) and
+    # both vocab counts broadcast back onto the transitions; the only
+    # full-width exchange is the per-doc rollup — never a sort-merge
+    # join against the exploded transitions
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["q_domain_affinity"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin")
+    plan = formatted_plan(df)
+    assert "sortmergejoin" not in plan.lower()
