@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..functions.money import det_round, det_round_sql
 from ..functions.text import shingles_col, tokens_col
 from ..registry import query
@@ -694,4 +694,70 @@ def q_mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.transform(seq, lambda x: x["out"]), " ")).alias(
             "masked_fp"
         ),
+    )
+
+
+# -------------------------------------------- overlapping chunk split
+
+# RAG / long-context prep: split every document into fixed-size token
+# windows with overlap (stride < window) so no boundary-spanning
+# passage is lost — the chunking step between ingest and embedding
+# that q_pack_sequences' whole-doc packing deliberately does not do.
+CHUNK_W = 64  # window tokens
+CHUNK_S = 48  # stride tokens (overlap = W - S = 16)
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+starts AS (
+    -- chunk start offsets 0, S, 2S, ... ; every doc emits at least
+    -- one chunk (an empty/short doc is one short chunk), and the last
+    -- start is the largest multiple of S strictly inside the doc
+    SELECT doc_id, w, unnest(generate_series(
+        0,
+        greatest(CAST(ceil((len(w) - {CHUNK_W}) / {CHUNK_S}.0) AS BIGINT), 0),
+        1)) AS k
+    FROM toks
+),
+chunks AS (
+    SELECT doc_id, k AS chunk_idx,
+           w[(k * {CHUNK_S} + 1):(k * {CHUNK_S} + {CHUNK_W})] AS c
+    FROM starts
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(c) AS BIGINT) AS n_tokens,
+       md5(array_to_string(c, ' ')) AS chunk_fp
+FROM chunks
+"""
+
+
+@query("q_chunk_overlap", oracle=_CHUNK_ORACLE, tags=("llm", "training", "text", "ingest"))
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (W=64 tokens, stride 48):
+    each document yields ceil((n−W)/S)+1 windows — offsets 0, S, 2S, …
+    — the final window short, every document yielding at least one
+    chunk, and each chunk's exact content pinned by an md5 fingerprint
+    over the space-joined tokens (an off-by-one at either edge, a lost
+    overlap token, or a dropped final chunk flips a fingerprint or the
+    row count). Plan: the start-offset fan-out is a per-row
+    F.sequence → ONE narrow explode (no shuffle at all — the result
+    keeps the scan's partitioning; there is no aggregate), and the
+    slice is per-row array work. At 100 TB this is a pure map stage,
+    exactly how production chunkers run."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select("doc_id", tokens_col().alias("w"))
+    n = F.size("w")
+    last_k = F.greatest(
+        F.ceil((n - F.lit(CHUNK_W)) / F.lit(CHUNK_S).cast("double")).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    ks = toks.select(
+        "doc_id", "w", F.explode(F.sequence(F.lit(0).cast("long"), last_k)).alias("k")
+    )
+    chunk = F.slice("w", (F.col("k") * CHUNK_S + 1).cast("int"), CHUNK_W)
+    return ks.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
     )

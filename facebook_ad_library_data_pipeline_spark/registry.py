@@ -109,6 +109,7 @@ _PRIORITY = [
     "q_phrase_search",  # positional-index exact-phrase match via shifted equi-join
     "q_url_canonical_dedup",  # crawl-frontier URL canonicalization + keep-first collapse
     "q_domain_affinity",  # DSIR-style target/corpus LM importance weight, integer-exact
+    "q_chunk_overlap",  # RAG-style overlapping fixed-window chunking, md5-pinned chunks
     # Evidence-freshness rotation (r12 verdict item 1): the 46 queries
     # whose driver rows still date to round 4 — after this window, no
     # driver row in the registry is older than r05:

@@ -194,3 +194,59 @@ def test_portable_hash_oracle_parity_huge_keys(spark):
         ).fetchall()
     )
     assert spark_out == duck
+
+
+def test_chunk_overlap_edges(spark):
+    """Window/stride boundary semantics on constructed docs: shorter
+    than one window, exactly one window, one token past a window, and
+    a multi-window doc — counts, per-chunk lengths, and the overlap
+    tokens shared between consecutive chunks."""
+    from facebook_ad_library_data_pipeline_spark.operators.training_prep import (
+        CHUNK_S,
+        CHUNK_W,
+    )
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    assert CHUNK_W == 64 and CHUNK_S == 48  # fixture math below assumes these
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = [
+        (0, " ".join(f"t{i}" for i in range(10))),   # short: 1 chunk of 10
+        (1, " ".join(f"t{i}" for i in range(64))),   # exact: 1 chunk of 64
+        (2, " ".join(f"t{i}" for i in range(65))),   # 2 chunks: 64 + 17
+        (3, " ".join(f"t{i}" for i in range(160))),  # 3 chunks: 64+64+64(@96)
+    ]
+    d = tempfile.mkdtemp(prefix="chunk_edge_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": [t for _, t in docs],
+                "lang": ["en"] * len(docs),
+                "source": ["src0"] * len(docs),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = load_all()["q_chunk_overlap"].fn(spark, d).collect()
+    by_doc: dict[int, dict[int, tuple]] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = (r.n_tokens, r.chunk_fp)
+    assert {k: len(v) for k, v in by_doc.items()} == {0: 1, 1: 1, 2: 2, 3: 3}
+    assert by_doc[0][0][0] == 10
+    assert by_doc[1][0][0] == 64
+    assert [by_doc[2][i][0] for i in (0, 1)] == [64, 17]
+    assert [by_doc[3][i][0] for i in (0, 1, 2)] == [64, 64, 64]
+    # overlap: doc 2's second chunk starts at token 48 — fingerprint
+    # must equal md5 of tokens 48..64 (17 tokens)
+    import hashlib
+
+    expect = hashlib.md5(
+        " ".join(f"t{i}" for i in range(48, 65)).encode()
+    ).hexdigest()
+    assert by_doc[2][1][1] == expect
