@@ -18,8 +18,12 @@ Distributed shape, built for 100 TB:
 - All probabilities are SCALED INTEGERS — ``(1e9 * (c+1)) div (cp+V)``
   in pure int64 arithmetic, exact and engine-independent (the BM25
   rational-idf discipline from functions/ir.py: no libm on the hash
-  path). Production at real counts would move to log-space doubles;
-  the semantics under test are identical.
+  path). Int64 headroom: the numerator overflows at count > ~9.2e9
+  occurrences of ONE bigram — and Spark's non-ANSI ``div`` would wrap
+  silently there while DuckDB errors, so that bound is a hard contract,
+  not a soft one. Production at real counts would move to log-space
+  doubles (which also removes the bound); the semantics under test are
+  identical.
 
 Reference anchor: the reference has no model-based quality signal —
 its nearest analogue is the keyword classifier at
@@ -205,10 +209,25 @@ def q_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = bi_src.filter(F.col("source") == AFFINITY_TARGET_SOURCE)
     tcounts = tgt.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("ct"))
     tprefix = tgt.groupBy("w1").agg(F.count(F.lit(1)).alias("cpt"))
+    # Fail LOUDLY if the target slice is missing (a regenerated corpus
+    # with different source labels): without this, Spark's div-by-zero
+    # yields all-NULL affinities while the oracle errors — a silent
+    # wrong answer on one side and an opaque parity failure on the
+    # other. raise_error fires on the 1-row aggregate, not per row.
     tvocab = (
         docs.filter(F.col("source") == AFFINITY_TARGET_SOURCE)
         .select(F.explode(tokens_col()).alias("tok"))
-        .agg(F.countDistinct("tok").alias("vt"))
+        .agg(F.countDistinct("tok").alias("vt_raw"))
+        .select(
+            F.when(F.col("vt_raw") > 0, F.col("vt_raw"))
+            .otherwise(
+                F.raise_error(
+                    f"q_domain_affinity: target slice "
+                    f"{AFFINITY_TARGET_SOURCE!r} missing from documents"
+                ).cast("long")
+            )
+            .alias("vt")
+        )
     )
     ccounts = bi_src.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     cprefix = bi_src.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))

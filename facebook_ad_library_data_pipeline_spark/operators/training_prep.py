@@ -711,7 +711,9 @@ WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 starts AS (
     -- chunk start offsets 0, S, 2S, ... ; every doc emits at least
     -- one chunk (an empty/short doc is one short chunk), and the last
-    -- start is the largest multiple of S strictly inside the doc
+    -- k is ceil((n-W)/S) — the SMALLEST k whose window reaches the end
+    -- of the doc (no spurious fully-overlapped window is ever emitted
+    -- after coverage is complete)
     SELECT doc_id, w, unnest(generate_series(
         0,
         greatest(CAST(ceil((len(w) - {CHUNK_W}) / {CHUNK_S}.0) AS BIGINT), 0),
@@ -740,10 +742,12 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the space-joined tokens (an off-by-one at either edge, a lost
     overlap token, or a dropped final chunk flips a fingerprint or the
     row count). Plan: the start-offset fan-out is a per-row
-    F.sequence → ONE narrow explode (no shuffle at all — the result
-    keeps the scan's partitioning; there is no aggregate), and the
-    slice is per-row array work. At 100 TB this is a pure map stage,
-    exactly how production chunkers run."""
+    F.sequence → ONE narrow explode, and the slice is per-row array
+    work; there is no aggregate and no KEYED exchange anywhere (the
+    only exchange fan_out may insert is its round-robin widening of a
+    narrow test-scale scan — a no-op on a production-width scan). At
+    100 TB this is a pure map stage, exactly how production chunkers
+    run."""
     docs = load_table(spark, sf_dir, "documents")
     toks = fan_out(docs).select("doc_id", tokens_col().alias("w"))
     n = F.size("w")

@@ -739,7 +739,8 @@ def test_url_canonical_dedup_single_exchange(spark, sf_dir):
     from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(REGISTRY["q_url_canonical_dedup"].fn(spark, sf_dir))
-    assert plan.lower().count("hashpartitioning(canonical_url") >= 1
+    assert plan.lower().count("hashpartitioning(") == 1
+    assert plan.lower().count("hashpartitioning(canonical_url") == 1
     assert "rangepartitioning" not in plan.lower()
 
 

@@ -196,7 +196,7 @@ def test_portable_hash_oracle_parity_huge_keys(spark):
     assert spark_out == duck
 
 
-def test_chunk_overlap_edges(spark):
+def test_chunk_overlap_edges(spark, tmp_path):
     """Window/stride boundary semantics on constructed docs: shorter
     than one window, exactly one window, one token past a window, and
     a multi-window doc — counts, per-chunk lengths, and the overlap
@@ -209,7 +209,6 @@ def test_chunk_overlap_edges(spark):
 
     assert CHUNK_W == 64 and CHUNK_S == 48  # fixture math below assumes these
     import os
-    import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -220,7 +219,7 @@ def test_chunk_overlap_edges(spark):
         (2, " ".join(f"t{i}" for i in range(65))),   # 2 chunks: 64 + 17
         (3, " ".join(f"t{i}" for i in range(160))),  # 3 chunks: 64+64+64(@96)
     ]
-    d = tempfile.mkdtemp(prefix="chunk_edge_")
+    d = str(tmp_path)
     pq.write_table(
         pa.table(
             {
