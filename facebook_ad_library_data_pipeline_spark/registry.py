@@ -102,14 +102,16 @@ _QUERY_MODULES = [
 # move the remaining unchecked tail through the window.
 _PRIORITY = [
     # ---- round-13 window ----
-    # New registrations this round:
+    # The r12-brief-named registrations lead (items 3/4/7: ranking,
+    # fusion, HTML extraction); the OTHER four r13 additions are
+    # deliberately placed AFTER the stale-46 rotation below, so that
+    # even a window cut at exactly 50 re-proves every r04-stale row
+    # (brief item 1's done-condition) — the wave-2/3 additions are
+    # pytest- and both-scale-sweep-proven this round and lead the r14
+    # window if the cut excludes them:
     "q_rank_multifactor",  # weighted 4-factor ad ranking (reference wishlist README.md:58)
     "q_rank_fusion",  # RRF of BM25 + dense cosine retrieval at depth 20
     "q_html_extract",  # CCNet-style tag-soup -> text, graded against closed-form ground truth
-    "q_phrase_search",  # positional-index exact-phrase match via shifted equi-join
-    "q_url_canonical_dedup",  # crawl-frontier URL canonicalization + keep-first collapse
-    "q_domain_affinity",  # DSIR-style target/corpus LM importance weight, integer-exact
-    "q_chunk_overlap",  # RAG-style overlapping fixed-window chunking, md5-pinned chunks
     # Evidence-freshness rotation (r12 verdict item 1): the 46 queries
     # whose driver rows still date to round 4 — after this window, no
     # driver row in the registry is older than r05:
@@ -159,6 +161,11 @@ _PRIORITY = [
     "q_tpch_q22",
     "q_vector_stats",
     "q_window_range_value",
+    # Remaining r13 registrations (see the window-cut note above):
+    "q_phrase_search",  # positional-index exact-phrase match via shifted equi-join
+    "q_url_canonical_dedup",  # crawl-frontier URL canonicalization + keep-first collapse
+    "q_domain_affinity",  # DSIR-style target/corpus LM importance weight, integer-exact
+    "q_chunk_overlap",  # RAG-style overlapping fixed-window chunking, md5-pinned chunks
     # Queries whose implementation or oracle changed this round (the
     # four r12 ADVICE fixes: shared-shingle-oracle df-cap mirror,
     # negative-sampling found-marker, bootstrap NULLIF guard,
