@@ -346,3 +346,92 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(kept).cast("double")
         ).alias("trimmed_mean"),
     )
+
+
+# ------------------------------------------ two-sample KS drift test
+
+# Distribution-drift detection between two event populations: the
+# exact two-sample Kolmogorov–Smirnov statistic, sup |F1 − F2| over
+# the empirical CDFs. Cross-multiplied to stay INTEGER-exact on the
+# hash path: D = max |cum1·N2 − cum2·N1| / (N1·N2) — the numerator
+# and denominator are pinned int64s, the statistic their one IEEE
+# quotient (the q_rank_auc discipline).
+KS_SAMPLE_A = "purchase"
+KS_SAMPLE_B = "view"
+
+_KS_ORACLE = f"""
+WITH ev AS (
+    SELECT {_CENTS} AS cents,
+           CASE WHEN event_type = '{KS_SAMPLE_A}' THEN 1 ELSE 0 END AS a,
+           CASE WHEN event_type = '{KS_SAMPLE_B}' THEN 1 ELSE 0 END AS b
+    FROM events
+    WHERE event_type IN ('{KS_SAMPLE_A}', '{KS_SAMPLE_B}')
+), s AS (
+    SELECT cents, sum(a) AS na, sum(b) AS nb FROM ev GROUP BY cents
+), c AS (
+    SELECT sum(na) OVER (ORDER BY cents) AS cuma,
+           sum(nb) OVER (ORDER BY cents) AS cumb
+    FROM s
+), n AS (
+    SELECT sum(na) AS n1, sum(nb) AS n2 FROM s
+)
+SELECT CAST(n.n1 AS BIGINT) AS n1,
+       CAST(n.n2 AS BIGINT) AS n2,
+       CAST(max(abs(c.cuma * n.n2 - c.cumb * n.n1)) AS BIGINT) AS ks_num,
+       CAST(n.n1 * n.n2 AS BIGINT) AS ks_denom,
+       CAST(max(abs(c.cuma * n.n2 - c.cumb * n.n1)) AS DOUBLE)
+           / CAST(n.n1 * n.n2 AS DOUBLE) AS ks_stat
+FROM c, n
+GROUP BY n.n1, n.n2
+"""
+
+
+@query("q_drift_ks", oracle=_KS_ORACLE, tags=("stats", "drift", "window"))
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between the purchase and view
+    value distributions — the nonparametric drift gate a feature/label
+    monitoring pipeline runs between time windows or data sources.
+    Tie-correct by construction: both CDFs step at the same DISTINCT
+    value grid, so the supremum is evaluated exactly at every jump
+    point. Everything on the hash path is int64 (per-value counts,
+    running sums, the cross-multiplied deviations); ks_stat is the
+    single IEEE quotient of two pinned integers.
+
+    Plan shape (the q_rank_auc argument): collapse to DISTINCT cents
+    with per-sample counts (ONE shuffle, map-side combine), then a
+    single-partition running-sum window over the DISTINCT-VALUE grid —
+    bounded by the score domain (prices quantize), never the row count
+    — then a 1-row max. At 100 TB the shuffle carries |distinct
+    values| rows of three ints."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_SAMPLE_A, KS_SAMPLE_B)
+    ).select(
+        F.expr(_CENTS).alias("cents"),
+        F.when(F.col("event_type") == KS_SAMPLE_A, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == KS_SAMPLE_B, 1).otherwise(0).alias("b"),
+    )
+    s = ev.groupBy("cents").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    c = s.select(
+        F.sum("na").over(w).alias("cuma"), F.sum("nb").over(w).alias("cumb")
+    )
+    n = s.agg(F.sum("na").alias("n1"), F.sum("nb").alias("n2"))
+    dev = c.crossJoin(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        F.abs(F.col("cuma") * F.col("n2") - F.col("cumb") * F.col("n1")).alias(
+            "dev"
+        ),
+    )
+    return dev.groupBy("n1", "n2").agg(
+        F.max("dev").cast("long").alias("ks_num"),
+        (F.col("n1") * F.col("n2")).cast("long").alias("ks_denom"),
+        (
+            F.max("dev").cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double")
+        ).alias("ks_stat"),
+    )

@@ -166,6 +166,7 @@ _PRIORITY = [
     "q_url_canonical_dedup",  # crawl-frontier URL canonicalization + keep-first collapse
     "q_domain_affinity",  # DSIR-style target/corpus LM importance weight, integer-exact
     "q_chunk_overlap",  # RAG-style overlapping fixed-window chunking, md5-pinned chunks
+    "q_drift_ks",  # exact two-sample Kolmogorov-Smirnov drift statistic, integer-pinned
     # Queries whose implementation or oracle changed this round (the
     # four r12 ADVICE fixes: shared-shingle-oracle df-cap mirror,
     # negative-sampling found-marker, bootstrap NULLIF guard,
