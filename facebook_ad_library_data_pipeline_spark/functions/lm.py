@@ -199,11 +199,17 @@ def q_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram, a wrong backoff denominator, or a vocabulary drift in
     either model flips the hash.
 
-    Plan shape: the single narrow bigram explode feeds BOTH models;
-    all four model aggregates are vocabulary-bounded (not corpus-
-    bounded) and broadcast back onto the transitions; the only
-    full-width exchange is the final per-doc rollup — identical
-    scaling to q_lm_quality, one extra broadcast pair."""
+    Plan shape: the single narrow bigram explode feeds BOTH models.
+    The TARGET aggregates (tcounts/tprefix) are broadcast by hint —
+    DSIR's target slice is a curated, bounded corpus by design. The
+    CORPUS aggregates (ccounts/cprefix) are deliberately NOT hinted:
+    distinct-bigram cardinality grows ~vocab² with the corpus, so a
+    forced broadcast risks driver/executor OOM at 100 TB — AQE decides
+    at runtime from the observed aggregate size (broadcast at test
+    scale, shuffle join past the threshold; production DSIR would
+    bound this with fixed hash buckets). The only full-width exchange
+    beyond that is the final per-doc rollup — same scaling as
+    q_lm_quality."""
     docs = load_table(spark, sf_dir, "documents")
     bi_src = _bigrams(docs, "source")
     tgt = bi_src.filter(F.col("source") == AFFINITY_TARGET_SOURCE)
@@ -238,8 +244,8 @@ def q_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         bi_src.join(F.broadcast(tcounts), ["w1", "w2"], "left")
         .join(F.broadcast(tprefix), ["w1"], "left")
-        .join(F.broadcast(ccounts), ["w1", "w2"])
-        .join(F.broadcast(cprefix), ["w1"])
+        .join(ccounts, ["w1", "w2"])
+        .join(cprefix, ["w1"])
         .crossJoin(F.broadcast(tvocab))
         .crossJoin(F.broadcast(cvocab))
         .withColumn(

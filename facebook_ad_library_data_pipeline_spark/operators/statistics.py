@@ -397,6 +397,16 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sums, the cross-multiplied deviations); ks_stat is the
     single IEEE quotient of two pinned integers.
 
+    Int64 headroom (the lm.py discipline — a hard contract, not a
+    soft one): the cross-multiplies peak at N1·N2, which overflows
+    int64 when both samples exceed ~3.0e9 rows — and Spark's non-ANSI
+    arithmetic would wrap SILENTLY there while DuckDB errors, so the
+    1-row sample-size aggregate raise_errors past the bound instead
+    of hashing a wrapped value. Production at real counts would move
+    to the asymptotic double form D·sqrt(n1·n2/(n1+n2)) (which also
+    removes the bound); the exactness contract under test is
+    identical.
+
     Plan shape (the q_rank_auc argument): collapse to DISTINCT cents
     with per-sample counts (ONE shuffle, map-side combine), then a
     single-partition running-sum window over the DISTINCT-VALUE grid —
@@ -419,7 +429,28 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = s.select(
         F.sum("na").over(w).alias("cuma"), F.sum("nb").over(w).alias("cumb")
     )
-    n = s.agg(F.sum("na").alias("n1"), F.sum("nb").alias("n2"))
+    # Overflow guard on the 1-row aggregate (see docstring): past
+    # n1*n2 ≥ 2^63 Spark would wrap where DuckDB errors — fail loudly
+    # on the cheap side instead. `div` keeps the bound check itself
+    # in exact integer arithmetic.
+    n = (
+        s.agg(F.sum("na").alias("n1"), F.sum("nb").alias("n2"))
+        .select(
+            F.col("n1"),
+            F.when(
+                (F.col("n2") == 0)
+                | (F.col("n1") <= F.expr(f"{2**63 - 1} div n2")),
+                F.col("n2"),
+            )
+            .otherwise(
+                F.raise_error(
+                    "q_drift_ks: n1*n2 exceeds int64 — use the "
+                    "asymptotic double form at this sample size"
+                ).cast("long")
+            )
+            .alias("n2"),
+        )
+    )
     dev = c.crossJoin(F.broadcast(n)).select(
         "n1",
         "n2",
@@ -434,4 +465,309 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dev").cast("double")
             / (F.col("n1") * F.col("n2")).cast("double")
         ).alias("ks_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (PSI) — the banded drift twin of q_drift_ks.
+# Everything below the band counts is exact int64 arithmetic in BOTH
+# engines, including the logarithm: ln(pa/pe) is computed by the
+# classic iterated-squaring base-2 logarithm (integer multiply, shift,
+# compare only — no libm on the hash path), so Spark and DuckDB produce
+# bit-identical scaled integers.
+#
+# Pinned definition (a drift monitor needs a reproducible number, not a
+# textbook-perfect one):
+# * bands are fixed-width cents ranges (cents div PSI_BAND_CENTS) over
+#   the OBSERVED union of both samples — absent-everywhere bands
+#   contribute nothing;
+# * shares are add-one smoothed: pa = (na+1)/(n1+B), pe = (nb+1)/(n2+B)
+#   with B = observed band count, so empty-on-one-side bands stay
+#   finite;
+# * each term is |pa-pe| · |ln(pa/pe)| — the two factors ALWAYS carry
+#   the same sign (pa>pe ⟺ pa/pe>1), so working with (big, small) =
+#   (max, min) of the cross-products keeps every intermediate
+#   NON-NEGATIVE, where Spark's `div` and DuckDB's `//` agree trivially
+#   (both truncate toward zero, so signed would match too — this is
+#   belt and suspenders).
+#
+# Int64 headroom is ENGINEERED, not documented away (contrast the
+# q_drift_ks guard, which raise_errors at its N1·N2 bound): every
+# multiplication's operands are first bit-REDUCED below 2^31 by a
+# COMMON shift per factor pair (length(bin(x)) is the exact ⌊log2⌋+1
+# in both engines), so all products stay < 2^62 at ANY sample size —
+# no silent non-ANSI wrap at 100 TB. The reductions are no-ops (shift
+# 0, values exact) until a per-sample count crosses 2^31 ≈ 2.1e9 rows,
+# past which the RATIO carries ≤ 2^-30 relative error — and ZERO
+# cross-engine divergence either way: both engines run the same
+# integer ops on the same integers. DuckDB's integer sums are HUGEINT,
+# so the oracle CASTs every count aggregate to BIGINT up front to stay
+# in the same ring Spark computes in.
+# ---------------------------------------------------------------------------
+
+PSI_BAND_CENTS = 500  # band width; sf0.1 observes ~85 bands
+PSI_FRAC_BITS = 20  # fractional bits of the fixed-point log2
+_PSI_MSCALE = 1 << 30  # mantissa scale S: m ∈ [S, 2S) during squaring
+LN2_NANO = 693_147_180  # ⌊ln(2) · 1e9⌋ — pinned, same constant both engines
+
+
+def _psi_prelude_sql() -> str:
+    """Shared CTE chain up to the normalized mantissa m0 and frac=0.
+
+    Factor reduction: counts (na+1),(nb+1) share shift sc; totals
+    (n1+B),(n2+B) share shift st — a COMMON shift per pair preserves
+    the big/small ordering and the ratio to 2^-30."""
+    return f"""
+ev AS (
+    SELECT {_CENTS} // {PSI_BAND_CENTS} AS band,
+           CASE WHEN event_type = '{KS_SAMPLE_A}' THEN 1 ELSE 0 END AS a,
+           CASE WHEN event_type = '{KS_SAMPLE_B}' THEN 1 ELSE 0 END AS b
+    FROM events
+    WHERE event_type IN ('{KS_SAMPLE_A}', '{KS_SAMPLE_B}')
+),
+s AS (SELECT band, CAST(sum(a) AS BIGINT) AS na,
+             CAST(sum(b) AS BIGINT) AS nb
+      FROM ev GROUP BY band),
+tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+               CAST(sum(nb) AS BIGINT) AS n2,
+               CAST(count(*) AS BIGINT) AS bcnt FROM s),
+sh AS (
+    SELECT band, na, nb, n1, n2, bcnt,
+           greatest(length(bin(greatest(na, nb) + 1)) - 31, 0) AS sc,
+           greatest(length(bin(greatest(n1, n2) + bcnt)) - 31, 0) AS st
+    FROM s CROSS JOIN tot
+),
+x AS (
+    SELECT band, na, nb,
+           greatest((na + 1) >> sc, 1) * greatest((n2 + bcnt) >> st, 1)
+               AS num,
+           greatest((nb + 1) >> sc, 1) * greatest((n1 + bcnt) >> st, 1)
+               AS den,
+           greatest((n1 + bcnt) >> st, 1) * greatest((n2 + bcnt) >> st, 1)
+               AS dd
+    FROM sh
+),
+r AS (
+    SELECT *, greatest(num, den) AS big, least(num, den) AS small,
+           greatest(length(bin(greatest(num, den))) - 42, 0) AS shr,
+           greatest(length(bin(dd)) - 42, 0) AS shd
+    FROM x
+),
+q AS (
+    SELECT *,
+           greatest(big >> shr, 1) AS bigr,
+           greatest(small >> shr, 1) AS smallr,
+           (greatest((big - small) >> shd,
+                     CASE WHEN num = den THEN 0 ELSE 1 END) * 1000000)
+               // greatest(dd >> shd, 1) AS diff_ppm
+    FROM r
+),
+l1 AS (
+    SELECT *, length(bin((bigr << {PSI_FRAC_BITS}) // smallr)) - 1 AS il,
+           (bigr << {PSI_FRAC_BITS}) // smallr AS r20
+    FROM q
+),
+m0 AS (
+    SELECT band, na, nb, diff_ppm, il,
+           CAST(0 AS BIGINT) AS frac,
+           CASE WHEN il >= 30 THEN r20 >> (il - 30)
+                ELSE r20 << (30 - il) END AS m
+    FROM l1
+)"""
+
+
+def _psi_square_steps_sql() -> str:
+    """The PSI_FRAC_BITS unrolled squaring steps (recursion would also
+    work in DuckDB, but unrolling mirrors the Spark column chain
+    exactly — the q_pagerank_neardup discipline)."""
+    steps = []
+    for k in range(1, PSI_FRAC_BITS + 1):
+        prev = f"m{k - 1}" if k > 1 else "m0"
+        steps.append(
+            f"m{k} AS (SELECT band, na, nb, diff_ppm, il,\n"
+            f"  frac * 2 + CASE WHEN (m * m) // {_PSI_MSCALE}"
+            f" >= {2 * _PSI_MSCALE} THEN 1 ELSE 0 END AS frac,\n"
+            f"  CASE WHEN (m * m) // {_PSI_MSCALE} >= {2 * _PSI_MSCALE}\n"
+            f"       THEN ((m * m) // {_PSI_MSCALE}) // 2\n"
+            f"       ELSE (m * m) // {_PSI_MSCALE} END AS m\n"
+            f"  FROM {prev})"
+        )
+    return ",\n".join(steps)
+
+
+_PSI_ORACLE = (
+    "WITH "
+    + _psi_prelude_sql()
+    + ",\n"
+    + _psi_square_steps_sql()
+    + f""",
+terms AS (
+    SELECT band, na, nb, diff_ppm,
+           ((il - {PSI_FRAC_BITS}) * {1 << PSI_FRAC_BITS} + frac)
+               * {LN2_NANO} // {1 << PSI_FRAC_BITS} AS lnr_nano
+    FROM m{PSI_FRAC_BITS}
+)
+SELECT band, na, nb,
+       CAST(diff_ppm AS BIGINT) AS diff_ppm,
+       CAST(lnr_nano AS BIGINT) AS lnr_nano,
+       CAST(diff_ppm * lnr_nano // 1000000 AS BIGINT) AS term_nano,
+       CAST(sum(diff_ppm * lnr_nano // 1000000) OVER () AS BIGINT)
+           AS psi_nano,
+       CAST(sum(diff_ppm * lnr_nano // 1000000) OVER () AS DOUBLE)
+           / CAST(1000000000 AS DOUBLE) AS psi
+FROM terms
+"""
+)
+
+
+@query("q_drift_psi", oracle=_PSI_ORACLE, tags=("stats", "drift", "iterative"))
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the purchase and view value
+    distributions — the BANDED drift gate that complements q_drift_ks'
+    supremum: PSI weights every band's share shift, so a broad small
+    drift registers even when no single CDF gap does. See the module
+    comment above for the pinned definition; the punchline is that the
+    LOGARITHM itself runs in exact integer arithmetic (iterated-
+    squaring base-2 log, 20 fractional bits, ln2 pinned at the nano
+    scale), so every hashed column — including the per-band log-ratio
+    lnr_nano — is the same int64 in Spark and DuckDB, and psi is the
+    single IEEE quotient psi_nano / 1e9.
+
+    Plan shape: ONE map-side-combined groupBy collapses the fact table
+    to |bands| rows (bands are a fixed-width quantization of the score
+    domain — bounded like q_drift_ks' cents grid, NOT by row count); a
+    1-row total aggregate broadcasts back; then the whole log pipeline
+    is 20 narrow integer column steps over |bands| rows — constant
+    work at any corpus scale (the single-partition window total also
+    runs over those |bands| rows only). At 100 TB the only data-sized
+    stage is the first aggregate's map side; the bit-reduction scheme
+    in the module comment keeps every product < 2^62 with no
+    raise_error bound to hit."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_SAMPLE_A, KS_SAMPLE_B)
+    ).select(
+        F.expr(f"({_CENTS}) div {PSI_BAND_CENTS}").alias("band"),
+        F.when(F.col("event_type") == KS_SAMPLE_A, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == KS_SAMPLE_B, 1).otherwise(0).alias("b"),
+    )
+    s = ev.groupBy("band").agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    tot = s.agg(
+        F.sum("na").cast("long").alias("n1"),
+        F.sum("nb").cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("bcnt"),
+    )
+    df = (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "sc",
+            F.expr("greatest(length(bin(greatest(na, nb) + 1)) - 31, 0)"),
+        )
+        .withColumn(
+            "st",
+            F.expr("greatest(length(bin(greatest(n1, n2) + bcnt)) - 31, 0)"),
+        )
+        .withColumn(
+            "num",
+            F.expr(
+                "greatest(shiftright(na + 1, sc), 1)"
+                " * greatest(shiftright(n2 + bcnt, st), 1)"
+            ),
+        )
+        .withColumn(
+            "den",
+            F.expr(
+                "greatest(shiftright(nb + 1, sc), 1)"
+                " * greatest(shiftright(n1 + bcnt, st), 1)"
+            ),
+        )
+        .withColumn(
+            "dd",
+            F.expr(
+                "greatest(shiftright(n1 + bcnt, st), 1)"
+                " * greatest(shiftright(n2 + bcnt, st), 1)"
+            ),
+        )
+        .withColumn("big", F.greatest("num", "den"))
+        .withColumn("small", F.least("num", "den"))
+        .withColumn("shr", F.expr("greatest(length(bin(big)) - 42, 0)"))
+        .withColumn("shd", F.expr("greatest(length(bin(dd)) - 42, 0)"))
+        .withColumn(
+            "diff_ppm",
+            F.expr(
+                "(greatest(shiftright(big - small, shd),"
+                " CASE WHEN num = den THEN 0 ELSE 1 END) * 1000000)"
+                " div greatest(shiftright(dd, shd), 1)"
+            ),
+        )
+        .withColumn(
+            "r20",
+            F.expr(
+                f"shiftleft(greatest(shiftright(big, shr), 1),"
+                f" {PSI_FRAC_BITS})"
+                " div greatest(shiftright(small, shr), 1)"
+            ),
+        )
+        .withColumn("il", F.expr("length(bin(r20)) - 1"))
+        .withColumn("frac", F.lit(0).cast("long"))
+        .withColumn(
+            "m",
+            F.expr(
+                "CASE WHEN il >= 30 THEN shiftright(r20, il - 30) "
+                "ELSE shiftleft(r20, 30 - il) END"
+            ),
+        )
+    )
+    for _ in range(PSI_FRAC_BITS):
+        df = df.withColumn(
+            "msq", F.expr(f"(m * m) div {_PSI_MSCALE}")
+        ).withColumn(
+            "frac",
+            F.expr(
+                f"frac * 2 + CASE WHEN msq >= {2 * _PSI_MSCALE} "
+                "THEN 1 ELSE 0 END"
+            ),
+        ).withColumn(
+            "m",
+            F.expr(
+                f"CASE WHEN msq >= {2 * _PSI_MSCALE} THEN msq div 2 "
+                "ELSE msq END"
+            ),
+        ).drop("msq")
+    terms = df.select(
+        "band",
+        "na",
+        "nb",
+        F.col("diff_ppm").cast("long").alias("diff_ppm"),
+        F.expr(
+            f"((il - {PSI_FRAC_BITS}) * {1 << PSI_FRAC_BITS} + frac)"
+            f" * {LN2_NANO} div {1 << PSI_FRAC_BITS}"
+        )
+        .cast("long")
+        .alias("lnr_nano"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return terms.select(
+        "band",
+        "na",
+        "nb",
+        "diff_ppm",
+        "lnr_nano",
+        F.expr("diff_ppm * lnr_nano div 1000000")
+        .cast("long")
+        .alias("term_nano"),
+        F.sum(F.expr("diff_ppm * lnr_nano div 1000000"))
+        .over(w)
+        .cast("long")
+        .alias("psi_nano"),
+        (
+            F.sum(F.expr("diff_ppm * lnr_nano div 1000000"))
+            .over(w)
+            .cast("double")
+            / F.lit(1_000_000_000).cast("double")
+        ).alias("psi"),
     )

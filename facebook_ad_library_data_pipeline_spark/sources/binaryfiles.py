@@ -114,17 +114,19 @@ def q_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ≤ ~516 rows at sf0.1) — the q_sink_roundtrip discipline.
         # The ceiling makes a fixture-scale change fail LOUDLY instead
         # of silently growing driver memory (r12 ADVICE): the stride
-        # keeps this at docs/97, so 10_000 ≈ a sf-100× headroom. The
-        # guard runs BEFORE the collect (limit+count never ships rows
-        # to the driver), so past the ceiling it raises cleanly rather
-        # than OOMing inside collect() and reporting after the fact.
-        if out.limit(10_001).count() > 10_000:
+        # keeps this at docs/97, so 10_000 ≈ a sf-100× headroom.
+        # take(ceiling+1) ships AT MOST ceiling+1 rows in ONE pass
+        # (r13 ADVICE: the earlier limit+count guard re-ran the whole
+        # binaryFile scan + md5 lineage a second time before collect);
+        # past the ceiling it raises cleanly with a bounded driver
+        # footprint rather than OOMing inside an unbounded collect().
+        rows = out.take(10_001)
+        if len(rows) > 10_000:
             raise AssertionError(
                 f"q_binary_file_scan would collect >10000 rows; the "
                 f"doc_id % {_STRIDE} stride was sized for a bounded "
                 "driver materialization — re-sample before collecting"
             )
-        rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
