@@ -497,12 +497,16 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # COMMON shift per factor pair (length(bin(x)) is the exact ⌊log2⌋+1
 # in both engines), so all products stay < 2^62 at ANY sample size —
 # no silent non-ANSI wrap at 100 TB. The reductions are no-ops (shift
-# 0, values exact) until a per-sample count crosses 2^31 ≈ 2.1e9 rows,
-# past which the RATIO carries ≤ 2^-30 relative error — and ZERO
-# cross-engine divergence either way: both engines run the same
-# integer ops on the same integers. DuckDB's integer sums are HUGEINT,
-# so the oracle CASTs every count aggregate to BIGINT up front to stay
-# in the same ring Spark computes in.
+# 0, values exact) until a per-sample count crosses 2^31 ≈ 2.1e9 rows.
+# Inside the log, num and den reduce INDEPENDENTLY to 42 bits (their
+# shift difference folds into the exponent term exactly), so each
+# mantissa keeps ≥ 41 significant bits at ANY skew — the reduction's
+# ≤ 2^-41 relative error is dominated by the log's own 2^-20
+# fractional quantization. And ZERO cross-engine divergence either
+# way: both engines run the same integer ops on the same integers.
+# DuckDB's integer sums are HUGEINT, so the oracle CASTs every count
+# aggregate to BIGINT up front to stay in the same ring Spark
+# computes in.
 # ---------------------------------------------------------------------------
 
 PSI_BAND_CENTS = 500  # band width; sf0.1 observes ~85 bands
@@ -549,14 +553,15 @@ x AS (
 ),
 r AS (
     SELECT *, greatest(num, den) AS big, least(num, den) AS small,
-           greatest(length(bin(greatest(num, den))) - 42, 0) AS shr,
+           greatest(length(bin(greatest(num, den))) - 42, 0) AS shb,
+           greatest(length(bin(least(num, den))) - 42, 0) AS shs,
            greatest(length(bin(dd)) - 42, 0) AS shd
     FROM x
 ),
 q AS (
     SELECT *,
-           greatest(big >> shr, 1) AS bigr,
-           greatest(small >> shr, 1) AS smallr,
+           greatest(big >> shb, 1) AS bigr,
+           greatest(small >> shs, 1) AS smallr,
            (greatest((big - small) >> shd,
                      CASE WHEN num = den THEN 0 ELSE 1 END) * 1000000)
                // greatest(dd >> shd, 1) AS diff_ppm
@@ -564,11 +569,12 @@ q AS (
 ),
 l1 AS (
     SELECT *, length(bin((bigr << {PSI_FRAC_BITS}) // smallr)) - 1 AS il,
-           (bigr << {PSI_FRAC_BITS}) // smallr AS r20
+           (bigr << {PSI_FRAC_BITS}) // smallr AS r20,
+           shb - shs AS eadj
     FROM q
 ),
 m0 AS (
-    SELECT band, na, nb, diff_ppm, il,
+    SELECT band, na, nb, diff_ppm, il, eadj,
            CAST(0 AS BIGINT) AS frac,
            CASE WHEN il >= 30 THEN r20 >> (il - 30)
                 ELSE r20 << (30 - il) END AS m
@@ -584,7 +590,7 @@ def _psi_square_steps_sql() -> str:
     for k in range(1, PSI_FRAC_BITS + 1):
         prev = f"m{k - 1}" if k > 1 else "m0"
         steps.append(
-            f"m{k} AS (SELECT band, na, nb, diff_ppm, il,\n"
+            f"m{k} AS (SELECT band, na, nb, diff_ppm, il, eadj,\n"
             f"  frac * 2 + CASE WHEN (m * m) // {_PSI_MSCALE}"
             f" >= {2 * _PSI_MSCALE} THEN 1 ELSE 0 END AS frac,\n"
             f"  CASE WHEN (m * m) // {_PSI_MSCALE} >= {2 * _PSI_MSCALE}\n"
@@ -603,7 +609,7 @@ _PSI_ORACLE = (
     + f""",
 terms AS (
     SELECT band, na, nb, diff_ppm,
-           ((il - {PSI_FRAC_BITS}) * {1 << PSI_FRAC_BITS} + frac)
+           ((il - {PSI_FRAC_BITS} + eadj) * {1 << PSI_FRAC_BITS} + frac)
                * {LN2_NANO} // {1 << PSI_FRAC_BITS} AS lnr_nano
     FROM m{PSI_FRAC_BITS}
 )
@@ -692,7 +698,8 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("big", F.greatest("num", "den"))
         .withColumn("small", F.least("num", "den"))
-        .withColumn("shr", F.expr("greatest(length(bin(big)) - 42, 0)"))
+        .withColumn("shb", F.expr("greatest(length(bin(big)) - 42, 0)"))
+        .withColumn("shs", F.expr("greatest(length(bin(small)) - 42, 0)"))
         .withColumn("shd", F.expr("greatest(length(bin(dd)) - 42, 0)"))
         .withColumn(
             "diff_ppm",
@@ -705,12 +712,13 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "r20",
             F.expr(
-                f"shiftleft(greatest(shiftright(big, shr), 1),"
+                f"shiftleft(greatest(shiftright(big, shb), 1),"
                 f" {PSI_FRAC_BITS})"
-                " div greatest(shiftright(small, shr), 1)"
+                " div greatest(shiftright(small, shs), 1)"
             ),
         )
         .withColumn("il", F.expr("length(bin(r20)) - 1"))
+        .withColumn("eadj", F.expr("shb - shs"))
         .withColumn("frac", F.lit(0).cast("long"))
         .withColumn(
             "m",
@@ -742,7 +750,7 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nb",
         F.col("diff_ppm").cast("long").alias("diff_ppm"),
         F.expr(
-            f"((il - {PSI_FRAC_BITS}) * {1 << PSI_FRAC_BITS} + frac)"
+            f"((il - {PSI_FRAC_BITS} + eadj) * {1 << PSI_FRAC_BITS} + frac)"
             f" * {LN2_NANO} div {1 << PSI_FRAC_BITS}"
         )
         .cast("long")

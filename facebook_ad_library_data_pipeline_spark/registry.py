@@ -87,6 +87,7 @@ _QUERY_MODULES = [
     "facebook_ad_library_data_pipeline_spark.operators.governance",
     "facebook_ad_library_data_pipeline_spark.operators.statistics",
     "facebook_ad_library_data_pipeline_spark.functions.html",
+    "facebook_ad_library_data_pipeline_spark.operators.kmeans",
 ]
 
 
@@ -101,88 +102,84 @@ _QUERY_MODULES = [
 # double-proven r01/r02 queries last). Rotate this list each round to
 # move the remaining unchecked tail through the window.
 _PRIORITY = [
-    # ---- round-13 window ----
-    # The r12-brief-named registrations lead (items 3/4/7: ranking,
-    # fusion, HTML extraction); the OTHER four r13 additions are
-    # deliberately placed AFTER the stale-46 rotation below, so that
-    # even a window cut at exactly 50 re-proves every r04-stale row
-    # (brief item 1's done-condition) — the wave-2/3 additions are
-    # pytest- and both-scale-sweep-proven this round and lead the r14
-    # window if the cut excludes them:
-    "q_rank_multifactor",  # weighted 4-factor ad ranking (reference wishlist README.md:58)
-    "q_rank_fusion",  # RRF of BM25 + dense cosine retrieval at depth 20
-    "q_html_extract",  # CCNet-style tag-soup -> text, graded against closed-form ground truth
-    # Evidence-freshness rotation (r12 verdict item 1): the 46 queries
-    # whose driver rows still date to round 4 — after this window, no
-    # driver row in the registry is older than r05:
-    "q_array_pack",
-    "q_corpus_mix",
-    "q_curate_corpus",
-    "q_except_all",
-    "q_intersect_all",
-    "q_map_from_json",
-    "q_merge_upsert",
-    "q_neardup_components",
-    "q_neardup_dedup",
-    "q_neardup_dedup_transitive",
-    "q_ngram_jaccard_pairs",
-    "q_percentiles_exact",
-    "q_salted_join",
-    "q_scd2_intervals",
-    "q_sql_cte_yoy",
-    "q_sql_lateral_latest_order",
-    "q_sql_revenue_by_nation",
-    "q_sql_top_customer_per_segment",
-    "q_subquery_corr_scalar",
-    "q_subquery_exists",
-    "q_subquery_in",
-    "q_subquery_not_exists",
-    "q_subquery_scalar",
-    "q_tpch_q2",
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_vector_stats",
-    "q_window_range_value",
-    # Remaining r13 registrations (see the window-cut note above):
-    "q_phrase_search",  # positional-index exact-phrase match via shifted equi-join
-    "q_url_canonical_dedup",  # crawl-frontier URL canonicalization + keep-first collapse
-    "q_domain_affinity",  # DSIR-style target/corpus LM importance weight, integer-exact
-    "q_chunk_overlap",  # RAG-style overlapping fixed-window chunking, md5-pinned chunks
-    "q_drift_ks",  # exact two-sample Kolmogorov-Smirnov drift statistic, integer-pinned
-    # Queries whose implementation or oracle changed this round (the
-    # four r12 ADVICE fixes: shared-shingle-oracle df-cap mirror,
-    # negative-sampling found-marker, bootstrap NULLIF guard,
-    # binary-scan collect ceiling) — re-prove through the driver
-    # (positions 50-53: q_containment_pairs completes a 50-row window;
-    # the rest lead the r14 window if the driver cuts at exactly 50 —
-    # all four are also re-proven this round by the closing sf0.01 +
-    # sf0.1 sweeps and the per-query pytest oracle sweep):
+    # ---- round-14 window ----
+    # Window arithmetic (r13 verdict items 1-2): the driver cuts at 50
+    # rows. 2 new r14 registrations + the 4 never-driver-checked r13
+    # additions + the 4 queries whose code/oracle changed in r13 after
+    # their last (r12) driver row + the 39 queries whose newest row is
+    # r05 + 1 r06 row (the bench-adjudication target) = exactly 50.
+    # After this window NO driver row in the registry is older than
+    # r06, and the remaining staleness tail is 25 r06 + 10 r07 + 6 r08
+    # + 4 r09 = 45 rows — it fits r15's window with 5 slots spare, so
+    # "none older than r10 after r15" is reachable on schedule.
+    # New r14 registrations (changed queries go FIRST so an early cut
+    # still proves the code that changed this round):
+    "q_drift_psi",  # PSI drift gate; the log itself in exact int64 (iterated squaring)
+    "q_kmeans_lloyd",  # driver-coordinated Lloyd k-means, unrolled-CTE oracle
+    # The four r13 registrations the r13 window cut at exactly 50
+    # (judge-verified at sf0.01 last session, but still zero DRIVER
+    # rows); q_drift_ks and q_domain_affinity additionally changed
+    # this round (overflow guard; corpus-aggregate broadcast dropped):
+    "q_url_canonical_dedup",
+    "q_chunk_overlap",
+    "q_drift_ks",
+    "q_domain_affinity",
+    # The four r12-ADVICE-changed queries whose newest driver row
+    # (r12) predates the r13 change — close that re-prove gap
+    # (q_binary_file_scan also changed THIS round: single-pass
+    # take-guard):
     "q_containment_pairs",
     "q_negative_sampling",
     "q_bootstrap_ci",
     "q_binary_file_scan",
-    # The review pass extended the df-cap oracle mirror to the four
-    # sibling CTEs (components.py, curation.py); three of those are in
-    # the stale-46 rotation above — the fourth re-proves here:
+    # Evidence-freshness rotation: the 39 queries whose newest driver
+    # row is r05 (alphabetical; includes the 2 by-nature rows-only ANN
+    # top-k queries — their rows-only driver check refreshes too):
+    "q_ann_ivf_pq_topk",
+    "q_ann_ivf_topk",
+    "q_bloom_prefilter",
+    "q_bool_string_aggs",
+    "q_bucketed_join",
     "q_canonical_docs",
+    "q_cogroup_asof",
+    "q_countmin_portable",
+    "q_decontaminate",
+    "q_dup_span_docs",
+    "q_embedding_neardup_sampled",
+    "q_embedding_topk",
+    "q_frame_sample",
+    "q_funnel_steps",
+    "q_grouped_agg_pandas_iqr",
+    "q_grouped_pandas_slope",
+    "q_ingest_position",
+    "q_interval_join_pairs",
+    "q_join_events_dim",
+    "q_length_buckets",
+    "q_mix_rebalance",
+    "q_multimodal_meta",
+    "q_multimodal_pixel_stats",
+    "q_pack_sequences",
+    "q_quality_filter",
+    "q_quality_top_percent",
+    "q_repetition_quality",
+    "q_resample_gapfill",
+    "q_session_window",
+    "q_sink_roundtrip",
+    "q_stream_dedup",
+    "q_stream_stateful_user",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_tumbling",
+    "q_udtf_chunks",
+    "q_unpivot",
+    "q_window_sliding",
+    "q_window_tumbling",
+    # Slot 50: the stalest r06 row AND this round's bench-regression
+    # adjudication target — a fresh driver row closes both:
+    "q_dedup_incremental",
+    # ---- round-13 window (all 50 proven r13; the five r13
+    # registrations the cut excluded now lead the r14 window above;
+    # everything else re-enters via registration order) ----
     # ---- round-12 window ----
     # New registrations this round:
     "q_partition_overwrite_dynamic",  # dynamic-mode single-partition reload, spliced oracle
@@ -418,7 +415,7 @@ _PRIORITY = [
     # new round-6 operators (third batch):
     "q_variant_json",           # Spark 4 VARIANT: schemaless typed path access
     "q_sql_pipe_syntax",        # Spark 4 SQL pipe operators, ANSI-form oracle
-    "q_dedup_incremental",      # delta probes the historical band index
+    # (q_dedup_incremental moved to the round-14 window above)
     "q_embedding_neardup_lsh",  # banded hyperplane LSH over the whole corpus
     "q_token_entropy",          # per-doc Shannon entropy quality signal
     "q_rolling_zscore",         # decimal-exact rolling anomaly detection

@@ -744,14 +744,20 @@ def test_url_canonical_dedup_single_exchange(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower()
 
 
-def test_domain_affinity_models_broadcast(spark, sf_dir):
-    # all four model aggregates (target/corpus counts+prefixes) and
-    # both vocab counts broadcast back onto the transitions; the only
-    # full-width exchange is the per-doc rollup — never a sort-merge
-    # join against the exploded transitions
-    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
-
+def test_domain_affinity_target_broadcast_corpus_unhinted(spark, sf_dir):
+    # The TARGET model aggregates (curated slice — bounded by design)
+    # broadcast by hint; the CORPUS aggregates grow ~vocab² so they are
+    # deliberately UNhinted (r13 ADVICE) — AQE picks broadcast at test
+    # scale and a shuffle join past the threshold. The static plan must
+    # show the target-side broadcasts and must NOT show a broadcast
+    # HINT on the corpus joins (we inspect the analyzed plan for the
+    # hint, since the physical join choice is AQE's).
     df = REGISTRY["q_domain_affinity"].fn(spark, sf_dir)
-    assert has_node(df, "BroadcastHashJoin")
-    plan = formatted_plan(df)
-    assert "sortmergejoin" not in plan.lower()
+    assert has_node(df, "BroadcastHashJoin")  # target side still hinted
+    # the analyzed plan carries a broadcast hint ONLY for the joins we
+    # hinted: tcounts/tprefix + the two 1-row vocab crossJoins = 4
+    # (were 6 before the corpus hints were dropped)
+    hints = df._jdf.queryExecution().analyzed().toString().count(
+        "strategy=broadcast"
+    )
+    assert hints == 4, hints
