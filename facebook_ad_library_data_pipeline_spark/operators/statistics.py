@@ -433,8 +433,16 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n1*n2 ≥ 2^63 Spark would wrap where DuckDB errors — fail loudly
     # on the cheap side instead. `div` keeps the bound check itself
     # in exact integer arithmetic.
+    # coalesce: an EMPTY input makes both sums NULL, which would turn
+    # the guard's WHEN into NULL and misfire raise_error on a dataset
+    # with zero rows (review catch) — pin empties to 0, where the
+    # n2 == 0 arm short-circuits and the final join stays empty,
+    # matching the oracle's empty result.
     n = (
-        s.agg(F.sum("na").alias("n1"), F.sum("nb").alias("n2"))
+        s.agg(
+            F.coalesce(F.sum("na"), F.lit(0)).alias("n1"),
+            F.coalesce(F.sum("nb"), F.lit(0)).alias("n2"),
+        )
         .select(
             F.col("n1"),
             F.when(
@@ -471,8 +479,8 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Population Stability Index (PSI) — the banded drift twin of q_drift_ks.
 # Everything below the band counts is exact int64 arithmetic in BOTH
-# engines, including the logarithm: ln(pa/pe) is computed by the
-# classic iterated-squaring base-2 logarithm (integer multiply, shift,
+# engines, including the logarithm: log2 is computed by the classic
+# iterated-squaring fixed-point algorithm (integer multiply, shift,
 # compare only — no libm on the hash path), so Spark and DuckDB produce
 # bit-identical scaled integers.
 #
@@ -484,29 +492,35 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # * shares are add-one smoothed: pa = (na+1)/(n1+B), pe = (nb+1)/(n2+B)
 #   with B = observed band count, so empty-on-one-side bands stay
 #   finite;
-# * each term is |pa-pe| · |ln(pa/pe)| — the two factors ALWAYS carry
-#   the same sign (pa>pe ⟺ pa/pe>1), so working with (big, small) =
-#   (max, min) of the cross-products keeps every intermediate
-#   NON-NEGATIVE, where Spark's `div` and DuckDB's `//` agree trivially
-#   (both truncate toward zero, so signed would match too — this is
-#   belt and suspenders).
+# * each term is |pa-pe| · |ln(pa/pe)| — the two true factors always
+#   carry the same sign (pa>pe ⟺ pa/pe>1), so taking abs() of each
+#   independently-rounded factor keeps every term non-negative and
+#   every division operand non-negative (where Spark's `div` and
+#   DuckDB's `//` agree trivially; both truncate toward zero, so
+#   signed would match too — belt and suspenders).
 #
-# Int64 headroom is ENGINEERED, not documented away (contrast the
-# q_drift_ks guard, which raise_errors at its N1·N2 bound): every
-# multiplication's operands are first bit-REDUCED below 2^31 by a
-# COMMON shift per factor pair (length(bin(x)) is the exact ⌊log2⌋+1
-# in both engines), so all products stay < 2^62 at ANY sample size —
-# no silent non-ANSI wrap at 100 TB. The reductions are no-ops (shift
-# 0, values exact) until a per-sample count crosses 2^31 ≈ 2.1e9 rows.
-# Inside the log, num and den reduce INDEPENDENTLY to 42 bits (their
-# shift difference folds into the exponent term exactly), so each
-# mantissa keeps ≥ 41 significant bits at ANY skew — the reduction's
-# ≤ 2^-41 relative error is dominated by the log's own 2^-20
-# fractional quantization. And ZERO cross-engine divergence either
-# way: both engines run the same integer ops on the same integers.
-# DuckDB's integer sums are HUGEINT, so the oracle CASTs every count
-# aggregate to BIGINT up front to stay in the same ring Spark
-# computes in.
+# Int64 headroom is ENGINEERED per factor, not documented away
+# (contrast the q_drift_ks guard, which raise_errors at its N1·N2
+# bound):
+# * the SHARE path computes pa and pe in ppm SEPARATELY — numerator
+#   and denominator of each share reduced by a COMMON shift derived
+#   from the denominator (length(bin(x)) is the exact ⌊log2⌋+1 in both
+#   engines), so count·1e6 stays < 2^62 at any size and a count that
+#   reduces to 0 is a share genuinely below ppm resolution (no clamp);
+# * the LOG path reduces all FOUR factors INDEPENDENTLY below 2^31
+#   (products < 2^62) and folds the four shifts into an exact signed
+#   exponent adjustment, then takes fixed-point log2 of the two
+#   cross-products with a shared 20-step squaring chain and subtracts
+#   — no big/small division, no clamps, each reduced factor keeps
+#   ≥ 30 significant bits at ANY skew, so the reduction error
+#   (≤ 4·2^-30 on the ratio) is dominated by the log's own 2^-20
+#   fractional quantization.
+# All reductions are no-ops (shift 0, values exact) until a count
+# crosses 2^31 ≈ 2.1e9 rows per band/sample — and there is ZERO
+# cross-engine divergence either way: both engines run the same
+# integer ops on the same integers. DuckDB's integer sums are HUGEINT,
+# so the oracle CASTs every count aggregate to BIGINT up front to stay
+# in the same ring Spark computes in.
 # ---------------------------------------------------------------------------
 
 PSI_BAND_CENTS = 500  # band width; sf0.1 observes ~85 bands
@@ -516,11 +530,9 @@ LN2_NANO = 693_147_180  # ⌊ln(2) · 1e9⌋ — pinned, same constant both engi
 
 
 def _psi_prelude_sql() -> str:
-    """Shared CTE chain up to the normalized mantissa m0 and frac=0.
-
-    Factor reduction: counts (na+1),(nb+1) share shift sc; totals
-    (n1+B),(n2+B) share shift st — a COMMON shift per pair preserves
-    the big/small ordering and the ratio to 2^-30."""
+    """Shared CTE chain up to the two normalized mantissas (mn, md)
+    and zeroed frac accumulators. See the module comment for the
+    reduction scheme."""
     return f"""
 ev AS (
     SELECT {_CENTS} // {PSI_BAND_CENTS} AS band,
@@ -535,67 +547,69 @@ s AS (SELECT band, CAST(sum(a) AS BIGINT) AS na,
 tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
                CAST(sum(nb) AS BIGINT) AS n2,
                CAST(count(*) AS BIGINT) AS bcnt FROM s),
-sh AS (
-    SELECT band, na, nb, n1, n2, bcnt,
-           greatest(length(bin(greatest(na, nb) + 1)) - 31, 0) AS sc,
-           greatest(length(bin(greatest(n1, n2) + bcnt)) - 31, 0) AS st
+f AS (
+    SELECT band, na, nb,
+           na + 1 AS ca, nb + 1 AS cb,
+           n1 + bcnt AS d1, n2 + bcnt AS d2
     FROM s CROSS JOIN tot
 ),
-x AS (
-    SELECT band, na, nb,
-           greatest((na + 1) >> sc, 1) * greatest((n2 + bcnt) >> st, 1)
-               AS num,
-           greatest((nb + 1) >> sc, 1) * greatest((n1 + bcnt) >> st, 1)
-               AS den,
-           greatest((n1 + bcnt) >> st, 1) * greatest((n2 + bcnt) >> st, 1)
-               AS dd
-    FROM sh
-),
-r AS (
-    SELECT *, greatest(num, den) AS big, least(num, den) AS small,
-           greatest(length(bin(greatest(num, den))) - 42, 0) AS shb,
-           greatest(length(bin(least(num, den))) - 42, 0) AS shs,
-           greatest(length(bin(dd)) - 42, 0) AS shd
-    FROM x
-),
-q AS (
+pp AS (
     SELECT *,
-           greatest(big >> shb, 1) AS bigr,
-           greatest(small >> shs, 1) AS smallr,
-           (greatest((big - small) >> shd,
-                     CASE WHEN num = den THEN 0 ELSE 1 END) * 1000000)
-               // greatest(dd >> shd, 1) AS diff_ppm
-    FROM r
+           ((ca >> greatest(length(bin(d1)) - 42, 0)) * 1000000)
+               // (d1 >> greatest(length(bin(d1)) - 42, 0)) AS pa_ppm,
+           ((cb >> greatest(length(bin(d2)) - 42, 0)) * 1000000)
+               // (d2 >> greatest(length(bin(d2)) - 42, 0)) AS pe_ppm
+    FROM f
 ),
-l1 AS (
-    SELECT *, length(bin((bigr << {PSI_FRAC_BITS}) // smallr)) - 1 AS il,
-           (bigr << {PSI_FRAC_BITS}) // smallr AS r20,
-           shb - shs AS eadj
-    FROM q
+x AS (
+    SELECT band, na, nb, abs(pa_ppm - pe_ppm) AS diff_ppm,
+           (ca >> greatest(length(bin(ca)) - 31, 0))
+               * (d2 >> greatest(length(bin(d2)) - 31, 0)) AS numv,
+           (cb >> greatest(length(bin(cb)) - 31, 0))
+               * (d1 >> greatest(length(bin(d1)) - 31, 0)) AS denv,
+           (greatest(length(bin(ca)) - 31, 0)
+               + greatest(length(bin(d2)) - 31, 0))
+           - (greatest(length(bin(cb)) - 31, 0)
+               + greatest(length(bin(d1)) - 31, 0)) AS eadj
+    FROM pp
 ),
 m0 AS (
-    SELECT band, na, nb, diff_ppm, il, eadj,
-           CAST(0 AS BIGINT) AS frac,
-           CASE WHEN il >= 30 THEN r20 >> (il - 30)
-                ELSE r20 << (30 - il) END AS m
-    FROM l1
+    SELECT band, na, nb, diff_ppm, eadj,
+           length(bin(numv)) - 1 AS iln,
+           length(bin(denv)) - 1 AS ild,
+           CAST(0 AS BIGINT) AS fn,
+           CAST(0 AS BIGINT) AS fd,
+           CASE WHEN length(bin(numv)) - 1 >= 30
+                THEN numv >> (length(bin(numv)) - 31)
+                ELSE numv << (31 - length(bin(numv))) END AS mn,
+           CASE WHEN length(bin(denv)) - 1 >= 30
+                THEN denv >> (length(bin(denv)) - 31)
+                ELSE denv << (31 - length(bin(denv))) END AS md
+    FROM x
 )"""
 
 
 def _psi_square_steps_sql() -> str:
-    """The PSI_FRAC_BITS unrolled squaring steps (recursion would also
-    work in DuckDB, but unrolling mirrors the Spark column chain
-    exactly — the q_pagerank_neardup discipline)."""
+    """The PSI_FRAC_BITS unrolled squaring steps, advancing BOTH
+    mantissas (numerator and denominator cross-product) in the same
+    CTE per step (recursion would also work in DuckDB, but unrolling
+    mirrors the Spark column chain exactly — the q_pagerank_neardup
+    discipline)."""
     steps = []
     for k in range(1, PSI_FRAC_BITS + 1):
         prev = f"m{k - 1}" if k > 1 else "m0"
         steps.append(
-            f"m{k} AS (SELECT band, na, nb, diff_ppm, il, eadj,\n"
-            f"  frac * 2 + CASE WHEN (m * m) // {_PSI_MSCALE}"
-            f" >= {2 * _PSI_MSCALE} THEN 1 ELSE 0 END AS frac,\n"
-            f"  CASE WHEN (m * m) // {_PSI_MSCALE} >= {2 * _PSI_MSCALE}\n"
-            f"       THEN ((m * m) // {_PSI_MSCALE}) // 2\n"
-            f"       ELSE (m * m) // {_PSI_MSCALE} END AS m\n"
+            f"m{k} AS (SELECT band, na, nb, diff_ppm, eadj, iln, ild,\n"
+            f"  fn * 2 + CASE WHEN (mn * mn) // {_PSI_MSCALE}"
+            f" >= {2 * _PSI_MSCALE} THEN 1 ELSE 0 END AS fn,\n"
+            f"  fd * 2 + CASE WHEN (md * md) // {_PSI_MSCALE}"
+            f" >= {2 * _PSI_MSCALE} THEN 1 ELSE 0 END AS fd,\n"
+            f"  CASE WHEN (mn * mn) // {_PSI_MSCALE} >= {2 * _PSI_MSCALE}\n"
+            f"       THEN ((mn * mn) // {_PSI_MSCALE}) // 2\n"
+            f"       ELSE (mn * mn) // {_PSI_MSCALE} END AS mn,\n"
+            f"  CASE WHEN (md * md) // {_PSI_MSCALE} >= {2 * _PSI_MSCALE}\n"
+            f"       THEN ((md * md) // {_PSI_MSCALE}) // 2\n"
+            f"       ELSE (md * md) // {_PSI_MSCALE} END AS md\n"
             f"  FROM {prev})"
         )
     return ",\n".join(steps)
@@ -609,7 +623,7 @@ _PSI_ORACLE = (
     + f""",
 terms AS (
     SELECT band, na, nb, diff_ppm,
-           ((il - {PSI_FRAC_BITS} + eadj) * {1 << PSI_FRAC_BITS} + frac)
+           abs((iln - ild + eadj) * {1 << PSI_FRAC_BITS} + fn - fd)
                * {LN2_NANO} // {1 << PSI_FRAC_BITS} AS lnr_nano
     FROM m{PSI_FRAC_BITS}
 )
@@ -634,10 +648,11 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift registers even when no single CDF gap does. See the module
     comment above for the pinned definition; the punchline is that the
     LOGARITHM itself runs in exact integer arithmetic (iterated-
-    squaring base-2 log, 20 fractional bits, ln2 pinned at the nano
-    scale), so every hashed column — including the per-band log-ratio
-    lnr_nano — is the same int64 in Spark and DuckDB, and psi is the
-    single IEEE quotient psi_nano / 1e9.
+    squaring fixed-point log2 of the two cross-products, 20 fractional
+    bits, subtracted in Q20, ln2 pinned at the nano scale), so every
+    hashed column — including the per-band log-ratio lnr_nano — is the
+    same int64 in Spark and DuckDB, and psi is the single IEEE
+    quotient psi_nano / 1e9.
 
     Plan shape: ONE map-side-combined groupBy collapses the fact table
     to |bands| rows (bands are a fixed-width quantization of the score
@@ -646,9 +661,10 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 20 narrow integer column steps over |bands| rows — constant
     work at any corpus scale (the single-partition window total also
     runs over those |bands| rows only). At 100 TB the only data-sized
-    stage is the first aggregate's map side; the bit-reduction scheme
-    in the module comment keeps every product < 2^62 with no
-    raise_error bound to hit."""
+    stage is the first aggregate's map side; the per-factor
+    bit-reduction scheme in the module comment keeps every product
+    < 2^62 with no raise_error bound to hit and no precision cliff at
+    extreme skew."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(KS_SAMPLE_A, KS_SAMPLE_B)
     ).select(
@@ -667,90 +683,110 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = (
         s.crossJoin(F.broadcast(tot))
+        .withColumn("ca", F.expr("na + 1"))
+        .withColumn("cb", F.expr("nb + 1"))
+        .withColumn("d1", F.expr("n1 + bcnt"))
+        .withColumn("d2", F.expr("n2 + bcnt"))
         .withColumn(
-            "sc",
-            F.expr("greatest(length(bin(greatest(na, nb) + 1)) - 31, 0)"),
-        )
-        .withColumn(
-            "st",
-            F.expr("greatest(length(bin(greatest(n1, n2) + bcnt)) - 31, 0)"),
-        )
-        .withColumn(
-            "num",
+            "pa_ppm",
             F.expr(
-                "greatest(shiftright(na + 1, sc), 1)"
-                " * greatest(shiftright(n2 + bcnt, st), 1)"
+                "(shiftright(ca, greatest(length(bin(d1)) - 42, 0))"
+                " * 1000000)"
+                " div shiftright(d1, greatest(length(bin(d1)) - 42, 0))"
             ),
         )
         .withColumn(
-            "den",
+            "pe_ppm",
             F.expr(
-                "greatest(shiftright(nb + 1, sc), 1)"
-                " * greatest(shiftright(n1 + bcnt, st), 1)"
+                "(shiftright(cb, greatest(length(bin(d2)) - 42, 0))"
+                " * 1000000)"
+                " div shiftright(d2, greatest(length(bin(d2)) - 42, 0))"
+            ),
+        )
+        .withColumn("diff_ppm", F.expr("abs(pa_ppm - pe_ppm)"))
+        .withColumn(
+            "numv",
+            F.expr(
+                "shiftright(ca, greatest(length(bin(ca)) - 31, 0))"
+                " * shiftright(d2, greatest(length(bin(d2)) - 31, 0))"
             ),
         )
         .withColumn(
-            "dd",
+            "denv",
             F.expr(
-                "greatest(shiftright(n1 + bcnt, st), 1)"
-                " * greatest(shiftright(n2 + bcnt, st), 1)"
-            ),
-        )
-        .withColumn("big", F.greatest("num", "den"))
-        .withColumn("small", F.least("num", "den"))
-        .withColumn("shb", F.expr("greatest(length(bin(big)) - 42, 0)"))
-        .withColumn("shs", F.expr("greatest(length(bin(small)) - 42, 0)"))
-        .withColumn("shd", F.expr("greatest(length(bin(dd)) - 42, 0)"))
-        .withColumn(
-            "diff_ppm",
-            F.expr(
-                "(greatest(shiftright(big - small, shd),"
-                " CASE WHEN num = den THEN 0 ELSE 1 END) * 1000000)"
-                " div greatest(shiftright(dd, shd), 1)"
+                "shiftright(cb, greatest(length(bin(cb)) - 31, 0))"
+                " * shiftright(d1, greatest(length(bin(d1)) - 31, 0))"
             ),
         )
         .withColumn(
-            "r20",
+            "eadj",
             F.expr(
-                f"shiftleft(greatest(shiftright(big, shb), 1),"
-                f" {PSI_FRAC_BITS})"
-                " div greatest(shiftright(small, shs), 1)"
+                "(greatest(length(bin(ca)) - 31, 0)"
+                " + greatest(length(bin(d2)) - 31, 0))"
+                " - (greatest(length(bin(cb)) - 31, 0)"
+                " + greatest(length(bin(d1)) - 31, 0))"
             ),
         )
-        .withColumn("il", F.expr("length(bin(r20)) - 1"))
-        .withColumn("eadj", F.expr("shb - shs"))
-        .withColumn("frac", F.lit(0).cast("long"))
+        .withColumn("iln", F.expr("length(bin(numv)) - 1"))
+        .withColumn("ild", F.expr("length(bin(denv)) - 1"))
+        .withColumn("fn", F.lit(0).cast("long"))
+        .withColumn("fd", F.lit(0).cast("long"))
         .withColumn(
-            "m",
+            "mn",
             F.expr(
-                "CASE WHEN il >= 30 THEN shiftright(r20, il - 30) "
-                "ELSE shiftleft(r20, 30 - il) END"
+                "CASE WHEN iln >= 30 THEN shiftright(numv, iln - 30) "
+                "ELSE shiftleft(numv, 30 - iln) END"
+            ),
+        )
+        .withColumn(
+            "md",
+            F.expr(
+                "CASE WHEN ild >= 30 THEN shiftright(denv, ild - 30) "
+                "ELSE shiftleft(denv, 30 - ild) END"
             ),
         )
     )
     for _ in range(PSI_FRAC_BITS):
-        df = df.withColumn(
-            "msq", F.expr(f"(m * m) div {_PSI_MSCALE}")
-        ).withColumn(
-            "frac",
-            F.expr(
-                f"frac * 2 + CASE WHEN msq >= {2 * _PSI_MSCALE} "
-                "THEN 1 ELSE 0 END"
-            ),
-        ).withColumn(
-            "m",
-            F.expr(
-                f"CASE WHEN msq >= {2 * _PSI_MSCALE} THEN msq div 2 "
-                "ELSE msq END"
-            ),
-        ).drop("msq")
+        df = (
+            df.withColumn("mnsq", F.expr(f"(mn * mn) div {_PSI_MSCALE}"))
+            .withColumn("mdsq", F.expr(f"(md * md) div {_PSI_MSCALE}"))
+            .withColumn(
+                "fn",
+                F.expr(
+                    f"fn * 2 + CASE WHEN mnsq >= {2 * _PSI_MSCALE} "
+                    "THEN 1 ELSE 0 END"
+                ),
+            )
+            .withColumn(
+                "fd",
+                F.expr(
+                    f"fd * 2 + CASE WHEN mdsq >= {2 * _PSI_MSCALE} "
+                    "THEN 1 ELSE 0 END"
+                ),
+            )
+            .withColumn(
+                "mn",
+                F.expr(
+                    f"CASE WHEN mnsq >= {2 * _PSI_MSCALE} THEN mnsq div 2 "
+                    "ELSE mnsq END"
+                ),
+            )
+            .withColumn(
+                "md",
+                F.expr(
+                    f"CASE WHEN mdsq >= {2 * _PSI_MSCALE} THEN mdsq div 2 "
+                    "ELSE mdsq END"
+                ),
+            )
+            .drop("mnsq", "mdsq")
+        )
     terms = df.select(
         "band",
         "na",
         "nb",
         F.col("diff_ppm").cast("long").alias("diff_ppm"),
         F.expr(
-            f"((il - {PSI_FRAC_BITS} + eadj) * {1 << PSI_FRAC_BITS} + frac)"
+            f"abs((iln - ild + eadj) * {1 << PSI_FRAC_BITS} + fn - fd)"
             f" * {LN2_NANO} div {1 << PSI_FRAC_BITS}"
         )
         .cast("long")

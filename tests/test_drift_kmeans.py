@@ -27,18 +27,12 @@ from facebook_ad_library_data_pipeline_spark.operators.statistics import (
 )
 
 
-def _int_ln_nano(num: int, den: int) -> int:
-    """Reference Python implementation of the engine's iterated-squaring
-    integer log (num ≥ den ≥ 1): must agree with the SQL/Spark column
-    chain bit-for-bit, and with math.log to ~2^-PSI_FRAC_BITS."""
-    big, small = max(num, den), min(num, den)
-    shb = max(big.bit_length() - 42, 0)
-    shs = max(small.bit_length() - 42, 0)
-    bigr = max(big >> shb, 1)
-    smallr = max(small >> shs, 1)
-    r20 = (bigr << PSI_FRAC_BITS) // smallr
-    il = r20.bit_length() - 1
-    m = r20 >> (il - 30) if il >= 30 else r20 << (30 - il)
+def _lg_q20(x: int) -> tuple[int, int]:
+    """Fixed-point log2 of a positive int: (integer part, 20-bit frac)
+    via iterated squaring — the Python mirror of the engine's shared
+    mantissa chain."""
+    il = x.bit_length() - 1
+    m = x >> (il - 30) if il >= 30 else x << (30 - il)
     frac = 0
     for _ in range(PSI_FRAC_BITS):
         m = (m * m) // _PSI_MSCALE
@@ -46,11 +40,40 @@ def _int_ln_nano(num: int, den: int) -> int:
         frac = frac * 2 + bit
         if bit:
             m //= 2
+    return il, frac
+
+
+def _red(x: int, bits: int) -> tuple[int, int]:
+    s = max(x.bit_length() - bits, 0)
+    return x >> s, s
+
+
+def _lnr_nano(ca: int, cb: int, d1: int, d2: int) -> int:
+    """Reference Python mirror of q_drift_psi's log path: |ln of the
+    odds ratio (ca/d1)/(cb/d2)| at the nano scale, every factor
+    independently bit-reduced below 2^31 with the shifts folded into
+    the exponent — must agree with the SQL/Spark chain bit-for-bit and
+    with math.log to ~2^-PSI_FRAC_BITS."""
+    car, sa = _red(ca, 31)
+    cbr, sb = _red(cb, 31)
+    d1r, s1 = _red(d1, 31)
+    d2r, s2 = _red(d2, 31)
+    numv, denv = car * d2r, cbr * d1r
+    eadj = (sa + s2) - (sb + s1)
+    iln, fn = _lg_q20(numv)
+    ild, fd = _lg_q20(denv)
     return (
-        ((il - PSI_FRAC_BITS + shb - shs) * (1 << PSI_FRAC_BITS) + frac)
+        abs((iln - ild + eadj) * (1 << PSI_FRAC_BITS) + fn - fd)
         * LN2_NANO
         // (1 << PSI_FRAC_BITS)
     )
+
+
+def _ppm(c: int, d: int) -> int:
+    """Mirror of the share path: (c/d) in ppm with the common
+    denominator-derived reduction."""
+    s = max(d.bit_length() - 42, 0)
+    return ((c >> s) * 1_000_000) // (d >> s)
 
 
 def test_ln2_nano_is_floor_of_ln2():
@@ -58,40 +81,68 @@ def test_ln2_nano_is_floor_of_ln2():
 
 
 def test_integer_log_tracks_math_log():
-    """Over ratios spanning 1..2^40, the fixed-point log is within
-    ~2·2^-20 relative of libm — and NEVER negative (ratio ≥ 1 by
-    construction: the query always divides big by small)."""
+    """Over odds ratios spanning 2^-40..2^40, the fixed-point log is
+    within ~2^-19 absolute of libm — and NEVER negative (the engine
+    emits |ln|)."""
     cases = [
-        (1, 1),
-        (3, 2),
-        (1000, 999),
-        (10**6 + 1, 10**6),
-        (7**13, 3**11),
-        ((1 << 41) + 12345, 7),
-        (999_999_937, 2),
+        (1, 1, 1, 1),
+        (2, 1, 3, 2),  # (2/3)/(1/2)
+        (1000, 999, 10**6, 10**6),
+        (10**6 + 1, 10**6, 7, 7),
+        (7**13, 3**11, 10**9, 10**9 + 7),
+        ((1 << 41) + 12345, 7, 997, 65537),
+        (1, 999_999_937, 2, 3),  # ratio far below 1 → |ln| large
     ]
-    for num, den in cases:
-        got = _int_ln_nano(num, den) / 1e9
-        want = abs(math.log(num / den))
+    for ca, cb, d1, d2 in cases:
+        got = _lnr_nano(ca, cb, d1, d2) / 1e9
+        want = abs(math.log((ca / d1) / (cb / d2)))
         assert got >= 0
-        assert abs(got - want) <= want * 3e-6 + 2e-6, (num, den, got, want)
+        assert abs(got - want) <= want * 3e-6 + 4e-6, (ca, cb, d1, d2, got, want)
 
 
 def test_integer_log_overflow_free_at_any_magnitude():
-    """The bit-reduction keeps every intermediate < 2^63 even for
-    operands near the int64 ceiling AND at extreme skew (the whole
-    point of engineering the headroom instead of documenting a bound:
-    num and den reduce INDEPENDENTLY, so each mantissa keeps ≥ 41
-    bits and the error stays the log's own 2^-20 quantization)."""
-    for num, den in [
-        (2**62 + 3, 2**31 - 1),  # near-ceiling, strong skew
-        (2**62 + 3, 3),  # maximal skew
-        (2**62 + 3, 2**62 - 981),  # near-ceiling, ratio ≈ 1
+    """The per-factor bit-reduction keeps every intermediate < 2^63
+    even for operands near the int64 ceiling AND at extreme skew (the
+    whole point of engineering the headroom instead of documenting a
+    bound: each factor reduces INDEPENDENTLY to ≥ 30 significant bits,
+    shifts folded into the exponent, so the error stays the log's own
+    2^-20 quantization at any magnitude combination)."""
+    big = 2**62 + 3
+    for ca, cb, d1, d2 in [
+        (big, 2**31 - 1, big - 981, 5),  # near-ceiling everywhere
+        (big, 3, 7, big - 55),  # maximal skew both directions
+        (1, big, big, 1),  # minimal/maximal cross
     ]:
-        got = _int_ln_nano(num, den) / 1e9
-        want = math.log(num / den)
+        got = _lnr_nano(ca, cb, d1, d2) / 1e9
+        want = abs(math.log((ca / d1) / (cb / d2)))
         assert got >= 0
-        assert abs(got - want) <= want * 3e-6 + 2e-6, (num, den, got, want)
+        assert abs(got - want) <= want * 3e-6 + 4e-6, (ca, cb, d1, d2, got, want)
+
+
+def test_share_diff_no_scale_mixing_at_2_31_boundary():
+    """Regression pin for the review catch: with one sample total past
+    2^31 while band counts are below it, the old common-shift
+    cross-product formula inflated |pa-pe| by 2^(st-sc). The v3 share
+    path computes each share's ppm against its OWN denominator, so the
+    reviewer's scenario now lands within 1 ppm of the true value."""
+    na, nb, n1, n2, bcnt = 10**8, 2 * 10**8, 3 * 10**9, 3 * 10**9, 85
+    ca, cb, d1, d2 = na + 1, nb + 1, n1 + bcnt, n2 + bcnt
+    got = abs(_ppm(ca, d1) - _ppm(cb, d2))
+    want = abs(ca / d1 - cb / d2) * 1e6
+    assert abs(got - want) <= 2, (got, want)
+    # and the log path at the same magnitudes stays tight (the old
+    # clamp understated the most-drifted bands by up to sc·ln2)
+    lg = _lnr_nano(ca, cb, d1, d2) / 1e9
+    assert abs(lg - abs(math.log((ca / d1) / (cb / d2)))) <= 1e-5
+
+
+def test_share_ppm_resolution_no_clamp():
+    """A count whose share is genuinely below ppm resolution reduces
+    to ppm 0 — not to a clamped inflated floor (the v2 design rounded
+    a near-empty band up to 2^sc once the opposite total crossed
+    2^31)."""
+    assert _ppm(1, 2**50) == 0  # true share ~ 8.9e-16 → 0 ppm, correct
+    assert _ppm(2**49, 2**50) == 500_000  # exact half survives reduction
 
 
 def test_tdiv_matches_sql_truncation():
