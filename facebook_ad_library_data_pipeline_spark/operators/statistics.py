@@ -425,41 +425,42 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.groupBy("cents").agg(
         F.sum("a").alias("na"), F.sum("b").alias("nb")
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    # Running sums AND the totals come from the SAME single-partition
+    # window pass over the distinct-cents grid (unbounded-following
+    # frame for the totals) — one fact scan, one band exchange. The
+    # earlier separate 1-row total aggregate re-derived `s` from
+    # scratch, scanning the fact table twice (review catch), and its
+    # empty-input NULL sums could misfire the overflow guard; a window
+    # over existing rows has neither problem.
+    wrun = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     c = s.select(
-        F.sum("na").over(w).alias("cuma"), F.sum("nb").over(w).alias("cumb")
+        F.sum("na").over(wrun).alias("cuma"),
+        F.sum("nb").over(wrun).alias("cumb"),
+        F.sum("na").over(wall).alias("n1"),
+        F.sum("nb").over(wall).alias("n2"),
     )
-    # Overflow guard on the 1-row aggregate (see docstring): past
-    # n1*n2 ≥ 2^63 Spark would wrap where DuckDB errors — fail loudly
-    # on the cheap side instead. `div` keeps the bound check itself
-    # in exact integer arithmetic.
-    # coalesce: an EMPTY input makes both sums NULL, which would turn
-    # the guard's WHEN into NULL and misfire raise_error on a dataset
-    # with zero rows (review catch) — pin empties to 0, where the
-    # n2 == 0 arm short-circuits and the final join stays empty,
-    # matching the oracle's empty result.
-    n = (
-        s.agg(
-            F.coalesce(F.sum("na"), F.lit(0)).alias("n1"),
-            F.coalesce(F.sum("nb"), F.lit(0)).alias("n2"),
-        )
-        .select(
-            F.col("n1"),
-            F.when(
-                (F.col("n2") == 0)
-                | (F.col("n1") <= F.expr(f"{2**63 - 1} div n2")),
-                F.col("n2"),
-            )
-            .otherwise(
-                F.raise_error(
-                    "q_drift_ks: n1*n2 exceeds int64 — use the "
-                    "asymptotic double form at this sample size"
-                ).cast("long")
-            )
-            .alias("n2"),
-        )
+    # Overflow guard (see docstring): past n1*n2 ≥ 2^63 Spark would
+    # wrap where DuckDB errors — fail loudly instead. `div` keeps the
+    # bound check itself in exact integer arithmetic; the WHEN runs on
+    # per-row copies of the totals, so there is no row to misfire on
+    # when the input is empty.
+    c = c.withColumn(
+        "n2",
+        F.when(
+            (F.col("n2") == 0)
+            | (F.col("n1") <= F.expr(f"{2**63 - 1} div n2")),
+            F.col("n2"),
+        ).otherwise(
+            F.raise_error(
+                "q_drift_ks: n1*n2 exceeds int64 — use the "
+                "asymptotic double form at this sample size"
+            ).cast("long")
+        ),
     )
-    dev = c.crossJoin(F.broadcast(n)).select(
+    dev = c.select(
         "n1",
         "n2",
         F.abs(F.col("cuma") * F.col("n2") - F.col("cumb") * F.col("n1")).alias(
@@ -656,8 +657,9 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: ONE map-side-combined groupBy collapses the fact table
     to |bands| rows (bands are a fixed-width quantization of the score
-    domain — bounded like q_drift_ks' cents grid, NOT by row count); a
-    1-row total aggregate broadcasts back; then the whole log pipeline
+    domain — bounded like q_drift_ks' cents grid, NOT by row count);
+    totals come from an unbounded window over those same rows (ONE
+    fact scan); then the whole log pipeline
     is 20 narrow integer column steps over |bands| rows — constant
     work at any corpus scale (the single-partition window total also
     runs over those |bands| rows only). At 100 TB the only data-sized
@@ -676,13 +678,22 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").cast("long").alias("na"),
         F.sum("b").cast("long").alias("nb"),
     )
-    tot = s.agg(
-        F.sum("na").cast("long").alias("n1"),
-        F.sum("nb").cast("long").alias("n2"),
-        F.count(F.lit(1)).cast("long").alias("bcnt"),
-    )
+    # Totals and band count from an unbounded window over the SAME
+    # |bands| rows — one fact scan, one band exchange (a separate
+    # 1-row aggregate would re-derive `s` and scan the fact table
+    # twice; review catch, same fix as q_drift_ks).
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
     df = (
-        s.crossJoin(F.broadcast(tot))
+        s.select(
+            "band",
+            "na",
+            "nb",
+            F.sum("na").over(wall).cast("long").alias("n1"),
+            F.sum("nb").over(wall).cast("long").alias("n2"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("bcnt"),
+        )
         .withColumn("ca", F.expr("na + 1"))
         .withColumn("cb", F.expr("nb + 1"))
         .withColumn("d1", F.expr("n1 + bcnt"))

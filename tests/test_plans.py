@@ -761,3 +761,50 @@ def test_domain_affinity_target_broadcast_corpus_unhinted(spark, sf_dir):
         "strategy=broadcast"
     )
     assert hints == 4, hints
+
+
+def test_drift_psi_single_band_exchange_one_scan(spark, sf_dir):
+    # the fact table collapses to |bands| rows in ONE hash exchange
+    # and is scanned ONCE (totals from an unbounded window over the
+    # same rows, not a re-derived 1-row aggregate); the whole 20-step
+    # integer-log pipeline is projections over that constant-size
+    # grid — no joins at all, no range partitioning
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    import re
+
+    df = REGISTRY["q_drift_psi"].fn(spark, sf_dir)
+    plan = formatted_plan(df).lower()
+    assert plan.count("hashpartitioning(band") == 1
+    # the formatted plan lists each node in the tree AND the detail
+    # section — one physical scan = exactly one "(n) scan parquet"
+    assert len(re.findall(r"\(\d+\) scan parquet", plan)) == 1
+    assert "join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_drift_ks_single_cents_exchange_one_scan(spark, sf_dir):
+    # same shape as PSI: one distinct-cents exchange, one fact scan
+    # (running sums and totals share the single-partition window pass)
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    import re
+
+    df = REGISTRY["q_drift_ks"].fn(spark, sf_dir)
+    plan = formatted_plan(df).lower()
+    assert plan.count("hashpartitioning(cents") == 1
+    assert len(re.findall(r"\(\d+\) scan parquet", plan)) == 1
+    assert "join" not in plan
+
+
+def test_kmeans_assignment_is_joinless(spark, sf_dir):
+    # centroids are LITERALS baked into the plan, so the assignment
+    # stage has no join operator of any kind; the only exchanges are
+    # the K-row update aggregates (map-side combined) — never a
+    # posexplode shuffle of the corpus
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["q_kmeans_lloyd"].fn(spark, sf_dir)
+    plan = formatted_plan(df).lower()
+    assert "join" not in plan, [l for l in plan.splitlines() if "join" in l][:3]
+    assert plan.count("hashpartitioning(cid") <= 1  # one update aggregate
