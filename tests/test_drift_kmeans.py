@@ -222,3 +222,62 @@ def test_score_grid_saturates_across_scales(spark):
     grid_ratio = stats["0.1"].grid / stats["0.01"].grid
     assert row_ratio > 8, stats
     assert grid_ratio < row_ratio / 2, (row_ratio, grid_ratio)
+
+
+def test_kmeans_empty_cluster_drops_out_both_engines(spark, tmp_path):
+    """The untested branch real testdata never hits: a cluster whose
+    members all tie-break away empties, and BOTH engines must drop it
+    identically (Spark: the driver dict simply lacks the cid, matching
+    the oracle's inner-join semantics). Fixture: vec 1 is an exact
+    duplicate of vec 0, so seeds c0 == c1 and EVERY vector's distance
+    to c0 equals its distance to c1 — the (dist, cid) tie-break sends
+    them all to cid 0 and cluster 1 is empty from round 1."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    from .oracle_harness import assert_matches_oracle
+
+    base = [0.1] * KM_DIM
+    vecs = [
+        (0, base, 0),
+        (1, list(base), 0),  # exact duplicate of vec 0 → c1 == c0
+        (2, [0.3] * KM_DIM, 1),
+        (3, [-0.2] * KM_DIM, 1),
+        (4, [0.11] * KM_DIM, 0),
+        (5, [0.29] * KM_DIM, 1),
+        (6, [-0.19] * KM_DIM, 1),
+        (7, [0.32] * KM_DIM, 1),
+    ]
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([v[2] for v in vecs], pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    q = load_all()["q_kmeans_lloyd"]
+    df = q.fn(spark, d)
+    rows = df.collect()
+    clusters = sorted({r.cluster_id for r in rows})
+    assert clusters == [0, 2, 3], clusters  # cluster 1 emptied and dropped
+    assert len(rows) == 3 * KM_DIM
+    # membership: 0,1,4 → c0; 2,5,7 → c2; 3,6 → c3
+    sizes = {r.cluster_id: r.n_members for r in rows}
+    assert sizes == {0: 3, 2: 3, 3: 2}, sizes
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    assert_matches_oracle(df, q.oracle, con)
