@@ -100,3 +100,123 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("partial").alias("gram"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (per-dimension) int8 quantization calibration — the OTHER
+# standard vector-compression shape next to product quantization
+# (functions/pq.py): PQ learns a codebook over subvectors; scalar
+# quantization calibrates a per-dimension [min, max] grid and rounds
+# each component to one of 256 levels — 4× memory over float32 with a
+# dequantization error every serving stack audits before switching the
+# ANN index to int8 (FAISS SQ8, ScaNN's scalar path).
+# ---------------------------------------------------------------------------
+
+QUANT8_GRID = 1 << 20  # power-of-two pre-grid: float·2^20 is EXACT in double
+QUANT8_LEVELS = 255  # codes 0..255
+
+_INT8_ORACLE = f"""
+WITH e AS (
+    SELECT generate_subscripts(embedding, 1) AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QUANT8_GRID})
+                AS BIGINT) AS q
+    FROM embeddings
+),
+z AS (
+    SELECT dim, q,
+           min(q) OVER (PARTITION BY dim) AS mnq,
+           max(q) OVER (PARTITION BY dim) AS mxq
+    FROM e
+),
+c AS (
+    SELECT dim, q, mnq, mxq,
+           ((q - mnq) * {QUANT8_LEVELS}) // greatest(mxq - mnq, 1) AS code
+    FROM z
+),
+r AS (
+    SELECT dim, mnq, mxq, code,
+           abs(mnq + (code * greatest(mxq - mnq, 1)) // {QUANT8_LEVELS} - q)
+               AS err
+    FROM c
+)
+SELECT CAST(dim AS INT) AS dim, mnq, mxq,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(count(DISTINCT code) AS BIGINT) AS codes_used,
+       CAST(sum(err) AS BIGINT) AS sum_abs_err,
+       CAST(max(err) AS BIGINT) AS max_err,
+       CAST(sum(err) AS DOUBLE) / count(*) AS mean_abs_err
+FROM r
+GROUP BY dim, mnq, mxq
+"""
+
+
+@query("q_embedding_int8_quant", oracle=_INT8_ORACLE, tags=("llm", "embedding", "agg", "ml"))
+def q_embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 quantization calibration + reconstruction
+    audit, exact end-to-end: components pre-grid to ``floor(x · 2^20)``
+    (power of two — float→double·2^20 is exact in IEEE, so the grid can
+    never disagree between engines), each dimension calibrates
+    [min, max] over the corpus, codes are the pinned integer
+    ``((q - mn)·255) div max(range, 1)`` ∈ [0, 255], and the
+    dequantization error is audited per dimension (sum/max absolute
+    error in grid units, distinct codes used, mean as the single IEEE
+    quotient of two pinned ints). A lost row, a wrong calibration
+    bound, a biased rounding rule, or a collapsed code range flips the
+    hash; the oracle replays every code relationally.
+
+    Plan shape: posexplode to (dim, q) — N·D narrow rows — then ONE
+    hash exchange on dim feeds BOTH the min/max calibration window and
+    the final per-dim aggregate (same partitioning, no second
+    shuffle); output is exactly D rows whatever the corpus size. At
+    100 TB, D=64 partitions of the dim exchange are the only wide
+    stage, and per-dim state is 2 ints — the degenerate-skew case
+    (64 keys) is the documented trade for a one-pass calibrate+audit;
+    production at extreme N would replace the window with a D-row
+    broadcast of a pre-aggregated min/max (two scans) to avoid the
+    64-key shuffle of N·D rows."""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.floor(F.col("x").cast("double") * QUANT8_GRID)
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    w = Window.partitionBy("dim")
+    z = e.select(
+        "dim",
+        "q",
+        F.min("q").over(w).alias("mnq"),
+        F.max("q").over(w).alias("mxq"),
+    )
+    r = z.select(
+        "dim",
+        "mnq",
+        "mxq",
+        F.expr(
+            f"((q - mnq) * {QUANT8_LEVELS}) div greatest(mxq - mnq, 1)"
+        ).alias("code"),
+        F.expr(
+            f"abs(mnq + (((q - mnq) * {QUANT8_LEVELS})"
+            f" div greatest(mxq - mnq, 1)) * greatest(mxq - mnq, 1)"
+            f" div {QUANT8_LEVELS} - q)"
+        ).alias("err"),
+    )
+    # group on dim ALONE so the aggregate reuses the window's
+    # hashpartitioning(dim) — no second exchange; mnq/mxq are
+    # constant within a dim (any_value is exact here)
+    return r.groupBy("dim").agg(
+        F.any_value("mnq").alias("mnq"),
+        F.any_value("mxq").alias("mxq"),
+        F.count(F.lit(1)).cast("long").alias("n_vals"),
+        F.countDistinct("code").cast("long").alias("codes_used"),
+        F.sum("err").cast("long").alias("sum_abs_err"),
+        F.max("err").cast("long").alias("max_err"),
+        (
+            F.sum("err").cast("double") / F.count(F.lit(1))
+        ).alias("mean_abs_err"),
+    )

@@ -602,3 +602,66 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("row_n").cast("long").alias("row_total"),
         (F.col("n").cast("double") / F.col("row_n").cast("double")).alias("prob"),
     )
+
+
+PATH_LEN = 3  # trigram paths
+PATH_TOP_K = 20
+
+_PATHS_ORACLE = """
+WITH t AS (
+    SELECT user_id, event_type AS e1,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM t
+WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_occurrences DESC, path
+LIMIT 20
+"""
+
+
+@query("q_event_paths_topk", oracle=_PATHS_ORACLE, tags=("timeseries", "window", "topk", "agg"))
+def q_event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavioral paths (event-type trigrams within
+    each user's timeline) — the journey-mining complement to
+    q_event_transitions' first-order Markov matrix: transitions say
+    where users go NEXT, paths say which multi-step routes dominate
+    (the standard product-analytics "top user journeys" panel, and for
+    a training pipeline the behavioral-sequence mix report). Order
+    within a user is pinned by (ts, event_id) — a total order, so the
+    lead() trigrams are deterministic; ties in path frequency break on
+    the path string.
+
+    Plan shape: ONE exchange partitions by user_id for the lead()
+    window (co-partitioned with every other per-user operator in the
+    engine); the trigram aggregate's key domain is bounded by
+    |event_types|³ — 125 here, constant at any corpus scale — so the
+    second exchange carries a few hundred rows, and the final top-k is
+    a TakeOrderedAndProject heap, never a global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        t.select(
+            F.concat_ws(" > ", "e1", "e2", "e3").alias("path"), "user_id"
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )

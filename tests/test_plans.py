@@ -808,3 +808,32 @@ def test_kmeans_assignment_is_joinless(spark, sf_dir):
     plan = formatted_plan(df).lower()
     assert "join" not in plan, [l for l in plan.splitlines() if "join" in l][:3]
     assert plan.count("hashpartitioning(cid") <= 1  # one update aggregate
+
+
+def test_int8_quant_single_dim_exchange_one_scan(spark, sf_dir):
+    # calibration window and final aggregate share ONE
+    # hashpartitioning(dim) exchange (groupBy on dim alone reuses the
+    # window's partitioning); one fact scan, no joins
+    import re
+
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["q_embedding_int8_quant"].fn(spark, sf_dir)
+    plan = formatted_plan(df).lower()
+    assert plan.count("hashpartitioning(dim") == 1
+    assert len(re.findall(r"\(\d+\) scan parquet", plan)) == 1
+    assert "join" not in plan
+
+
+def test_event_paths_bounded_agg_and_topk_heap(spark, sf_dir):
+    # one user_id exchange for the lead() window, one exchange on the
+    # |event_types|^3-bounded path key, and a TakeOrderedAndProject
+    # heap — never a global sort
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["q_event_paths_topk"].fn(spark, sf_dir)
+    plan = formatted_plan(df).lower()
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert plan.count("hashpartitioning(path") == 1
+    assert "takeorderedandproject" in plan
+    assert "rangepartitioning" not in plan
