@@ -619,7 +619,7 @@ SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
        CAST(count(*) AS BIGINT) AS n_occurrences,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM t
-WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
 GROUP BY 1
 ORDER BY n_occurrences DESC, path
 LIMIT 20
@@ -644,15 +644,21 @@ def q_event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     |event_types|³ — 125 here, constant at any corpus scale — so the
     second exchange carries a few hundred rows, and the final top-k is
     a TakeOrderedAndProject heap, never a global sort."""
-    from pyspark.sql import Window
-
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # e1 is null-filtered too (review catch): Spark's concat_ws SKIPS a
+    # NULL while the oracle's || nulls the whole path — without the
+    # filter a NULL event_type would split the engines silently the
+    # day the data shape changes.
     t = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.col("event_type").alias("e1"),
         F.lead("event_type", 1).over(w).alias("e2"),
         F.lead("event_type", 2).over(w).alias("e3"),
-    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    ).filter(
+        F.col("e1").isNotNull()
+        & F.col("e2").isNotNull()
+        & F.col("e3").isNotNull()
+    )
     return (
         t.select(
             F.concat_ws(" > ", "e1", "e2", "e3").alias("path"), "user_id"
