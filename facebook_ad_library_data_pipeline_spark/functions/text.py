@@ -555,3 +555,139 @@ def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.desc("n_docs"), F.asc("tok_a"), F.asc("tok_b")
     ).limit(20)
+
+
+_KAPPA_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+       {_LANG_SQL_SCORES}
+    FROM documents
+),
+lab AS (
+    SELECT lang AS declared,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'undetected'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS detected
+    FROM scored
+),
+cells AS (SELECT declared, detected, CAST(count(*) AS BIGINT) AS n
+          FROM lab GROUP BY 1, 2),
+rowt AS (SELECT declared AS cat, CAST(sum(n) AS BIGINT) AS rn
+         FROM cells GROUP BY 1),
+colt AS (SELECT detected AS cat, CAST(sum(n) AS BIGINT) AS cn
+         FROM cells GROUP BY 1),
+pe AS (SELECT CAST(sum(coalesce(rn, 0) * coalesce(cn, 0)) AS BIGINT)
+           AS pe_num
+       FROM rowt FULL JOIN colt USING (cat)),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
+               CAST(coalesce(sum(CASE WHEN declared = detected
+                                      THEN n END), 0) AS BIGINT) AS n_agree
+        FROM cells)
+SELECT t.n_items, t.n_agree,
+       CAST(t.n_agree AS DOUBLE) / t.n_items AS po,
+       p.pe_num,
+       CAST(t.n_agree * t.n_items - p.pe_num AS BIGINT) AS kappa_num,
+       CAST(t.n_items * t.n_items - p.pe_num AS BIGINT) AS kappa_den,
+       CAST(t.n_agree * t.n_items - p.pe_num AS DOUBLE)
+           / NULLIF(t.n_items * t.n_items - p.pe_num, 0) AS kappa
+FROM tot t CROSS JOIN pe p
+"""
+
+
+@query("q_label_agreement", oracle=_KAPPA_ORACLE, tags=("llm", "text", "quality", "stats"))
+def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the DECLARED language label and the
+    engine's stopword-overlap detector — the chance-corrected
+    agreement statistic every labeling/QC pipeline runs between an
+    annotation source and a model (or two annotators) before trusting
+    either. Exact by construction: the confusion matrix, marginals,
+    and kappa's numerator a·N − Σ_c row_c·col_c and denominator
+    N² − Σ_c row_c·col_c are all pinned int64 (kappa and po are single
+    IEEE quotients); categories present on only one side (zh is never
+    detectable, 'undetected' is never declared) contribute a zero
+    marginal product, the standard treatment. The degenerate
+    everything-one-category case NULLIFs to NULL in BOTH engines (the
+    bootstrap discipline); the N² cross-products overflow int64 past
+    N ≈ 3e9 items — the q_drift_ks hard contract, guarded by the same
+    raise_error on the 1-row total (production at that scale moves the
+    marginal shares to double).
+
+    Plan shape: the detector is the q_lang_id codegen projection (zero
+    UDF); ONE map-side-combined groupBy collapses the corpus to ≤
+    |langs|² confusion cells; every aggregate after that runs on ≤ 6
+    category rows — constant at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    scores = {lang: _overlap(toks, ws) for lang, ws in sorted(STOPWORDS.items())}
+    best = F.greatest(*scores.values())
+    detected = F.when(best == 0, "undetected")
+    for lang in sorted(scores):
+        detected = detected.when(scores[lang] == best, lang)
+    cells = (
+        docs.select(
+            F.col("lang").alias("declared"), detected.alias("detected")
+        )
+        .groupBy("declared", "detected")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rowt = cells.groupBy(F.col("declared").alias("cat")).agg(
+        F.sum("n").alias("rn")
+    )
+    colt = cells.groupBy(F.col("detected").alias("cat")).agg(
+        F.sum("n").alias("cn")
+    )
+    pe = rowt.join(colt, "cat", "full").agg(
+        F.sum(
+            F.coalesce(F.col("rn"), F.lit(0))
+            * F.coalesce(F.col("cn"), F.lit(0))
+        )
+        .cast("long")
+        .alias("pe_num")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n_items"),
+        F.coalesce(
+            F.sum(F.when(F.col("declared") == F.col("detected"), F.col("n"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_agree"),
+    ).select(
+        # Overflow guard (the q_drift_ks contract): N² wraps silently
+        # in non-ANSI Spark past N ≈ 3e9 where DuckDB errors.
+        F.when(
+            F.col("n_items") <= F.expr(f"{2**63 - 1} div greatest(n_items, 1)"),
+            F.col("n_items"),
+        )
+        .otherwise(
+            F.raise_error(
+                "q_label_agreement: N² exceeds int64 — move marginal "
+                "shares to double at this corpus size"
+            ).cast("long")
+        )
+        .alias("n_items"),
+        "n_agree",
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n_items",
+        "n_agree",
+        (F.col("n_agree").cast("double") / F.col("n_items")).alias("po"),
+        "pe_num",
+        (F.col("n_agree") * F.col("n_items") - F.col("pe_num"))
+        .cast("long")
+        .alias("kappa_num"),
+        (F.col("n_items") * F.col("n_items") - F.col("pe_num"))
+        .cast("long")
+        .alias("kappa_den"),
+        (
+            (F.col("n_agree") * F.col("n_items") - F.col("pe_num")).cast(
+                "double"
+            )
+            / F.nullif(
+                F.col("n_items") * F.col("n_items") - F.col("pe_num"),
+                F.lit(0),
+            )
+        ).alias("kappa"),
+    )

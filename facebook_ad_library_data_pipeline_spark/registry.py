@@ -177,13 +177,14 @@ _PRIORITY = [
     # Slot 50: the stalest r06 row AND this round's bench-regression
     # adjudication target — a fresh driver row closes both:
     "q_dedup_incremental",
-    # Positions 51-52: the r14 wave-2 additions, deliberately BELOW
+    # Positions 51-53: the r14 wave-2 additions, deliberately BELOW
     # the 50-row cut so they don't displace the rotation above (the
     # r13 precedent: pytest- and both-scale-sweep-proven this round,
-    # they lead the r15 window — 2 + the 45-row r06-r09 staleness
-    # tail + up to 3 r15 registrations = 50):
+    # they lead the r15 window — 3 + the 45-row r06-r09 staleness
+    # tail + up to 2 r15 registrations = 50):
     "q_embedding_int8_quant",  # per-dim int8 scalar-quantization calibration + audit
     "q_event_paths_topk",  # top-20 behavioral trigram journeys, bounded path domain
+    "q_label_agreement",  # Cohen's kappa: declared vs detected lang, exact int num/den
     # ---- round-13 window (all 50 proven r13; the five r13
     # registrations the cut excluded now lead the r14 window above;
     # everything else re-enters via registration order) ----
