@@ -65,6 +65,35 @@ _LANG_SQL_SCORES = ",\n       ".join(
     for lang, ws in sorted(STOPWORDS.items())
 )
 
+# The ONE SQL definition of the detector's argmax (all-zero →
+# 'undetected', ties alphabetical) — shared by the q_lang_id oracle
+# and the q_label_agreement oracle so the two can never desynchronize
+# (derived from sorted(STOPWORDS), like the score columns above).
+_LANG_GREATEST = "greatest(" + ", ".join(
+    f"s_{lang}" for lang in sorted(STOPWORDS)
+) + ")"
+_LANG_CASE_SQL = (
+    f"CASE WHEN {_LANG_GREATEST} = 0 THEN 'undetected'\n            "
+    + "\n            ".join(
+        f"WHEN s_{lang} = {_LANG_GREATEST} THEN '{lang}'"
+        for lang in sorted(STOPWORDS)[:-1]
+    )
+    + f"\n            ELSE '{sorted(STOPWORDS)[-1]}' END"
+)
+
+
+def detected_col(toks: Column) -> Column:
+    """The ONE Column definition of the stopword-overlap detector —
+    used by q_lang_id and q_label_agreement (the SQL twin is
+    _LANG_CASE_SQL)."""
+    scores = {lang: _overlap(toks, ws) for lang, ws in sorted(STOPWORDS.items())}
+    best = F.greatest(*scores.values())
+    detected = F.when(best == 0, "undetected")
+    for lang in sorted(scores):
+        detected = detected.when(scores[lang] == best, lang)
+    return detected
+
+
 _LANG_ORACLE = f"""
 WITH scored AS (
     SELECT doc_id,
@@ -72,12 +101,8 @@ WITH scored AS (
     FROM documents
 )
 SELECT doc_id,
-       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'undetected'
-            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-            ELSE 'fr' END AS detected_lang,
-       greatest(s_de, s_en, s_es, s_fr) AS lang_score
+       {_LANG_CASE_SQL} AS detected_lang,
+       {_LANG_GREATEST} AS lang_score
 FROM scored
 """
 
@@ -91,14 +116,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
     scores = {lang: _overlap(toks, ws) for lang, ws in sorted(STOPWORDS.items())}
-    best = F.greatest(*scores.values())
-    detected = F.when(best == 0, "undetected")
-    for lang in sorted(scores):
-        detected = detected.when(scores[lang] == best, lang)
     return docs.select(
         "doc_id",
-        detected.alias("detected_lang"),
-        best.alias("lang_score"),
+        detected_col(toks).alias("detected_lang"),
+        F.greatest(*scores.values()).alias("lang_score"),
     )
 
 
@@ -565,11 +586,7 @@ WITH scored AS (
 ),
 lab AS (
     SELECT lang AS declared,
-           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'undetected'
-                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-                ELSE 'fr' END AS detected
+           {_LANG_CASE_SQL} AS detected
     FROM scored
 ),
 cells AS (SELECT declared, detected, CAST(count(*) AS BIGINT) AS n
@@ -578,15 +595,15 @@ rowt AS (SELECT declared AS cat, CAST(sum(n) AS BIGINT) AS rn
          FROM cells GROUP BY 1),
 colt AS (SELECT detected AS cat, CAST(sum(n) AS BIGINT) AS cn
          FROM cells GROUP BY 1),
-pe AS (SELECT CAST(sum(coalesce(rn, 0) * coalesce(cn, 0)) AS BIGINT)
-           AS pe_num
+pe AS (SELECT CAST(coalesce(sum(coalesce(rn, 0) * coalesce(cn, 0)), 0)
+                   AS BIGINT) AS pe_num
        FROM rowt FULL JOIN colt USING (cat)),
-tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
+tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_items,
                CAST(coalesce(sum(CASE WHEN declared = detected
                                       THEN n END), 0) AS BIGINT) AS n_agree
         FROM cells)
 SELECT t.n_items, t.n_agree,
-       CAST(t.n_agree AS DOUBLE) / t.n_items AS po,
+       CAST(t.n_agree AS DOUBLE) / NULLIF(t.n_items, 0) AS po,
        p.pe_num,
        CAST(t.n_agree * t.n_items - p.pe_num AS BIGINT) AS kappa_num,
        CAST(t.n_items * t.n_items - p.pe_num AS BIGINT) AS kappa_den,
@@ -619,15 +636,10 @@ def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     |langs|² confusion cells; every aggregate after that runs on ≤ 6
     category rows — constant at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    scores = {lang: _overlap(toks, ws) for lang, ws in sorted(STOPWORDS.items())}
-    best = F.greatest(*scores.values())
-    detected = F.when(best == 0, "undetected")
-    for lang in sorted(scores):
-        detected = detected.when(scores[lang] == best, lang)
     cells = (
         docs.select(
-            F.col("lang").alias("declared"), detected.alias("detected")
+            F.col("lang").alias("declared"),
+            detected_col(tokens_col()).alias("detected"),
         )
         .groupBy("declared", "detected")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -639,15 +651,22 @@ def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("cn")
     )
     pe = rowt.join(colt, "cat", "full").agg(
-        F.sum(
-            F.coalesce(F.col("rn"), F.lit(0))
-            * F.coalesce(F.col("cn"), F.lit(0))
+        F.coalesce(
+            F.sum(
+                F.coalesce(F.col("rn"), F.lit(0))
+                * F.coalesce(F.col("cn"), F.lit(0))
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("pe_num")
     )
+    # coalesce: an EMPTY corpus makes sum(n) NULL, which would turn
+    # the guard's WHEN into NULL and misfire raise_error on a zero-row
+    # input (the q_drift_ks lesson) — pin empties to 0 in BOTH engines
+    # so the degenerate output row matches the oracle's.
     tot = cells.agg(
-        F.sum("n").cast("long").alias("n_items"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_items"),
         F.coalesce(
             F.sum(F.when(F.col("declared") == F.col("detected"), F.col("n"))),
             F.lit(0),
@@ -673,7 +692,12 @@ def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.crossJoin(F.broadcast(pe)).select(
         "n_items",
         "n_agree",
-        (F.col("n_agree").cast("double") / F.col("n_items")).alias("po"),
+        # NULLIF: Spark 4 ANSI mode ERRORS on division by zero where
+        # DuckDB returns NULL — pin the empty-corpus po to NULL in both
+        (
+            F.col("n_agree").cast("double")
+            / F.nullif(F.col("n_items"), F.lit(0))
+        ).alias("po"),
         "pe_num",
         (F.col("n_agree") * F.col("n_items") - F.col("pe_num"))
         .cast("long")

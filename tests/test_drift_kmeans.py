@@ -281,3 +281,45 @@ def test_kmeans_empty_cluster_drops_out_both_engines(spark, tmp_path):
         f"read_parquet('{d}/embeddings.parquet')"
     )
     assert_matches_oracle(df, q.oracle, con)
+
+
+def test_label_agreement_empty_corpus_parity(spark, tmp_path):
+    """An EMPTY documents table must produce the same degenerate row in
+    both engines — (0, 0, NULL, 0, 0, 0, NULL) — instead of misfiring
+    the N² overflow guard on NULL sums (the q_drift_ks lesson, caught
+    again by review on this query's first version)."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    from .oracle_harness import assert_matches_oracle
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    q = load_all()["q_label_agreement"]
+    df = q.fn(spark, d)
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_items, r.n_agree, r.po, r.pe_num, r.kappa) == (0, 0, None, 0, None)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    assert_matches_oracle(df, q.oracle, con)
