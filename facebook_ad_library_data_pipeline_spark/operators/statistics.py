@@ -380,7 +380,7 @@ SELECT CAST(n.n1 AS BIGINT) AS n1,
        CAST(max(abs(c.cuma * n.n2 - c.cumb * n.n1)) AS BIGINT) AS ks_num,
        CAST(n.n1 * n.n2 AS BIGINT) AS ks_denom,
        CAST(max(abs(c.cuma * n.n2 - c.cumb * n.n1)) AS DOUBLE)
-           / CAST(n.n1 * n.n2 AS DOUBLE) AS ks_stat
+           / CAST(NULLIF(n.n1 * n.n2, 0) AS DOUBLE) AS ks_stat
 FROM c, n
 GROUP BY n.n1, n.n2
 """
@@ -467,12 +467,18 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dev"
         ),
     )
+    # NULLIF: when ONE sample is empty (n1·n2 = 0) Spark 4's ANSI mode
+    # ERRORS on the division where DuckDB returns NULL — pin the
+    # degenerate ks_stat to NULL in both engines (the kappa/bootstrap
+    # discipline; ks_denom stays the exact integer 0).
     return dev.groupBy("n1", "n2").agg(
         F.max("dev").cast("long").alias("ks_num"),
         (F.col("n1") * F.col("n2")).cast("long").alias("ks_denom"),
         (
             F.max("dev").cast("double")
-            / (F.col("n1") * F.col("n2")).cast("double")
+            / F.nullif(
+                (F.col("n1") * F.col("n2")).cast("double"), F.lit(0.0)
+            )
         ).alias("ks_stat"),
     )
 

@@ -323,3 +323,51 @@ def test_label_agreement_empty_corpus_parity(spark, tmp_path):
         f"read_parquet('{d}/documents.parquet')"
     )
     assert_matches_oracle(df, q.oracle, con)
+
+
+def test_drift_ks_one_empty_sample_parity(spark, tmp_path):
+    """Events with VIEW rows but zero PURCHASE rows: n1·n2 = 0, so
+    ks_stat must be NULL in BOTH engines (Spark 4 ANSI errors on the
+    raw division where DuckDB NULLs — the kappa lesson applied to the
+    KS family) while ks_num/ks_denom stay exact integers."""
+    import os
+    from datetime import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    from .oracle_harness import assert_matches_oracle
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, i), 1, "view", 1.0 + i, "{}")
+        for i in range(5)
+    ]
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    q = load_all()["q_drift_ks"]
+    df = q.fn(spark, d)
+    out = df.collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n1, r.n2, r.ks_denom, r.ks_stat) == (0, 5, 0, None)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    assert_matches_oracle(df, q.oracle, con)
