@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load_table
 from ..registry import query
+from .guards import guard_product_int64
 
 # Tiny per-language stopword sets (public common words). On synthetic
 # testdata most docs resolve to 'en' or 'undetected' — the operator's
@@ -55,13 +56,24 @@ def shingles_col(toks: Column, n: int = 3) -> Column:
 
 def _overlap(toks: Column, words: list[str]) -> Column:
     """# distinct tokens that appear in the word list (set semantics,
-    = DuckDB list_intersect length)."""
-    return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+    = DuckDB list_intersect length). NULL text is pinned to score 0 —
+    without the coalesce a NULL row would NULL every score, slip past
+    the best==0 'undetected' branch, and (having no .otherwise) emit
+    NULL while the SQL twin's ELSE arm emits the last language
+    (r14 ADVICE; same pin lives in _LANG_SQL_SCORES)."""
+    return F.coalesce(
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(w) for w in words])
+            )
+        ),
+        F.lit(0),
+    )
 
 
 _LANG_SQL_SCORES = ",\n       ".join(
-    f"len(list_intersect(list_distinct(string_split(text, ' ')), "
-    f"{[w for w in ws]!r})) AS s_{lang}".replace("'", "'")
+    f"coalesce(len(list_intersect(list_distinct(string_split(text, ' ')), "
+    f"{[w for w in ws]!r})), 0) AS s_{lang}".replace("'", "'")
     for lang, ws in sorted(STOPWORDS.items())
 )
 
@@ -675,18 +687,15 @@ def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_agree"),
     ).select(
         # Overflow guard (the q_drift_ks contract): N² wraps silently
-        # in non-ANSI Spark past N ≈ 3e9 where DuckDB errors.
-        F.when(
-            F.col("n_items") <= F.expr(f"{2**63 - 1} div greatest(n_items, 1)"),
-            F.col("n_items"),
-        )
-        .otherwise(
-            F.raise_error(
-                "q_label_agreement: N² exceeds int64 — move marginal "
-                "shares to double at this corpus size"
-            ).cast("long")
-        )
-        .alias("n_items"),
+        # in non-ANSI Spark past N ≈ 3e9 where DuckDB errors. Shared
+        # definition + firing unit test in functions/guards.py.
+        guard_product_int64(
+            "n_items",
+            "n_items",
+            "n_items",
+            "q_label_agreement: N² exceeds int64 — move marginal "
+            "shares to double at this corpus size",
+        ),
         "n_agree",
     )
     return tot.crossJoin(F.broadcast(pe)).select(

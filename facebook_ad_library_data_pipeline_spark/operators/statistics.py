@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.guards import guard_product_int64
 from ..registry import query
 from .dedup_near import portable_hash60
 
@@ -449,15 +450,12 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # when the input is empty.
     c = c.withColumn(
         "n2",
-        F.when(
-            (F.col("n2") == 0)
-            | (F.col("n1") <= F.expr(f"{2**63 - 1} div n2")),
-            F.col("n2"),
-        ).otherwise(
-            F.raise_error(
-                "q_drift_ks: n1*n2 exceeds int64 — use the "
-                "asymptotic double form at this sample size"
-            ).cast("long")
+        guard_product_int64(
+            "n2",
+            "n1",
+            "n2",
+            "q_drift_ks: n1*n2 exceeds int64 — use the "
+            "asymptotic double form at this sample size",
         ),
     )
     dev = c.select(
@@ -809,8 +807,6 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lnr_nano"),
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy()
     return terms.select(
         "band",

@@ -371,3 +371,222 @@ def test_drift_ks_one_empty_sample_parity(spark, tmp_path):
         f"read_parquet('{d}/events.parquet')"
     )
     assert_matches_oracle(df, q.oracle, con)
+
+
+def test_int64_product_guard_fires_and_passes(spark):
+    """The shared overflow guard (functions/guards.py) — now the ONE
+    definition behind BOTH q_drift_ks' n1·n2 bound and
+    q_label_agreement's N² bound — must actually raise past the int64
+    product ceiling, pass exactly AT the ceiling, and treat a zero
+    factor as unbounded (r14 verdict item 5: prove the raise fires;
+    r14 ADVICE: no short-circuit reliance)."""
+    from facebook_ad_library_data_pipeline_spark.functions.guards import (
+        guard_product_int64,
+    )
+
+    # 3.1e9 · 3.1e9 ≈ 9.6e18 > 2^63-1 ≈ 9.22e18 → the raise must fire
+    # (this is the q_label_agreement 1-row-total shape: a == b == N).
+    hot = spark.createDataFrame(
+        [(3_100_000_000, 3_100_000_000)], "n1 long, n2 long"
+    ).select(guard_product_int64("n2", "n1", "n2", "guard-fired"))
+    with pytest.raises(Exception, match="guard-fired"):
+        hot.collect()
+
+    # Exactly at the bound: a = MAX div b → passes and keeps `keep`.
+    b = 3_000_000_000
+    a = (2**63 - 1) // b
+    ok = spark.createDataFrame([(a, b)], "n1 long, n2 long").select(
+        guard_product_int64("n2", "n1", "n2", "guard-fired")
+    )
+    assert ok.collect()[0].n2 == b
+    # ...and one past the bound fires.
+    over = spark.createDataFrame([(a + 1, b)], "n1 long, n2 long").select(
+        guard_product_int64("n2", "n1", "n2", "guard-fired")
+    )
+    with pytest.raises(Exception, match="guard-fired"):
+        over.collect()
+
+    # Zero factor: product is 0, any co-factor passes (greatest(b,1)
+    # makes the bound MAX_INT64 — no boolean short-circuit involved).
+    z = spark.createDataFrame([(2**62, 0)], "n1 long, n2 long").select(
+        guard_product_int64("n2", "n1", "n2", "guard-fired")
+    )
+    assert z.collect()[0].n2 == 0
+
+
+def test_lang_detector_null_text_pinned_undetected(spark, tmp_path):
+    """NULL text must detect as 'undetected' in BOTH engines: without
+    the score coalesce the Spark when-chain (no .otherwise) emits NULL
+    while the SQL twin's ELSE arm emits the last language (r14 ADVICE;
+    shared by q_lang_id and q_label_agreement the day the data admits
+    NULL text)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    from .oracle_harness import assert_matches_oracle
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["the cat and the hat", None, ""], pa.string()),
+                "lang": pa.array(["en", "en", "fr"], pa.string()),
+                "source": pa.array(["a", "a", "a"], pa.string()),
+                "n_chars": pa.array([19, 0, 0], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    reg = load_all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    q = reg["q_lang_id"]
+    df = q.fn(spark, d)
+    got = {r.doc_id: (r.detected_lang, r.lang_score) for r in df.collect()}
+    assert got[1] == ("en", 2)  # distinct overlap {the, and}
+    assert got[2] == ("undetected", 0)  # NULL text
+    assert_matches_oracle(df, q.oracle, con)
+    # The kappa query shares the detector — it must also agree.
+    qk = reg["q_label_agreement"]
+    assert_matches_oracle(qk.fn(spark, d), qk.oracle, con)
+
+
+def _write_embeddings(d, vecs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+
+
+def test_power_iteration_rank1_recovers_direction(spark, tmp_path):
+    """A rank-1 corpus (every vector a scalar multiple of one base
+    pattern) has Gram = c·bbᵀ, whose ONLY nonzero eigendirection is b —
+    the iterate must align with b already after round 1, the sign must
+    follow the all-ones start (G is PSD: no oscillation), and the whole
+    pipeline must hash-match the unrolled-CTE oracle. Also pins the
+    ∞-norm contract: max |v_q| == POW_VSCALE exactly."""
+    import duckdb
+    import numpy as np
+
+    from facebook_ad_library_data_pipeline_spark.functions.embedstats import (
+        EMBED_DIM,
+        POW_VSCALE,
+    )
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    from .oracle_harness import assert_matches_oracle
+
+    rng = [((i * 37 + 11) % 97 - 48) / 97.0 for i in range(EMBED_DIM)]
+    vecs = [
+        (0, [x * 0.5 for x in rng]),
+        (1, [x * -1.0 for x in rng]),
+        (2, [x * 0.25 for x in rng]),
+    ]
+    d = str(tmp_path)
+    _write_embeddings(d, vecs)
+    q = load_all()["q_gram_power_iter"]
+    df = q.fn(spark, d)
+    rows = df.collect()
+    assert len(rows) == EMBED_DIM
+    v = np.array([r.v_q for r in sorted(rows, key=lambda r: r.dim)], float)
+    b = np.array(rng)
+    cos = abs(v @ b) / (np.linalg.norm(v) * np.linalg.norm(b))
+    assert cos > 0.999, cos
+    assert max(abs(int(r.v_q)) for r in rows) == POW_VSCALE
+    # PSD + all-ones start: the iterate points WITH b or -b depending
+    # on sign(1ᵀb) — deterministic, so just assert consistency with it.
+    assert np.sign(v @ b) == np.sign(b.sum())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    assert_matches_oracle(df, q.oracle, con)
+
+
+def test_power_iteration_matches_numpy_eigvector(spark, tmp_path):
+    """Against a SPECTRALLY GAPPED fixture (one dominant direction +
+    small perturbations), the integer iterate must align
+    (cosine > 0.999) with numpy's top eigenvector of the SAME quantized
+    integer Gram, and λ_est must land within 1% — the operator is a
+    real spectral method, not just a deterministic arithmetic ritual.
+    (The gap matters: power iteration converges at (λ2/λ1)^t, so a
+    near-isotropic corpus — like the synthetic testdata, λ2/λ1 ≈ 0.93 —
+    yields a top-EIGENSPACE vector after 8 rounds, documented in the
+    operator docstring; the fixture here has λ2/λ1 ≪ 1 so 8 rounds pin
+    the eigenVECTOR.)"""
+    import numpy as np
+
+    from facebook_ad_library_data_pipeline_spark.functions.embedstats import (
+        EMBED_DIM,
+        QUANT_SCALE,
+    )
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    dom = [(((j * 29 + 5) % 53) - 26) / 53.0 for j in range(EMBED_DIM)]
+    vecs = []
+    for vid in range(5):  # five strong copies of the dominant direction
+        vecs.append((vid, [x * (0.9 + 0.05 * vid) for x in dom]))
+    for vid in range(5, 13):  # weak varied perturbations
+        vals = [
+            0.08 * ((((vid * 13 + j * 7 + 3) % 41) - 20) / 41.0)
+            for j in range(EMBED_DIM)
+        ]
+        vecs.append((vid, vals))
+    d = str(tmp_path)
+    _write_embeddings(d, vecs)
+    q = load_all()["q_gram_power_iter"]
+    rows = q.fn(spark, d).collect()
+    v = np.array([r.v_q for r in sorted(rows, key=lambda r: r.dim)], float)
+    x = np.stack([np.array(vals, np.float32) for _, vals in vecs])
+    qm = np.floor(x.astype(np.float64) * QUANT_SCALE)
+    gram = qm.T @ qm
+    evals, evecs = np.linalg.eigh(gram)
+    assert evals[-2] / evals[-1] < 0.2  # the fixture IS gapped
+    top = evecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    # λ estimate (raw quantized-Gram units) within 1% of numpy's
+    lam = [r.lambda_est for r in rows][0]
+    assert abs(lam - evals[-1]) / evals[-1] < 0.01, (lam, evals[-1])
+
+
+def test_power_iteration_empty_corpus_parity(spark, tmp_path):
+    """Empty embeddings → empty output in BOTH engines (the oracle's
+    v0 CTE is non-empty by construction, but the grid join starves
+    every iteration — same as Spark's empty LocalRelation)."""
+    import duckdb
+
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    from .oracle_harness import assert_matches_oracle
+
+    d = str(tmp_path)
+    _write_embeddings(d, [])
+    q = load_all()["q_gram_power_iter"]
+    df = q.fn(spark, d)
+    assert df.count() == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    assert_matches_oracle(df, q.oracle, con)
