@@ -24,7 +24,7 @@ second-moment statistic they all precondition on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load_table
@@ -219,4 +219,206 @@ def q_embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum("err").cast("double") / F.count(F.lit(1))
         ).alias("mean_abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Power iteration: top eigenvector of the Gram matrix — the PCA half
+# the compression family preconditions on (the int8 calibration above
+# quantizes per RAW dimension; projecting onto the top principal
+# directions first is what FAISS' OPQ/PCAR transforms do before SQ/PQ).
+# Fourth iterative-algorithm shape in the engine, after connected
+# components' min-label fixpoint, PageRank's weighted-mass fixpoint,
+# and k-means' assign/update loop (operators/kmeans.py).
+# ---------------------------------------------------------------------------
+
+POW_ITERS = 8  # fixed matvec/renormalize rounds (no convergence test)
+POW_VSCALE = 1 << 20  # iterate invariant: |v_i| <= 2^20 (power of two)
+
+# The ONE SQL definition of a renormalization step, parameterized on
+# the column names — shared verbatim by the Spark expr and the DuckDB
+# CTE so the two engines can never desynchronize. m >= 42 bits shifts
+# BOTH operands down first (the q_drift_psi ppm discipline) so
+# w' * VSCALE stays < 2^62; division is trunc-toward-zero in both
+# engines (Spark `div` == DuckDB `//`, verified incl. negatives in
+# tests/test_drift_kmeans.py).
+_POW_DIV = "{ONE} << greatest(length(bin(m)) - 42, 0)"
+_POW_STEP = (
+    f"((w {{DIV}} ({_POW_DIV})) * {POW_VSCALE})"
+    f" {{DIV}} greatest(m {{DIV}} ({_POW_DIV}), 1)"
+)
+
+
+def _pow_step_sql(div: str, one: str) -> str:
+    return _POW_STEP.replace("{DIV}", div).replace("{ONE}", one)
+
+
+def _power_oracle() -> str:
+    one = "CAST(1 AS BIGINT)"
+    step = _pow_step_sql("//", one)
+    ctes = [
+        f"""q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QUANT_SCALE})
+                AS BIGINT) AS qv
+    FROM embeddings
+),
+g0 AS (
+    SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS g
+    FROM q a JOIN q b ON a.vec_id = b.vec_id
+    GROUP BY 1, 2
+),
+red AS (
+    SELECT greatest(coalesce(length(bin(max(abs(g)))), 1) - 31, 0) AS s
+    FROM g0
+),
+g AS (
+    SELECT i, j, g // ({one} << s) AS g, s
+    FROM g0 CROSS JOIN red
+),
+v0 AS (
+    SELECT CAST(dim AS INT) AS dim, CAST({POW_VSCALE} AS BIGINT) AS v
+    FROM range(1, {EMBED_DIM + 1}) r(dim)
+)"""
+    ]
+    for t in range(1, POW_ITERS + 1):
+        ctes.append(
+            f"""w{t} AS (
+    SELECT g.i AS dim, g.s AS s, CAST(sum(g.g * v.v) AS BIGINT) AS w
+    FROM g JOIN v{t - 1} v ON g.j = v.dim
+    GROUP BY 1, 2
+),
+n{t} AS (SELECT dim, s, w, max(abs(w)) OVER () AS m FROM w{t}),
+v{t} AS (
+    SELECT dim, s, m,
+           CAST({step} AS BIGINT) AS v
+    FROM n{t}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(dim AS INT) AS dim,
+       CAST(v AS BIGINT) AS v_q,
+       CAST(s AS BIGINT) AS gram_shift,
+       CAST(m AS BIGINT) AS w_max,
+       CAST(m AS DOUBLE) / {POW_VSCALE} AS lambda_red,
+       CAST(m AS DOUBLE) / {POW_VSCALE}
+           * CAST({one} << s AS DOUBLE) AS lambda_est
+FROM v{POW_ITERS}
+"""
+    )
+
+
+@query(
+    "q_gram_power_iter",
+    oracle=_power_oracle(),
+    tags=("llm", "embedding", "iterative", "ml"),
+)
+def q_gram_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top eigenvector of the corpus Gram matrix by POW_ITERS rounds of
+    power iteration — exact end-to-end in int64. The Gram fold is the
+    q_embedding_gram pipeline unchanged (mapInPandas partials, d²-key
+    shuffle independent of N); the d·(d+1)/2 triangle is then collected
+    — the bounded-model discipline of kmeans.py/ivf.py, ~2 KB whatever
+    the corpus size — mirrored by symmetry into a d² LOCAL grid, and
+    the entire iteration unrolls IN ONE PLAN over that LocalRelation
+    (the q_pagerank_neardup unrolling; no per-round driver handoff, no
+    corpus re-scan — the corpus is read exactly once).
+
+    Exactness contract: the grid pre-scales by g div 2^s with
+    s = max(bitlen(max|g|) - 31, 0) — an eigenvector is invariant
+    under scalar rescale, and |g'| < 2^31 bounds every matvec at
+    64·2^31·2^20 < 2^58. Renormalization is the pinned integer step
+    (w div 2^t)·2^20 div max(m div 2^t, 1) with t = max(bitlen(m)-42,
+    0) (the q_drift_psi two-operand shift), so the iterate stays
+    |v| ≤ 2^20 and every hashed column is the same int64 in Spark and
+    DuckDB; λ estimates are IEEE casts scaled by exact powers of two.
+    G = XᵀX is PSD, so power iteration from the all-ones start cannot
+    sign-oscillate; 8 fixed rounds, no convergence test (both engines
+    run the identical unrolled arithmetic, converged or not).
+    Convergence is the textbook (λ2/λ1)^t: with a spectral gap the
+    eigenvector is pinned by round 8 (unit test), while on a
+    near-isotropic corpus (the synthetic testdata has λ2/λ1 ≈ 0.93)
+    the iterate is a top-eigenSPACE vector — for the projection /
+    compression uses downstream that is equally informative, and
+    POW_ITERS is the one knob if spectral precision is the goal. The
+    raw Gram inherits q_embedding_gram's int64 saturation contract
+    (promote to DECIMAL(38) at petabyte row counts).
+
+    100 TB posture: the ONLY data-sized stage is the Gram partial fold
+    (one corpus scan, partitions × d² shuffle rows); everything after
+    runs on ≤ 4096-row local frames — the single-partition windows the
+    plan contains operate on d or d² rows by construction, never on
+    corpus-sized input.
+
+    Reference anchor: the reference has no vector analytics (SURVEY
+    §2.B north-star extension); this is the spectral statistic the
+    embedding family (similarity.py, ivf.py, pq.py, int8 above)
+    preconditions on."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    tri = (
+        gram_partials(emb)
+        .groupBy("i", "j")
+        .agg(F.sum("partial").cast("long").alias("g"))
+        .collect()
+    )
+    # Symmetry mirror — pure duplication, NO driver arithmetic (every
+    # arithmetic step below is a Spark expression with a DuckDB twin).
+    full = []
+    for r in tri:
+        full.append((int(r["i"]), int(r["j"]), int(r["g"])))
+        if r["i"] != r["j"]:
+            full.append((int(r["j"]), int(r["i"]), int(r["g"])))
+    grid0 = spark.createDataFrame(full, "i int, j int, g long")
+    wall = Window.partitionBy()
+    grid = grid0.select(
+        "i",
+        "j",
+        F.greatest(
+            F.length(F.bin(F.max(F.abs("g")).over(wall))) - F.lit(31),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("s"),
+        F.col("g").alias("graw"),
+    ).select(
+        "i",
+        "j",
+        F.expr("graw div (cast(1 as bigint) << s)").alias("g"),
+        "s",
+    )
+    vt = spark.createDataFrame(
+        [(d, POW_VSCALE) for d in range(1, EMBED_DIM + 1)], "dim int, v long"
+    )
+    step = _pow_step_sql("div", "cast(1 as bigint)")
+    for _ in range(POW_ITERS):
+        w = (
+            grid.join(vt.select("dim", "v"), grid["j"] == F.col("dim"))
+            .groupBy(grid["i"], grid["s"])
+            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("w"))
+            .select(F.col("i").alias("dim"), "s", "w")
+        )
+        n = w.select(
+            "dim",
+            "s",
+            "w",
+            F.max(F.abs("w")).over(wall).cast("long").alias("m"),
+        )
+        vt = n.select(
+            "dim", "s", "m", F.expr(step).cast("long").alias("v")
+        )
+    return vt.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("v").cast("long").alias("v_q"),
+        F.col("s").cast("long").alias("gram_shift"),
+        F.col("m").cast("long").alias("w_max"),
+        (F.col("m").cast("double") / F.lit(POW_VSCALE)).alias("lambda_red"),
+        (
+            F.col("m").cast("double")
+            / F.lit(POW_VSCALE)
+            * F.expr("cast(cast(1 as bigint) << s as double)")
+        ).alias("lambda_est"),
     )

@@ -102,6 +102,89 @@ _QUERY_MODULES = [
 # double-proven r01/r02 queries last). Rotate this list each round to
 # move the remaining unchecked tail through the window.
 _PRIORITY = [
+    # ---- round-15 window ----
+    # Window arithmetic (r14 verdict items 1-2): the driver cuts at 50
+    # rows. 1 new r15 registration + 1 r15-ADVICE-changed query + the
+    # 3 never-driver-checked r14 wave-2 additions + the 45 queries
+    # whose newest row is r06-r09 (25+10+6+4) = exactly 50. After this
+    # window NO driver row in the registry is older than r10 — the
+    # standing trajectory target, met. The other two r15 ADVICE
+    # touches do NOT take slots: q_drift_psi's change is import-only
+    # (no plan change) and q_lang_id's NULL-text score pin flows
+    # through the SHARED detector/SQL definitions that in-window
+    # q_label_agreement also compiles (functions/text.py detected_col
+    # + _LANG_SQL_SCORES) — both sit immediately below the cut to
+    # lead r16 with the wave-2 streaming addition.
+    # New r15 registration first (changed/new code proves earliest):
+    "q_gram_power_iter",  # top eigenvector of the Gram: in-plan unrolled int matvec
+    # r15-ADVICE-changed after its r14 row (overflow guard moved to the
+    # shared guard_product_int64 — functions/guards.py):
+    "q_drift_ks",
+    # The three r14 wave-2 registrations the r14 window cut at exactly
+    # 50 (judge-verified at sf0.01 last session, but zero DRIVER rows;
+    # q_label_agreement also re-proves the r15 NULL-text detector pin
+    # and the shared overflow-guard refactor):
+    "q_embedding_int8_quant",
+    "q_event_paths_topk",
+    "q_label_agreement",
+    # Evidence-freshness rotation: the 25 queries whose newest driver
+    # row is r06 (alphabetical):
+    "q_ann_lsh_topk",
+    "q_attribution_last_touch",
+    "q_embedding_neardup_lsh",
+    "q_join_null_safe",
+    "q_minhash_lsh_pairs",
+    "q_pagerank_neardup",
+    "q_peak_concurrency",
+    "q_python_datasource_scan",
+    "q_python_datasource_stream",
+    "q_rolling_zscore",
+    "q_sequence_gaps",
+    "q_session_dynamic_gap",
+    "q_simhash_pairs",
+    "q_sql_pipe_syntax",
+    "q_stream_dedup_watermark",
+    "q_stream_full_outer_join",
+    "q_stream_left_outer_join",
+    "q_stream_semi_join",
+    "q_stream_session",
+    "q_stream_session_dynamic",
+    "q_stream_tumbling_append",
+    "q_token_entropy",
+    "q_top_terms",
+    "q_variant_json",
+    "q_zorder_layout",
+    # ...the 10 whose newest row is r07:
+    "q_ann_recall",
+    "q_approx_distinct",
+    "q_bm25_topk",
+    "q_fuzzy_join_edit1",
+    "q_hll_partial_merge",
+    "q_jpeg_pixel_stats",
+    "q_knn_join_lsh",
+    "q_observe_reconcile",
+    "q_percentiles",
+    "q_stream_sliding",
+    # ...the 6 whose newest row is r08:
+    "q_ann_bucket_stats",
+    "q_lang_id_udf",
+    "q_minhash_signatures",
+    "q_multimodal_features",
+    "q_png_pixel_stats",
+    "q_simhash_fingerprints",
+    # ...the 4 whose newest row is r09 (window rows 47-50):
+    "q_pii_redact",
+    "q_sample_deterministic",
+    "q_shard_assign",
+    "q_weighted_sample",
+    # Positions 51-53: the r15 wave-2 addition (pytest- and
+    # three-scale-sweep-proven this round, the r14 precedent) plus the
+    # two below-cut r15 ADVICE touches (proven by proxy — see the
+    # arithmetic comment above); all three lead the r16 window. r16
+    # debt: these 3 + the 40 r10 rows = 43, fits with slots spare.
+    "q_stream_tws_reservoir",  # bounded per-key bottom-k reservoir in transformWithState
+    "q_lang_id",
+    "q_drift_psi",
     # ---- round-14 window ----
     # Window arithmetic (r13 verdict items 1-2): the driver cuts at 50
     # rows. 2 new r14 registrations + the 4 never-driver-checked r13
@@ -114,7 +197,6 @@ _PRIORITY = [
     # "none older than r10 after r15" is reachable on schedule.
     # New r14 registrations (changed queries go FIRST so an early cut
     # still proves the code that changed this round):
-    "q_drift_psi",  # PSI drift gate; the log itself in exact int64 (iterated squaring)
     "q_kmeans_lloyd",  # driver-coordinated Lloyd k-means, unrolled-CTE oracle
     # The four r13 registrations the r13 window cut at exactly 50
     # (judge-verified at sf0.01 last session, but still zero DRIVER
@@ -122,7 +204,6 @@ _PRIORITY = [
     # this round (overflow guard; corpus-aggregate broadcast dropped):
     "q_url_canonical_dedup",
     "q_chunk_overlap",
-    "q_drift_ks",
     "q_domain_affinity",
     # The four r12-ADVICE-changed queries whose newest driver row
     # (r12) predates the r13 change — close that re-prove gap
@@ -182,9 +263,6 @@ _PRIORITY = [
     # r13 precedent: pytest- and both-scale-sweep-proven this round,
     # they lead the r15 window — 3 + the 45-row r06-r09 staleness
     # tail + up to 2 r15 registrations = 50):
-    "q_embedding_int8_quant",  # per-dim int8 scalar-quantization calibration + audit
-    "q_event_paths_topk",  # top-20 behavioral trigram journeys, bounded path domain
-    "q_label_agreement",  # Cohen's kappa: declared vs detected lang, exact int num/den
     # ---- round-13 window (all 50 proven r13; the five r13
     # registrations the cut excluded now lead the r14 window above;
     # everything else re-enters via registration order) ----
@@ -291,7 +369,6 @@ _PRIORITY = [
     "q_join_semi",
     "q_json_extract",
     "q_json_filter_agg",
-    "q_lang_id",
     "q_pivot",
     "q_project_rename",
     "q_report_derive_topk",
@@ -380,68 +457,23 @@ _PRIORITY = [
     # r06-advice mod-2^31 oracle alignment + side-effect-free bucket
     # lookup + atomic tier-dim write) — re-prove through the driver:
     "q_kfold_assign",
-    "q_weighted_sample",
-    "q_sample_deterministic",
-    "q_shard_assign",
-    "q_pii_redact",
     # ---- round-6 window (proven r06; follows for re-proof in leftover
     # slots) ----
     # The 7 queries with zero driver rows after five rounds (VERDICT r05
     # item 2) — three of them upgraded this round from rows-only to
     # oracle-backed (portable md5 hash family; SQL-replayed LCG planes):
-    "q_minhash_signatures",
-    "q_simhash_fingerprints",
-    "q_ann_bucket_stats",
-    "q_lang_id_udf",
     # r05's one red row, fixed (hist array -> 16 scalar columns) and
     # since upgraded to a full oracle (exact-integer-moment features):
-    "q_multimodal_features",
     # new round-6 queries:
-    "q_png_pixel_stats",   # stdlib-zlib PNG decode, oracle-backed
-    "q_jpeg_pixel_stats",  # baseline JPEG codec, DC closed-form oracle
-    "q_observe_reconcile",  # U2: observe() metrics row, oracle-checked
-    "q_knn_join_lsh",       # multi-probe LSH batch kNN join, oracle-backed
-    "q_ann_recall",        # recall@10 floors, oracle-pinned since r06
     # new round-6 operators (second batch):
-    "q_bm25_topk",          # BM25 ranking, rational idf, oracle-backed
-    "q_fuzzy_join_edit1",   # deletion-neighborhood edit-1 join
     # approx family upgraded rows-only -> tolerance-flag oracles (r06):
-    "q_approx_distinct",
-    "q_percentiles",
-    "q_hll_partial_merge",
     # real-stream twins completing the streaming window matrix (r06):
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_zorder_layout",      # Morton-clustering census, oracle-backed
-    "q_join_null_safe",     # <=> join, NULL group must match its dim row
-    "q_stream_tumbling_append",  # append mode = state-eviction path, oracle-backed
-    "q_python_datasource_scan",  # Spark 4 Python DataSource, LCG-replayed oracle
-    "q_python_datasource_stream",  # SimpleDataSourceStreamReader, same oracle
     # (q_python_datasink_roundtrip moved to the round-12 window above)
-    "q_attribution_last_touch",  # windowed last-touch credit, no joins
-    "q_sequence_gaps",           # missing-id audit via lead()
     # new round-6 operators (third batch):
-    "q_variant_json",           # Spark 4 VARIANT: schemaless typed path access
-    "q_sql_pipe_syntax",        # Spark 4 SQL pipe operators, ANSI-form oracle
     # (q_dedup_incremental moved to the round-14 window above)
-    "q_embedding_neardup_lsh",  # banded hyperplane LSH over the whole corpus
-    "q_token_entropy",          # per-doc Shannon entropy quality signal
-    "q_rolling_zscore",         # decimal-exact rolling anomaly detection
-    "q_pagerank_neardup",       # iterative weighted mass propagation, unrolled-CTE oracle
-    "q_session_dynamic_gap",        # per-event-gap sessionization
-    "q_stream_session_dynamic",     # its real-stream twin (merging state, varying gap)
-    "q_peak_concurrency",           # segmented sweep-line, never a global window
     # round-6 streaming outer-join matrix + bounded-state dedup:
-    "q_stream_left_outer_join",   # watermark-evicted null padding, SQL-replayed
-    "q_stream_full_outer_join",   # both sides' eviction schedules pinned
-    "q_stream_dedup_watermark",   # dropDuplicatesWithinWatermark eviction path
-    "q_stream_semi_join",         # emit-once-on-match state, EXISTS oracle
     # re-prove queries whose implementation changed this round (the
     # last three also newly oracle-backed):
-    "q_top_terms",         # TF-DF join broadcast -> shuffle_hash
-    "q_ann_lsh_topk",      # multi-probe LSH, SQL-replayed buckets
-    "q_minhash_lsh_pairs",  # portable family + exact band-tuple join
-    "q_simhash_pairs",      # portable family
     # ---- remaining slots: registration order follows, which
     # front-loads the r01/r02-vintage parity operators (flagship,
     # transform, quality, dedup, report, joins ...) — re-proving the

@@ -1305,6 +1305,184 @@ def q_stream_tws_map_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_latest_per_user(latest)
 
 
+# ------------------------- bounded per-key reservoir (bottom-k sketch)
+
+# The stateful SAMPLING shape a 100 TB/day stream needs: per key, keep
+# a FIXED-SIZE uniform sample of everything seen so far, with state
+# bounded at K rows per key no matter how many events arrive. The
+# classic reservoir's random replacement is order-dependent; swapping
+# the coin for the engine's portable salted Knuth hash turns it into a
+# BOTTOM-K SKETCH — "keep the K items with the smallest hash" — which
+# is (a) exactly a uniform sample over the hash's pseudo-randomness,
+# (b) MERGEABLE and order-independent (the final reservoir is a pure
+# function of the SET of events, however they were micro-batched), and
+# (c) therefore exactly SQL-replayable: row_number over (hv, event_id)
+# ≤ K. Same construction as the batch q_group_reservoir
+# (operators/splits.py) — this is its streaming twin, sharing the ONE
+# hash-family definition.
+
+STREAM_RESERVOIR_K = 5
+_SRES_SALT = 49979687  # decorrelated from the fold/reservoir/A-Res streams
+
+TWS_RESERVOIR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("res_k", LongType()),
+        StructField("res_sum_cents", LongType()),
+        StructField("res_threshold_hv", LongType()),
+        StructField("res_digest", StringType()),
+    ]
+)
+
+
+class BoundedReservoirProcessor(StatefulProcessor):
+    """Per-user bottom-k reservoir in a ListState that NEVER exceeds K
+    rows (merge-sort-truncate, then put() overwrites — the bounded-
+    state discipline; an appendList-only history would grow with the
+    stream) plus a ValueState events-seen counter. Each emit carries
+    the reservoir's size, integer-cent sum, threshold (the K-th
+    smallest hash — the sketch's signature statistic, which at K→∞
+    estimates the key's distinct count) and the md5 digest of the
+    member ids in reservoir order, so a wrong merge, a lost member, a
+    mis-ordered truncation, or an unbounded list flips the hash."""
+
+    def init(self, handle) -> None:
+        self._res = handle.getListState(
+            "res", "hv bigint, event_id bigint, cents bigint"
+        )
+        self._seen = handle.getValueState("seen", "n bigint")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import hashlib
+
+        import pandas as pd
+
+        (user_id,) = key
+        n = self._seen.get()[0] if self._seen.exists() else 0
+        fresh: list[tuple[int, int, int]] = []
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            fresh.extend(
+                (int(h), int(e), int(c))
+                for h, e, c in zip(pdf["hv"], pdf["event_id"], pdf["cents"])
+            )
+        merged = sorted(list(self._res.get()) + fresh)[:STREAM_RESERVOIR_K]
+        self._res.put(merged)
+        self._seen.update((n,))
+        digest = hashlib.md5(
+            ",".join(str(e) for _, e, _c in merged).encode()
+        ).hexdigest()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "res_k": [len(merged)],
+                "res_sum_cents": [sum(c for _, _e, c in merged)],
+                "res_threshold_hv": [merged[-1][0]],
+                "res_digest": [digest],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def bounded_reservoir_tws(events: DataFrame) -> DataFrame:
+    """Hash/cents are computed in the STREAM PROJECTION (JVM-side exact
+    integer ops, the same salted Knuth family as operators/splits.py);
+    the processor only merges and truncates."""
+    from ..operators.splits import _FOLD_KNUTH, _FOLD_MOD32, _MOD31
+
+    hv = (
+        ((F.col("event_id") + F.lit(_SRES_SALT)) % F.lit(_MOD31))
+        * F.lit(_FOLD_KNUTH)
+    ) % F.lit(_FOLD_MOD32)
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        hv.cast("long").alias("hv"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=BoundedReservoirProcessor(),
+        outputStructType=TWS_RESERVOIR_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _reservoir_oracle() -> str:
+    from ..operators.splits import _FOLD_KNUTH, _FOLD_MOD32, _MOD31
+
+    return f"""
+WITH h AS (
+    SELECT user_id, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           ((((event_id + {_SRES_SALT}) % {_MOD31}) * {_FOLD_KNUTH})
+               % {_FOLD_MOD32}) AS hv
+    FROM events
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY hv, event_id) AS rnk
+    FROM h
+),
+res AS (SELECT * FROM r WHERE rnk <= {STREAM_RESERVOIR_K}),
+t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM h GROUP BY user_id),
+a AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS res_k,
+           CAST(sum(cents) AS BIGINT) AS res_sum_cents,
+           CAST(max(hv) AS BIGINT) AS res_threshold_hv,
+           md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rnk))
+               AS res_digest
+    FROM res GROUP BY user_id
+)
+SELECT t.user_id, t.n_events, a.res_k, a.res_sum_cents,
+       a.res_threshold_hv, a.res_digest
+FROM t JOIN a USING (user_id)
+"""
+
+
+def q_stream_tws_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded per-key reservoir sampling over four REAL micro-batches
+    (maxFilesPerTrigger=1 over the 4-file split source): every batch
+    merges its rows into the ≤K-row per-user bottom-k state, so
+    cross-batch put→get round-trips and the truncation path are
+    genuinely exercised. Final emit per user (max n_events, strictly
+    increasing) must hash-match the whole-table oracle — including the
+    md5 member digest, so membership AND order are pinned, not just
+    counts. RocksDB provider, as the production backend.
+
+    100 TB posture: state is K rows per key regardless of stream
+    length (the reason this exists — a per-key event HISTORY is
+    unboundable at 100 TB/day; the bottom-k reservoir is the standard
+    constant-memory uniform sample, and its hash threshold doubles as
+    a distinct-count sketch). Order-independence of the bottom-k set
+    is what makes an exact oracle possible at all — a coin-flip
+    reservoir could only be invariant-checked."""
+    from .incremental import split_events_dir
+
+    scoped = _tws_scoped_session(spark)
+    src = split_events_dir(scoped, sf_dir)
+    schema = scoped.read.parquet(src).schema
+    events = (
+        scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = bounded_reservoir_tws(events)
+    run_stream_to_memory(
+        out, "stream_tws_res_out", output_mode="update", partitions="16"
+    )
+    latest = _snap_sink(scoped, "stream_tws_res_out")
+    return keep_latest_per_user(latest)
+
+
 if tws_runtime_available():
     q_stream_transform_with_state = query(
         "q_stream_transform_with_state",
@@ -1336,3 +1514,8 @@ if tws_runtime_available():
         oracle=_TWS_INIT_ORACLE,
         tags=("streaming", "stateful", "pandas-udf", "initial-state"),
     )(q_stream_tws_initial_state)
+    q_stream_tws_reservoir = query(
+        "q_stream_tws_reservoir",
+        oracle=_reservoir_oracle(),
+        tags=("streaming", "stateful", "pandas-udf", "sampling"),
+    )(q_stream_tws_reservoir)

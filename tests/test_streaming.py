@@ -1518,3 +1518,108 @@ def test_reload_writer_modes_control(spark, tmp_path):
     proj0.write.partitionBy("day", "batch_id").mode("overwrite").parquet(sink_s)
     proj1.write.partitionBy("day", "batch_id").mode("overwrite").parquet(sink_s)
     assert spark.read.parquet(sink_s).filter("batch_id = 0").count() == 0
+
+
+def test_tws_reservoir_processor_bounded_and_split_invariant():
+    """BoundedReservoirProcessor through a fake typed-state handle:
+    (1) the ListState NEVER holds more than K rows at any point in the
+    run — the bounded-state contract that makes the operator viable at
+    100 TB/day, asserted on every put(); (2) one batch vs three batches
+    vs a SHUFFLED row order all produce the identical final snapshot
+    (bottom-k is a pure function of the event SET); (3) the snapshot
+    equals the plainly-computed bottom-K with the md5 digest
+    recomputed independently."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from facebook_ad_library_data_pipeline_spark.operators.splits import (
+        _FOLD_KNUTH,
+        _FOLD_MOD32,
+        _MOD31,
+    )
+    from facebook_ad_library_data_pipeline_spark.streaming.stateful import (
+        _SRES_SALT,
+        STREAM_RESERVOIR_K,
+        BoundedReservoirProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeListState:
+        def __init__(self):
+            self._rows = []
+            self.max_len = 0
+
+        def get(self):
+            return iter(list(self._rows))
+
+        def put(self, rows):
+            self._rows = [tuple(r) for r in rows]
+            self.max_len = max(self.max_len, len(self._rows))
+
+    class FakeHandle:
+        def __init__(self):
+            self.lists = []
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return FakeValueState()
+
+        def getListState(self, name, schema, ttlDurationMs=None):
+            ls = FakeListState()
+            self.lists.append(ls)
+            return ls
+
+    n_rows = 40
+    ids = np.arange(1000, 1000 + n_rows, dtype=np.int64)
+    vals = (ids % 37) * 0.73
+    cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+    hv = ((ids + _SRES_SALT) % _MOD31) * _FOLD_KNUTH % _FOLD_MOD32
+
+    def pdf_of(idx):
+        return pd.DataFrame(
+            {"user_id": 9, "event_id": ids[idx], "cents": cents[idx], "hv": hv[idx]}
+        )
+
+    def run(batches):
+        proc = BoundedReservoirProcessor()
+        handle = FakeHandle()
+        proc.init(handle)
+        out = None
+        for b in batches:
+            out = pd.concat(list(proc.handleInputRows((9,), iter([b]), None)))
+        (ls,) = handle.lists
+        return out.iloc[-1], ls.max_len
+
+    order = np.arange(n_rows)
+    whole, len_whole = run([pdf_of(order)])
+    split, len_split = run([pdf_of(order[:13]), pdf_of(order[13:29]), pdf_of(order[29:])])
+    rng = np.random.default_rng(3)
+    shuf = rng.permutation(order)
+    shuffled, len_shuf = run([pdf_of(shuf[:20]), pdf_of(shuf[20:])])
+    assert whole.equals(split) and whole.equals(shuffled)
+    # the bounded-state contract: the list NEVER exceeded K
+    assert max(len_whole, len_split, len_shuf) == STREAM_RESERVOIR_K
+    # plain bottom-K recomputation
+    rows = sorted(zip(hv.tolist(), ids.tolist(), cents.tolist()))
+    bottom = rows[:STREAM_RESERVOIR_K]
+    assert whole["n_events"] == n_rows
+    assert whole["res_k"] == STREAM_RESERVOIR_K
+    assert whole["res_sum_cents"] == sum(c for _, _e, c in bottom)
+    assert whole["res_threshold_hv"] == bottom[-1][0]
+    want = hashlib.md5(
+        ",".join(str(e) for _, e, _c in bottom).encode()
+    ).hexdigest()
+    assert whole["res_digest"] == want
