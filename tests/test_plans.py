@@ -837,3 +837,29 @@ def test_event_paths_bounded_agg_and_topk_heap(spark, sf_dir):
     assert plan.count("hashpartitioning(path") == 1
     assert "takeorderedandproject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_power_iter_returned_plan_is_corpus_free(spark, sf_dir):
+    # the corpus is scanned exactly ONCE — inside the query's single
+    # Gram-fold collect — and the RETURNED plan (all 8 unrolled
+    # matvec/renormalize iterations) runs entirely over the collected
+    # d^2 LocalRelation: zero parquet scans in the plan, so no
+    # iteration can ever re-scan the corpus, at any scale
+    import re
+
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["q_gram_power_iter"].fn(spark, sf_dir)
+    plan = formatted_plan(df).lower()
+    assert len(re.findall(r"\(\d+\) scan parquet", plan)) == 0, "corpus leaked into the iteration plan"
+    # the only sources are the collected grid / v0 local frames
+    # (createDataFrame compiles to Scan ExistingRDD): grid once per
+    # iteration + v0 = POW_ITERS + 1
+    from facebook_ad_library_data_pipeline_spark.functions.embedstats import POW_ITERS
+
+    assert len(re.findall(r"\(\d+\) scan existingrdd", plan)) == POW_ITERS + 1
+    # one matvec join per unrolled iteration, never more (static plan
+    # shows sortmergejoin; AQE converts to broadcast at runtime on the
+    # 64-row side — either name counts)
+    n_joins = len(re.findall(r"\(\d+\) (?:sortmergejoin|broadcasthashjoin|shuffledhashjoin)", plan))
+    assert n_joins == POW_ITERS, n_joins
