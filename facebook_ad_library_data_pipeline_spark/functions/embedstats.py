@@ -67,14 +67,20 @@ def gram_partials(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-_GRAM_ORACLE = f"""
-WITH q AS (
+# The ONE SQL definition of the quantized-embedding view — shared by
+# the q_embedding_gram and q_gram_power_iter oracles so the
+# quantization (and the documented petabyte-scale DECIMAL(38)
+# promotion, if it ever lands) can never desynchronize between them.
+_QUANT_SQL = f"""q AS (
     SELECT vec_id,
            generate_subscripts(embedding, 1) AS i,
            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QUANT_SCALE})
                 AS BIGINT) AS qv
     FROM embeddings
-)
+)"""
+
+_GRAM_ORACLE = f"""
+WITH {_QUANT_SQL}
 SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS gram
 FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
 GROUP BY 1, 2
@@ -257,13 +263,7 @@ def _power_oracle() -> str:
     one = "CAST(1 AS BIGINT)"
     step = _pow_step_sql("//", one)
     ctes = [
-        f"""q AS (
-    SELECT vec_id,
-           generate_subscripts(embedding, 1) AS i,
-           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QUANT_SCALE})
-                AS BIGINT) AS qv
-    FROM embeddings
-),
+        f"""{_QUANT_SQL},
 g0 AS (
     SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS g
     FROM q a JOIN q b ON a.vec_id = b.vec_id

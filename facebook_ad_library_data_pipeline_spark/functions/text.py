@@ -73,7 +73,7 @@ def _overlap(toks: Column, words: list[str]) -> Column:
 
 _LANG_SQL_SCORES = ",\n       ".join(
     f"coalesce(len(list_intersect(list_distinct(string_split(text, ' ')), "
-    f"{[w for w in ws]!r})), 0) AS s_{lang}".replace("'", "'")
+    f"{ws!r})), 0) AS s_{lang}"
     for lang, ws in sorted(STOPWORDS.items())
 )
 

@@ -1370,6 +1370,11 @@ class BoundedReservoirProcessor(StatefulProcessor):
                 for h, e, c in zip(pdf["hv"], pdf["event_id"], pdf["cents"])
             )
         merged = sorted(list(self._res.get()) + fresh)[:STREAM_RESERVOIR_K]
+        if not merged:
+            # all-empty input on an empty key (possible under a future
+            # initial-state or timer path): nothing to emit or store
+            self._seen.update((n,))
+            return
         self._res.put(merged)
         self._seen.update((n,))
         digest = hashlib.md5(

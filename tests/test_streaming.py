@@ -1623,3 +1623,11 @@ def test_tws_reservoir_processor_bounded_and_split_invariant():
         ",".join(str(e) for _, e, _c in bottom).encode()
     ).hexdigest()
     assert whole["res_digest"] == want
+    # all-empty input on an empty key (the future initial-state/timer
+    # shape): no emit, no IndexError, no state row
+    proc = BoundedReservoirProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    empty = pdf_of(order[:0])
+    assert list(proc.handleInputRows((9,), iter([empty]), None)) == []
+    assert handle.lists[0].max_len == 0
