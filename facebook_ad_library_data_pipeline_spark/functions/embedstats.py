@@ -259,7 +259,73 @@ def _pow_step_sql(div: str, one: str) -> str:
     return _POW_STEP.replace("{DIV}", div).replace("{ONE}", one)
 
 
-def _power_oracle() -> str:
+def power_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE Spark definition of the eigenvector chain (the SQL twin
+    is _power_ctes): Gram fold → collect the triangle → symmetric
+    LocalRelation grid → in-plan reduce + POW_ITERS unrolled
+    matvec/renormalize rounds. Returns the final iterate as
+    (dim, s, m, v) — 64 rows on a corpus-free plan. Shared by
+    q_gram_power_iter and q_pca_project."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    tri = (
+        gram_partials(emb)
+        .groupBy("i", "j")
+        .agg(F.sum("partial").cast("long").alias("g"))
+        .collect()
+    )
+    # Symmetry mirror — pure duplication, NO driver arithmetic (every
+    # arithmetic step below is a Spark expression with a DuckDB twin).
+    full = []
+    for r in tri:
+        full.append((int(r["i"]), int(r["j"]), int(r["g"])))
+        if r["i"] != r["j"]:
+            full.append((int(r["j"]), int(r["i"]), int(r["g"])))
+    grid0 = spark.createDataFrame(full, "i int, j int, g long")
+    wall = Window.partitionBy()
+    grid = grid0.select(
+        "i",
+        "j",
+        F.greatest(
+            F.length(F.bin(F.max(F.abs("g")).over(wall))) - F.lit(31),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("s"),
+        F.col("g").alias("graw"),
+    ).select(
+        "i",
+        "j",
+        F.expr("graw div (cast(1 as bigint) << s)").alias("g"),
+        "s",
+    )
+    vt = spark.createDataFrame(
+        [(d, POW_VSCALE) for d in range(1, EMBED_DIM + 1)], "dim int, v long"
+    )
+    step = _pow_step_sql("div", "cast(1 as bigint)")
+    for _ in range(POW_ITERS):
+        w = (
+            grid.join(vt.select("dim", "v"), grid["j"] == F.col("dim"))
+            .groupBy(grid["i"], grid["s"])
+            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("w"))
+            .select(F.col("i").alias("dim"), "s", "w")
+        )
+        n = w.select(
+            "dim",
+            "s",
+            "w",
+            F.max(F.abs("w")).over(wall).cast("long").alias("m"),
+        )
+        vt = n.select(
+            "dim", "s", "m", F.expr(step).cast("long").alias("v")
+        )
+    return vt
+
+
+def _power_ctes() -> str:
+    """The ONE SQL definition of the whole eigenvector chain (quantize →
+    Gram → reduce → 8 matvec/renormalize rounds, ending in CTE
+    v{POW_ITERS}) — shared by the q_gram_power_iter and q_pca_project
+    oracles so the iteration can never desynchronize between them."""
     one = "CAST(1 AS BIGINT)"
     step = _pow_step_sql("//", one)
     ctes = [
@@ -296,9 +362,13 @@ v{t} AS (
     FROM n{t}
 )"""
         )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _power_oracle() -> str:
+    one = "CAST(1 AS BIGINT)"
     return (
-        "WITH "
-        + ",\n".join(ctes)
+        _power_ctes()
         + f"""
 SELECT CAST(dim AS INT) AS dim,
        CAST(v AS BIGINT) AS v_q,
@@ -358,58 +428,7 @@ def q_gram_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.B north-star extension); this is the spectral statistic the
     embedding family (similarity.py, ivf.py, pq.py, int8 above)
     preconditions on."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    tri = (
-        gram_partials(emb)
-        .groupBy("i", "j")
-        .agg(F.sum("partial").cast("long").alias("g"))
-        .collect()
-    )
-    # Symmetry mirror — pure duplication, NO driver arithmetic (every
-    # arithmetic step below is a Spark expression with a DuckDB twin).
-    full = []
-    for r in tri:
-        full.append((int(r["i"]), int(r["j"]), int(r["g"])))
-        if r["i"] != r["j"]:
-            full.append((int(r["j"]), int(r["i"]), int(r["g"])))
-    grid0 = spark.createDataFrame(full, "i int, j int, g long")
-    wall = Window.partitionBy()
-    grid = grid0.select(
-        "i",
-        "j",
-        F.greatest(
-            F.length(F.bin(F.max(F.abs("g")).over(wall))) - F.lit(31),
-            F.lit(0),
-        )
-        .cast("int")
-        .alias("s"),
-        F.col("g").alias("graw"),
-    ).select(
-        "i",
-        "j",
-        F.expr("graw div (cast(1 as bigint) << s)").alias("g"),
-        "s",
-    )
-    vt = spark.createDataFrame(
-        [(d, POW_VSCALE) for d in range(1, EMBED_DIM + 1)], "dim int, v long"
-    )
-    step = _pow_step_sql("div", "cast(1 as bigint)")
-    for _ in range(POW_ITERS):
-        w = (
-            grid.join(vt.select("dim", "v"), grid["j"] == F.col("dim"))
-            .groupBy(grid["i"], grid["s"])
-            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("w"))
-            .select(F.col("i").alias("dim"), "s", "w")
-        )
-        n = w.select(
-            "dim",
-            "s",
-            "w",
-            F.max(F.abs("w")).over(wall).cast("long").alias("m"),
-        )
-        vt = n.select(
-            "dim", "s", "m", F.expr(step).cast("long").alias("v")
-        )
+    vt = power_vector(spark, sf_dir)
     return vt.select(
         F.col("dim").cast("int").alias("dim"),
         F.col("v").cast("long").alias("v_q"),
@@ -421,4 +440,107 @@ def q_gram_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(POW_VSCALE)
             * F.expr("cast(cast(1 as bigint) << s as double)")
         ).alias("lambda_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection: every embedding scored against the top eigenvector —
+# the step that turns the spectral statistic into per-row features
+# (1-d curriculum/diversity scores, the first coordinate of a PCA
+# transform before SQ/PQ compression, and the explained-variance audit
+# that decides whether a 1-d projection is even worth keeping).
+# ---------------------------------------------------------------------------
+
+_PCA_ORACLE = (
+    _power_ctes()
+    + f""",
+p AS (
+    SELECT q.vec_id,
+           CAST(sum(q.qv * v.v) AS BIGINT) AS proj_q,
+           CAST(sum(q.qv * q.qv) AS BIGINT) AS q_norm2
+    FROM q JOIN v{POW_ITERS} v ON q.i = v.dim
+    GROUP BY q.vec_id
+),
+vn AS (SELECT CAST(sum(v * v) AS BIGINT) AS v_norm2 FROM v{POW_ITERS})
+SELECT p.vec_id, p.proj_q, p.q_norm2, vn.v_norm2,
+       CASE WHEN p.q_norm2 = 0 OR vn.v_norm2 = 0 THEN NULL
+            ELSE (CAST(p.proj_q AS DOUBLE) * CAST(p.proj_q AS DOUBLE))
+                 / (CAST(p.q_norm2 AS DOUBLE) * CAST(vn.v_norm2 AS DOUBLE))
+            END AS explained
+FROM p CROSS JOIN vn
+"""
+)
+
+
+@query(
+    "q_pca_project",
+    oracle=_PCA_ORACLE,
+    tags=("llm", "embedding", "iterative", "ml"),
+)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the power-iteration eigenvector and
+    audit how much of each vector's energy the projection explains —
+    exact end-to-end: per-vector proj_q = Σ_d q_d·v_d and the two
+    norms are pinned int64 (|q| ≤ ~2^20·ε, |v| ≤ 2^20, 64 dims keeps
+    every sum < 2^57; all three casts to double are < 2^53 so they are
+    EXACT, and `explained` = proj²/(‖q‖²·‖v‖²) is three correctly-
+    rounded IEEE ops in the identical shape in both engines — NULL for
+    a zero vector or a zero eigenvector, the NULLIF discipline). The
+    eigenvector chain is the SHARED definition (power_vector /
+    _power_ctes) with q_gram_power_iter, so the two queries can never
+    disagree about v.
+
+    Plan shape: the eigenvector costs one corpus scan (inside
+    power_vector's Gram-fold collect; everything after runs on 64-row
+    local frames), and the projection is the second, final corpus
+    pass: posexplode to (vec_id, dim, qv) joined against the
+    BROADCAST 64-row iterate (bounded by d, never by the corpus — a
+    safe hint), then ONE map-side-combined groupBy(vec_id). Two scans
+    total is the honest PCA cost: the sufficient statistic, then the
+    transform. Output is N rows — the per-row feature a curation
+    pipeline writes back next to the embedding.
+
+    Reference anchor: the reference has no vector analytics (SURVEY
+    §2.B north-star extension); with q_embedding_gram (the moment),
+    q_gram_power_iter (the direction), and this projection (the
+    transform), the engine covers the PCA triad the compression family
+    preconditions on."""
+    vt = power_vector(spark, sf_dir)
+    vsel = vt.select("dim", "v")
+    vn = vt.agg(F.sum(F.expr("v * v")).cast("long").alias("v_norm2"))
+    e = (
+        fan_out(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.floor(F.col("x").cast("double") * QUANT_SCALE)
+            .cast("long")
+            .alias("qv"),
+        )
+    )
+    p = (
+        e.join(F.broadcast(vsel), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("qv") * F.col("v")).cast("long").alias("proj_q"),
+            F.sum(F.col("qv") * F.col("qv")).cast("long").alias("q_norm2"),
+        )
+    )
+    return p.crossJoin(F.broadcast(vn)).select(
+        "vec_id",
+        "proj_q",
+        "q_norm2",
+        "v_norm2",
+        F.when(
+            (F.col("q_norm2") == 0) | (F.col("v_norm2") == 0), F.lit(None)
+        )
+        .otherwise(
+            (F.col("proj_q").cast("double") * F.col("proj_q").cast("double"))
+            / (
+                F.col("q_norm2").cast("double")
+                * F.col("v_norm2").cast("double")
+            )
+        )
+        .alias("explained"),
     )

@@ -177,12 +177,13 @@ _PRIORITY = [
     "q_sample_deterministic",
     "q_shard_assign",
     "q_weighted_sample",
-    # Positions 51-53: the r15 wave-2 addition (pytest- and
+    # Positions 51-54: the r15 wave-2 additions (pytest- and
     # three-scale-sweep-proven this round, the r14 precedent) plus the
     # two below-cut r15 ADVICE touches (proven by proxy — see the
-    # arithmetic comment above); all three lead the r16 window. r16
-    # debt: these 3 + the 40 r10 rows = 43, fits with slots spare.
+    # arithmetic comment above); all four lead the r16 window. r16
+    # debt: these 4 + the 40 r10 rows = 44, fits with slots spare.
     "q_stream_tws_reservoir",  # bounded per-key bottom-k reservoir in transformWithState
+    "q_pca_project",  # per-vector projection onto the power-iteration eigenvector
     "q_lang_id",
     "q_drift_psi",
     # ---- round-14 window ----

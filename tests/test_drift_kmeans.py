@@ -590,3 +590,48 @@ def test_power_iteration_empty_corpus_parity(spark, tmp_path):
         f"read_parquet('{d}/embeddings.parquet')"
     )
     assert_matches_oracle(df, q.oracle, con)
+
+
+def test_pca_project_rank1_explains_everything(spark, tmp_path):
+    """On the rank-1 corpus every vector IS a multiple of the top
+    eigenvector, so the projection must explain ≈100% of each vector's
+    energy (explained → 1 up to the iterate's 2^-20 quantization), the
+    zero vector must pin to NULL in both engines, and the whole output
+    must hash-match the shared-chain oracle."""
+    import duckdb
+    import numpy as np
+
+    from facebook_ad_library_data_pipeline_spark.functions.embedstats import (
+        EMBED_DIM,
+    )
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    from .oracle_harness import assert_matches_oracle
+
+    rng = [((i * 37 + 11) % 97 - 48) / 97.0 for i in range(EMBED_DIM)]
+    vecs = [
+        (0, [x * 0.5 for x in rng]),
+        (1, [x * -1.0 for x in rng]),
+        (2, [x * 0.25 for x in rng]),
+        (3, [0.0] * EMBED_DIM),  # zero vector → explained NULL
+    ]
+    d = str(tmp_path)
+    _write_embeddings(d, vecs)
+    q = load_all()["q_pca_project"]
+    df = q.fn(spark, d)
+    rows = {r.vec_id: r for r in df.collect()}
+    assert len(rows) == 4
+    for vid in (0, 1, 2):
+        assert rows[vid].explained is not None
+        assert rows[vid].explained > 0.999, (vid, rows[vid].explained)
+        # cos² ≤ 1 with exact arithmetic
+        assert rows[vid].explained <= 1.0 + 1e-12
+    assert rows[3].explained is None and rows[3].q_norm2 == 0
+    # proj sign follows the vector's orientation against the iterate
+    assert np.sign(rows[0].proj_q) != np.sign(rows[1].proj_q)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    assert_matches_oracle(df, q.oracle, con)
