@@ -481,9 +481,11 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project every embedding onto the power-iteration eigenvector and
     audit how much of each vector's energy the projection explains —
     exact end-to-end: per-vector proj_q = Σ_d q_d·v_d and the two
-    norms are pinned int64 (|q| ≤ ~2^20·ε, |v| ≤ 2^20, 64 dims keeps
-    every sum < 2^57; all three casts to double are < 2^53 so they are
-    EXACT, and `explained` = proj²/(‖q‖²·‖v‖²) is three correctly-
+    norms are pinned int64, and each is BELOW 2^53, so its cast to
+    double is EXACT: with |x| ≤ 1 the quantized |q_d| ≤ 1e6 < 2^20 and
+    |v_d| ≤ 2^20, so |proj_q| ≤ 2^6·2^20·2^20 = 2^46, ‖q‖² ≤ 2^6·2^40
+    = 2^46, ‖v‖² ≤ 2^46 — each with 2^7 headroom even if components
+    exceed 1 — and `explained` = proj²/(‖q‖²·‖v‖²) is three correctly-
     rounded IEEE ops in the identical shape in both engines — NULL for
     a zero vector or a zero eigenvector, the NULLIF discipline). The
     eigenvector chain is the SHARED definition (power_vector /
@@ -508,8 +510,12 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt = power_vector(spark, sf_dir)
     vsel = vt.select("dim", "v")
     vn = vt.agg(F.sum(F.expr("v * v")).cast("long").alias("v_norm2"))
+    # no fan_out here (unlike the Gram fold, whose numpy matmul is
+    # CPU-heavy): the projection is trivial per-row arithmetic, and a
+    # round-robin repartition would add a corpus-sized exchange for
+    # nothing — the q_embedding_int8_quant posexplode discipline
     e = (
-        fan_out(load_table(spark, sf_dir, "embeddings"))
+        load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
         .select(
             "vec_id",

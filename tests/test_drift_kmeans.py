@@ -635,3 +635,28 @@ def test_pca_project_rank1_explains_everything(spark, tmp_path):
         f"read_parquet('{d}/embeddings.parquet')"
     )
     assert_matches_oracle(df, q.oracle, con)
+
+
+def test_pca_project_empty_corpus_parity(spark, tmp_path):
+    """Empty embeddings → empty output in BOTH engines: the vn
+    aggregate produces one NULL-v_norm2 row, but the crossJoin against
+    an empty projection side starves it — pinned so a future edit to
+    the vn/crossJoin tail (a row-preserving join, a coalesce on
+    v_norm2) can't silently break degenerate-corpus parity."""
+    import duckdb
+
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    from .oracle_harness import assert_matches_oracle
+
+    d = str(tmp_path)
+    _write_embeddings(d, [])
+    q = load_all()["q_pca_project"]
+    df = q.fn(spark, d)
+    assert df.count() == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    assert_matches_oracle(df, q.oracle, con)
