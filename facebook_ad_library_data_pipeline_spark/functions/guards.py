@@ -28,6 +28,13 @@ def guard_product_int64(keep: str, a: str, b: str, message: str) -> Column:
     sums to 0 BEFORE the guard: a NULL operand turns the WHEN
     predicate NULL and misfires the raise on degenerate inputs (the
     q_drift_ks / q_label_agreement empty-input lesson).
+
+    PRECONDITION: ``a`` and ``b`` must be NON-NEGATIVE (they are
+    counts at every call site). ``greatest(b, 1)`` maps a negative
+    ``b`` to the MAX bound and a negative ``a`` trivially passes the
+    ``<=`` check, so a signed product would overflow unchecked — a
+    signed call site needs an ``abs()`` variant, not this guard
+    (r15 ADVICE).
     """
     return (
         F.when(

@@ -1342,8 +1342,11 @@ class BoundedReservoirProcessor(StatefulProcessor):
     state discipline; an appendList-only history would grow with the
     stream) plus a ValueState events-seen counter. Each emit carries
     the reservoir's size, integer-cent sum, threshold (the K-th
-    smallest hash — the sketch's signature statistic, which at K→∞
-    estimates the key's distinct count) and the md5 digest of the
+    smallest hash — the sketch's signature statistic, which when the
+    reservoir is FULL (res_k == K) estimates the key's distinct count
+    at K→∞; for keys with fewer than K events it is merely the max
+    hash seen and carries no sketch interpretation) and the md5
+    digest of the
     member ids in reservoir order, so a wrong merge, a lost member, a
     mis-ordered truncation, or an unbounded list flips the hash."""
 

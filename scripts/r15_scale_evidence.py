@@ -38,9 +38,14 @@ SF_DIRS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
 
 def shuffle_write_records(spark) -> int:
+    # Whole-application sum: the before/after delta attributes any
+    # concurrent or retried stage to the measured query (r15 ADVICE).
+    # Acceptable here because the script runs queries strictly
+    # sequentially on an otherwise-idle session; a busier harness
+    # should filter stages by jobGroup/submissionTime instead.
     app = spark.sparkContext.applicationId
     url = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{app}/stages"
-    stages = json.load(urllib.request.urlopen(url))
+    stages = json.load(urllib.request.urlopen(url, timeout=30))
     return sum(s.get("shuffleWriteRecords", 0) for s in stages)
 
 
