@@ -863,3 +863,85 @@ def test_power_iter_returned_plan_is_corpus_free(spark, sf_dir):
     # 64-row side — either name counts)
     n_joins = len(re.findall(r"\(\d+\) (?:sortmergejoin|broadcasthashjoin|shuffledhashjoin)", plan))
     assert n_joins == POW_ITERS, n_joins
+
+
+def test_pca_project_partial_agg_before_the_only_corpus_exchange(spark, sf_dir):
+    # contract from the r15 review (the fan_out drop, 65a7281): the
+    # projection stage scans the corpus exactly ONCE, and on that
+    # scan's data path the groupBy's PARTIAL HashAggregate comes
+    # BEFORE the single vec_id exchange (map-side combine shuffles
+    # one row per (vec_id, partition), never the posexploded N*d
+    # rows). A refactor that reintroduces the corpus-sized
+    # repartition fails here, not at the bench.
+    import re
+
+    from facebook_ad_library_data_pipeline_spark.plans.explain import (
+        formatted_plan,
+        scan_ancestors,
+    )
+
+    df = REGISTRY["q_pca_project"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, "one corpus scan"
+    assert plan.lower().count("hashpartitioning(vec_id") == 1
+    chain = scan_ancestors(plan, "Scan parquet")
+    exchanges = [i for i, n in enumerate(chain) if n.startswith("Exchange")]
+    aggs = [i for i, n in enumerate(chain) if n.startswith("HashAggregate")]
+    assert len(exchanges) == 1, chain
+    assert aggs and aggs[0] < exchanges[0], chain
+    # the eigenvector side reaches the corpus path as a broadcast,
+    # bounded by d — never a shuffle of the corpus against it
+    assert any(n.startswith("BroadcastHashJoin") for n in chain), chain
+
+
+def test_stream_reservoir_single_keyed_exchange_hash_jvm_side(spark, sf_dir):
+    # contract for q_stream_tws_reservoir: the micro-batch plan pays
+    # exactly ONE exchange — the keyed feed every stateful operator
+    # requires — and the salted-Knuth hash + integer cents are
+    # computed in the JVM projection BELOW that exchange (whole-stage
+    # codegen), never inside the Python processor.
+    import re
+
+    import pytest
+
+    from facebook_ad_library_data_pipeline_spark.streaming import stateful
+    from facebook_ad_library_data_pipeline_spark.streaming.incremental import (
+        split_events_dir,
+    )
+
+    if not stateful.tws_runtime_available():
+        pytest.skip("transformWithStateInPandas runtime unavailable")
+    scoped = stateful._tws_scoped_session(spark)
+    prev = scoped.conf.get("spark.sql.shuffle.partitions")
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = split_events_dir(scoped, sf_dir)
+        schema = scoped.read.parquet(src).schema
+        events = (
+            scoped.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = stateful.bounded_reservoir_tws(events)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("res_plan_contract")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            plan = q._jsq.explainInternal(False)
+        finally:
+            q.stop()
+    finally:
+        scoped.conf.set("spark.sql.shuffle.partitions", prev)
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan
+    assert "REQUIRED_BY_STATEFUL_OPERATOR" in plan
+    assert "TransformWithStateInPySpark" in plan
+    # hash + cents in the JVM projection below the exchange: the Knuth
+    # multiplier and the cents FLOOR appear in the exchange's child
+    # subtree, so the shuffle carries 4 narrow longs and the Python
+    # processor only merges pre-computed values
+    below = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "2654435761" in below and "FLOOR" in below, below[:800]
