@@ -259,13 +259,13 @@ def _pow_step_sql(div: str, one: str) -> str:
     return _POW_STEP.replace("{DIV}", div).replace("{ONE}", one)
 
 
-def power_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ONE Spark definition of the eigenvector chain (the SQL twin
-    is _power_ctes): Gram fold → collect the triangle → symmetric
-    LocalRelation grid → in-plan reduce + POW_ITERS unrolled
-    matvec/renormalize rounds. Returns the final iterate as
-    (dim, s, m, v) — 64 rows on a corpus-free plan. Shared by
-    q_gram_power_iter and q_pca_project."""
+def power_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reduced symmetric Gram grid (i, j, g, s): Gram fold →
+    collect the triangle → symmetry mirror (pure duplication, NO
+    driver arithmetic — every arithmetic step is a Spark expression
+    with a DuckDB twin) → LocalRelation → in-plan bit-shift reduce to
+    |g| < 2^31. The ONE corpus scan of the whole spectral family
+    happens inside this collect."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     tri = (
         gram_partials(emb)
@@ -273,8 +273,6 @@ def power_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("partial").cast("long").alias("g"))
         .collect()
     )
-    # Symmetry mirror — pure duplication, NO driver arithmetic (every
-    # arithmetic step below is a Spark expression with a DuckDB twin).
     full = []
     for r in tri:
         full.append((int(r["i"]), int(r["j"]), int(r["g"])))
@@ -282,7 +280,7 @@ def power_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             full.append((int(r["j"]), int(r["i"]), int(r["g"])))
     grid0 = spark.createDataFrame(full, "i int, j int, g long")
     wall = Window.partitionBy()
-    grid = grid0.select(
+    return grid0.select(
         "i",
         "j",
         F.greatest(
@@ -298,6 +296,14 @@ def power_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("graw div (cast(1 as bigint) << s)").alias("g"),
         "s",
     )
+
+
+def power_iterate(spark: SparkSession, grid: DataFrame) -> DataFrame:
+    """POW_ITERS unrolled matvec/renormalize rounds over a reduced
+    (i, j, g, s) grid, all-ones start — the ONE Spark iteration body,
+    shared by the chain-1 (q_gram_power_iter) and the deflated chain-2
+    (q_pca_deflate) so the two chains can never desynchronize."""
+    wall = Window.partitionBy()
     vt = spark.createDataFrame(
         [(d, POW_VSCALE) for d in range(1, EMBED_DIM + 1)], "dim int, v long"
     )
@@ -319,6 +325,16 @@ def power_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim", "s", "m", F.expr(step).cast("long").alias("v")
         )
     return vt
+
+
+def power_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE Spark definition of the eigenvector chain (the SQL twin
+    is _power_ctes): Gram fold → collect the triangle → symmetric
+    LocalRelation grid → in-plan reduce + POW_ITERS unrolled
+    matvec/renormalize rounds. Returns the final iterate as
+    (dim, s, m, v) — 64 rows on a corpus-free plan. Shared by
+    q_gram_power_iter, q_pca_project, and q_pca_deflate."""
+    return power_iterate(spark, power_grid(spark, sf_dir))
 
 
 def _power_ctes() -> str:
@@ -549,4 +565,378 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("explained"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Second principal component by rank-1 deflation — completes the
+# spectral family: q_embedding_gram (the moment), q_gram_power_iter
+# (the top direction), q_pca_project (the transform), and now the
+# SECOND direction + the explained-variance split between the two,
+# which is the statistic that decides whether a 1-d projection
+# suffices or the compression pipeline needs more components.
+# ---------------------------------------------------------------------------
+
+DEFL_ABITS = 10  # deflation scale A keeps the top 10 bits of p
+DEFL_KCAP = 32  # defensive cap on the term-2 up-shift (see proof below)
+
+
+def localize(spark: SparkSession, df: DataFrame, schema: str) -> DataFrame:
+    """collect → LocalRelation for a BOUNDED all-integer frame — pure
+    row duplication, never driver arithmetic. Each cut stops every
+    downstream reference from re-inlining (and re-executing) the
+    upstream subtree — the same discipline as the Gram-triangle
+    collect, applied at each bounded stage boundary."""
+    cols = [f.split()[0] for f in schema.split(",")]
+    return spark.createDataFrame(
+        [tuple(int(r[c]) for c in cols) for r in df.collect()], schema
+    )
+
+
+def _defl_ctes() -> str:
+    """SQL twin of deflate_grid + the second power chain: appended
+    after _power_ctes()'s v{POW_ITERS}. CTE names are disjoint from
+    chain 1 (wf/h2r/u/pr/scal/d/rd2/gg, rounds c{t}/o{t}/y{t}) —
+    chain 1's generated text is evidence-pinned, so the rounds
+    duplicate its SHAPE with new names while the renormalization
+    arithmetic stays the ONE shared _pow_step_sql definition."""
+    one = "CAST(1 AS BIGINT)"
+    P = POW_ITERS
+    step = _pow_step_sql("//", one)
+    # DuckDB inlines CTEs by default; without materialization the
+    # nested references (wf/pr both re-inline the whole chain-1 v{P},
+    # every chain-2 round re-inlines gg, rd2 re-inlines d) multiply
+    # into an exponentially-sized plan that runs for minutes. gm/vP
+    # pin chain 1's outputs once; d and gg pin the deflation once.
+    ctes = [
+        f"""gm AS MATERIALIZED (SELECT * FROM g),
+vP AS MATERIALIZED (SELECT * FROM v{P}),
+wf AS (
+    SELECT g.i AS dim, CAST(sum(g.g * v.v) AS BIGINT) AS w
+    FROM gm g JOIN vP v ON g.j = v.dim
+    GROUP BY 1
+),
+h2r AS (
+    SELECT greatest(length(bin(coalesce(max(abs(w)), 0))) - 15, 0) AS h2
+    FROM wf
+),
+u AS (SELECT dim, w // ({one} << h2) AS u FROM wf CROSS JOIN h2r),
+pr AS (
+    SELECT CAST(coalesce(sum(u.u * v.v), 0) AS BIGINT) AS p
+    FROM u JOIN vP v USING (dim)
+),
+scal AS (
+    SELECT p, h2,
+           p // ({one} << greatest(length(bin(abs(p))) - {DEFL_ABITS}, 0))
+               AS a_scale,
+           least(h2 - greatest(length(bin(abs(p))) - {DEFL_ABITS}, 0),
+                 {DEFL_KCAP}) AS kk
+    FROM pr CROSS JOIN h2r
+),
+d AS MATERIALIZED (
+    SELECT gr.i AS i, gr.j AS j,
+           s.a_scale * gr.g
+           - CASE WHEN s.kk >= 0
+                  THEN (a.u * b.u) * ({one} << s.kk)
+                  ELSE (a.u * b.u) // ({one} << (-s.kk)) END AS d
+    FROM gm gr JOIN u a ON gr.i = a.dim JOIN u b ON gr.j = b.dim
+    CROSS JOIN scal s
+),
+rd2 AS (
+    SELECT greatest(coalesce(length(bin(max(abs(d)))), 1) - 31, 0) AS s2
+    FROM d
+),
+gg AS MATERIALIZED (SELECT i, j, d // ({one} << s2) AS g, s2 AS s
+       FROM d CROSS JOIN rd2),
+y0 AS (
+    SELECT CAST(dim AS INT) AS dim, CAST({POW_VSCALE} AS BIGINT) AS v
+    FROM range(1, {EMBED_DIM + 1}) r(dim)
+)"""
+    ]
+    for t in range(1, P + 1):
+        ctes.append(
+            f"""c{t} AS (
+    SELECT g.i AS dim, g.s AS s, CAST(sum(g.g * v.v) AS BIGINT) AS w
+    FROM gg g JOIN y{t - 1} v ON g.j = v.dim
+    GROUP BY 1, 2
+),
+o{t} AS (SELECT dim, s, w, max(abs(w)) OVER () AS m FROM c{t}),
+y{t} AS (
+    SELECT dim, s, m,
+           CAST({step} AS BIGINT) AS v
+    FROM o{t}
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+def _deflate_oracle() -> str:
+    one = "CAST(1 AS BIGINT)"
+    P = POW_ITERS
+    return (
+        _power_ctes()
+        + ",\n"
+        + _defl_ctes()
+        + f""",
+tr AS (SELECT CAST(coalesce(sum(g), 0) AS BIGINT) AS tr FROM gm WHERE i = j),
+yP AS MATERIALIZED (SELECT * FROM y{P}),
+d12 AS (
+    SELECT CAST(coalesce(sum(a.v * b.v), 0) AS BIGINT) AS dot12
+    FROM vP a JOIN yP b USING (dim)
+)
+SELECT a.dim AS dim,
+       CAST(a.v AS BIGINT) AS v1_q,
+       CAST(b.v AS BIGINT) AS v2_q,
+       d12.dot12 AS dot12,
+       CAST(a.m AS BIGINT) AS m1,
+       CAST(b.m AS BIGINT) AS m2,
+       CAST(s.a_scale AS BIGINT) AS defl_scale,
+       CAST(r.s2 AS BIGINT) AS defl_shift,
+       CASE WHEN s.a_scale = 0 OR a.m = 0 THEN NULL
+            ELSE (CAST(b.m AS DOUBLE) * CAST({one} << r.s2 AS DOUBLE))
+                 / (CAST(s.a_scale AS DOUBLE) * CAST(a.m AS DOUBLE))
+            END AS lambda21_ratio,
+       CASE WHEN t.tr = 0 THEN NULL
+            ELSE (CAST(a.m AS DOUBLE) / {POW_VSCALE}.0)
+                 / CAST(t.tr AS DOUBLE)
+            END AS ev1,
+       CASE WHEN t.tr = 0 OR s.a_scale = 0 THEN NULL
+            ELSE ((CAST(b.m AS DOUBLE) / {POW_VSCALE}.0)
+                  * CAST({one} << r.s2 AS DOUBLE)
+                  / CAST(s.a_scale AS DOUBLE))
+                 / CAST(t.tr AS DOUBLE)
+            END AS ev2
+FROM vP a JOIN yP b USING (dim)
+CROSS JOIN d12 CROSS JOIN scal s CROSS JOIN rd2 r CROSS JOIN tr t
+"""
+    )
+
+
+def deflate_grid(spark: SparkSession, grid: DataFrame, vt: DataFrame):
+    """Rank-1 deflation of the reduced Gram grid against the chain-1
+    iterate, in the shared quantized-int discipline (SQL twin:
+    _defl_ctes). Uses the EXACT-annihilation PSD form
+
+        G2 = (vᵀw)·G − w·wᵀ,   w = G·v
+
+    (G2·v = (vᵀw)w − w(wᵀv) = 0 identically, and xᵀG2x ≥ 0 by
+    Cauchy-Schwarz in the G-inner-product — no Rayleigh-quotient
+    division, no unit-normalization), rescaled into int64 by two
+    truncating shifts both engines replay bit-for-bit:
+
+      u = w div 2^h2 with h2 = max(bitlen(max|w|) − 15, 0) ⇒ |u| ≤ 2^15
+      p = Σ v_i·u_i ≈ vᵀw / 2^h2            (≤ 64·2^15·2^20 = 2^41)
+      A = p div 2^(bitlen(p) − 10)          (top 10 bits of p)
+      k = h2 − (bitlen(p) − 10)             (the scale that keeps the
+                                             two terms of G2/2^(2h2)
+                                             aligned for EVERY p)
+      d_ij = A·g_ij − (u_i·u_j)·2^k         ≈ G2_ij / 2^(2h2 − k)
+
+    Bounds: A < 2^10 so |A·g| < 2^41; for the up-shift branch, PSD
+    gives vᵀw ≥ ‖w‖²/λ1 ≥ max|w|²/(64·2^31), so bitlen(p) ≥ h2 − 9 −
+    (truncation ≤ 2^26) and k ≤ ~20 ⇒ |u_iu_j·2^k| ≤ 2^50; DEFL_KCAP
+    caps k at 32 (term ≤ 2^62) against inputs that violate the PSD
+    assumption, trading deflation quality — never exactness — on
+    adversarial data. d then re-reduces to |g| < 2^31 with the SAME
+    shift rule as chain 1 and feeds the SAME power_iterate.
+
+    Truncation makes the annihilation approximate (relative ~2^-15);
+    that affects CONVERGENCE only — both engines run the identical
+    integer arithmetic, so cross-engine parity is unconditional.
+
+    Every intermediate is bounded (64 rows, 1 row, 64² rows), so each
+    stage is MATERIALIZED (collect → LocalRelation — pure row
+    duplication, never driver arithmetic): without the cuts, each
+    downstream reference re-inlines and re-executes the upstream
+    subtree (scal alone would re-run wf→u→pr, and every unrolled
+    chain-2 round would re-plan the whole deflation), measured at
+    ~3× the wall of the materialized form.
+
+    Returns (gg, scal) — the deflated reduced grid (LocalRelation)
+    and the 1-row (p, h2, a_scale, kk) scale frame."""
+    one = "cast(1 as bigint)"
+
+    def _local(df, schema):
+        return localize(spark, df, schema)
+
+    wf = _local(
+        grid.join(vt.select("dim", "v"), grid["j"] == F.col("dim"))
+        .groupBy(grid["i"])
+        .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("w"))
+        .select(F.col("i").alias("dim"), "w"),
+        "dim int, w long",
+    )
+    h2r = wf.agg(
+        F.greatest(
+            F.length(F.bin(F.coalesce(F.max(F.abs("w")), F.lit(0))))
+            - F.lit(15),
+            F.lit(0),
+        ).alias("h2")
+    )
+    u = wf.crossJoin(F.broadcast(h2r)).select(
+        "dim", F.expr(f"w div ({one} << h2)").alias("u")
+    )
+    pr = u.join(vt.select("dim", "v"), "dim").agg(
+        F.coalesce(F.sum(F.col("u") * F.col("v")), F.lit(0))
+        .cast("long")
+        .alias("p")
+    )
+    scal = _local(
+        pr.crossJoin(F.broadcast(h2r)).select(
+            "p",
+            "h2",
+            F.expr(
+                f"p div ({one} << greatest(length(bin(abs(p)))"
+                f" - {DEFL_ABITS}, 0))"
+            ).alias("a_scale"),
+            F.expr(
+                f"least(h2 - greatest(length(bin(abs(p))) - {DEFL_ABITS},"
+                f" 0), {DEFL_KCAP})"
+            ).alias("kk"),
+        ),
+        "p long, h2 int, a_scale long, kk int",
+    )
+    ua = u.select(F.col("dim").alias("i"), F.col("u").alias("ua"))
+    ub = u.select(F.col("dim").alias("j"), F.col("u").alias("ub"))
+    d = _local(
+        grid.join(ua, "i")
+        .join(ub, "j")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"a_scale * g - CASE WHEN kk >= 0"
+                f" THEN (ua * ub) * ({one} << kk)"
+                f" ELSE (ua * ub) div ({one} << (-kk)) END"
+            ).alias("d"),
+        ),
+        "i int, j int, d long",
+    )
+    rd2 = d.agg(
+        F.greatest(
+            F.coalesce(F.length(F.bin(F.max(F.abs("d")))), F.lit(1))
+            - F.lit(31),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("s2")
+    )
+    gg = _local(
+        d.crossJoin(F.broadcast(rd2)).select(
+            "i",
+            "j",
+            F.expr(f"d div ({one} << s2)").alias("g"),
+            F.col("s2").alias("s"),
+        ),
+        "i int, j int, g long, s int",
+    )
+    return gg, scal
+
+
+@query(
+    "q_pca_deflate",
+    oracle=_deflate_oracle(),
+    tags=("llm", "embedding", "iterative", "ml"),
+)
+def q_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal direction of the corpus Gram by rank-1
+    deflation + a second power iteration, with the explained-variance
+    split between the two components — exact int64 end-to-end on the
+    hashed columns. Chain 1 is the SHARED power_grid/power_iterate
+    definition (so q_gram_power_iter and this query can never disagree
+    about v1); its 64-row iterate is then MATERIALIZED (collect →
+    LocalRelation, pure duplication with no driver arithmetic — the
+    same move as the Gram-triangle collect) so the deflation + chain-2
+    plan does not re-nest chain 1's 170 unrolled nodes four times over.
+    deflate_grid builds G2 = (vᵀw)·G − w·wᵀ in the pinned two-shift
+    integer scaling (exactness proof in its docstring), and the SAME
+    power_iterate runs POW_ITERS rounds over the deflated grid.
+
+    Emitted audit columns: dot12 = Σ v1·v2 (exact — near-orthogonality
+    follows from G2·v1 ≈ 0 up to the documented 2^-15 truncation
+    residual), both iterates' matvec maxima m1/m2, the deflation
+    scales, λ2/λ1 in common g-units (m2·2^s2/(A·m1), four
+    correctly-rounded IEEE ops in the identical shape both engines),
+    and the ev1/ev2 explained-variance split against the exact trace.
+    On the near-isotropic synthetic corpus (λ2/λ1 ≈ 0.93) chain 2
+    converges as slowly as chain 1 — the iterates span the top
+    eigenSPACE; a gapped fixture pins the numpy agreement in tests.
+
+    Plan shape / 100 TB posture: corpus is scanned exactly ONCE
+    (inside power_grid's Gram-fold collect — the bounded-model
+    discipline, ~2 KB whatever the corpus size); the deflation and
+    BOTH iterations run over ≤ 64²-row LocalRelations with zero
+    parquet scans in the returned plan (plan-test pinned, the
+    q_gram_power_iter contract).
+
+    Reference anchor: no vector analytics in the reference (SURVEY
+    §2.B north-star); r15 closed the PCA triad, this closes the
+    SPECTRAL family — moment → direction → transform → second
+    direction + variance split."""
+    grid = power_grid(spark, sf_dir)
+    # materialize both 64-row iterates (localize: pure duplication) —
+    # chain 1 would otherwise re-inline its 170 unrolled nodes once
+    # per downstream reference, and chain 2 would execute twice (the
+    # d12 audit + the main join both reference it)
+    vt1l = localize(
+        spark, power_iterate(spark, grid), "dim int, s int, m long, v long"
+    )
+    gg, scal = deflate_grid(spark, grid, vt1l)
+    vt2 = localize(
+        spark, power_iterate(spark, gg), "dim int, s int, m long, v long"
+    )
+    tr = grid.filter(F.col("i") == F.col("j")).agg(
+        F.coalesce(F.sum("g"), F.lit(0)).cast("long").alias("tr")
+    )
+    a = vt1l.select(
+        "dim", F.col("v").alias("v1_q"), F.col("m").alias("m1")
+    )
+    b = vt2.select(
+        "dim",
+        F.col("v").alias("v2_q"),
+        F.col("m").alias("m2"),
+        F.col("s").alias("s2"),
+    )
+    d12 = (
+        a.join(b, "dim")
+        .agg(
+            F.coalesce(F.sum(F.col("v1_q") * F.col("v2_q")), F.lit(0))
+            .cast("long")
+            .alias("dot12")
+        )
+    )
+    one = "cast(1 as bigint)"
+    return (
+        a.join(b, "dim")
+        .crossJoin(F.broadcast(d12))
+        .crossJoin(F.broadcast(scal.select("a_scale")))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "dim",
+            "v1_q",
+            "v2_q",
+            "dot12",
+            F.col("m1").cast("long").alias("m1"),
+            F.col("m2").cast("long").alias("m2"),
+            F.col("a_scale").cast("long").alias("defl_scale"),
+            F.col("s2").cast("long").alias("defl_shift"),
+            F.expr(
+                f"CASE WHEN a_scale = 0 OR m1 = 0 THEN NULL"
+                f" ELSE (CAST(m2 AS DOUBLE) * CAST({one} << s2 AS DOUBLE))"
+                f" / (CAST(a_scale AS DOUBLE) * CAST(m1 AS DOUBLE)) END"
+            ).alias("lambda21_ratio"),
+            F.expr(
+                f"CASE WHEN tr = 0 THEN NULL"
+                f" ELSE (CAST(m1 AS DOUBLE) / {POW_VSCALE}.0)"
+                f" / CAST(tr AS DOUBLE) END"
+            ).alias("ev1"),
+            F.expr(
+                f"CASE WHEN tr = 0 OR a_scale = 0 THEN NULL"
+                f" ELSE ((CAST(m2 AS DOUBLE) / {POW_VSCALE}.0)"
+                f" * CAST({one} << s2 AS DOUBLE)"
+                f" / CAST(a_scale AS DOUBLE))"
+                f" / CAST(tr AS DOUBLE) END"
+            ).alias("ev2"),
+        )
     )

@@ -381,3 +381,221 @@ def q_theta_sketch_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_view_users") - F.col("exact_both"),
         ).alias("difference_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable bottom-k quantile sketch: the mergeable-quantile shape
+# (KLL/GK in spirit) built from the engine's ONE salted-Knuth hash
+# family, so — unlike percentile_approx's engine-specific KLL bytes —
+# the sketch content is exactly SQL-replayable AND mergeable:
+# bottom-k(S ∪ T) = bottom-k(bottom-k(S) ∪ bottom-k(T)), the same
+# union-truncate algebra as the streaming reservoir
+# (streaming/stateful.py BoundedReservoirProcessor, its batch twin
+# operators/splits.py q_group_reservoir — the ONE hash family).
+# ---------------------------------------------------------------------------
+
+QSK_K = 256  # per-group sample size (DKW: P(sup|F̂−F|>0.15) ≤ 2e^-11.5)
+QSK_SALT = 86028121  # decorrelated from fold/reservoir/A-Res/stream salts
+QSK_EPS_PCT = 15  # rank-error tolerance the audit flags pin
+QSK_QS = (25, 50, 75, 90)
+
+
+def _qsk_oracle() -> str:
+    from .splits import _FOLD_KNUTH, _FOLD_MOD32, _MOD31
+
+    est_cols = ",\n           ".join(
+        f"max(CASE WHEN vrnk = ({q} * k + 99) // 100 THEN cents END)"
+        f" AS est_p{q}"
+        for q in QSK_QS
+    )
+    aud_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN h.cents < e.est_p{q} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS lt_p{q},\n           "
+        f"CAST(sum(CASE WHEN h.cents <= e.est_p{q} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS le_p{q}"
+        for q in QSK_QS
+    )
+    flag_cols = ",\n       ".join(
+        f"(a.le_p{q} * 100 >= {q} * a.n - {QSK_EPS_PCT} * a.n"
+        f" AND a.lt_p{q} * 100 <= {q} * a.n + {QSK_EPS_PCT} * a.n)"
+        f" AS p{q}_ok"
+        for q in QSK_QS
+    )
+    est_sel = ", ".join(f"e.est_p{q} AS est_p{q}" for q in QSK_QS)
+    return f"""
+WITH h AS (
+    SELECT event_type, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           ((((event_id + {QSK_SALT}) % {_MOD31}) * {_FOLD_KNUTH})
+               % {_FOLD_MOD32}) AS hv
+    FROM events
+    WHERE value IS NOT NULL
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY hv, event_id) AS rnk
+    FROM h
+),
+s AS (SELECT * FROM r WHERE rnk <= {QSK_K}),
+o AS (
+    SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS vrnk,
+           count(*) OVER (PARTITION BY event_type) AS k
+    FROM s
+),
+est AS (
+    SELECT event_type,
+           CAST(max(k) AS BIGINT) AS samp_k,
+           {est_cols}
+    FROM o
+    GROUP BY event_type
+),
+aud AS (
+    SELECT h.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {aud_cols}
+    FROM h JOIN est e USING (event_type)
+    GROUP BY h.event_type
+)
+SELECT a.event_type AS event_type, a.n AS n, e.samp_k AS samp_k,
+       {est_sel},
+       {flag_cols}
+FROM aud a JOIN est e USING (event_type)
+ORDER BY event_type
+"""
+
+
+@query(
+    "q_quantile_sketch",
+    oracle=_qsk_oracle(),
+    tags=("sketch", "agg", "approx", "sampling", "window"),
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile estimates from a bottom-k hash sample,
+    with an exact rank-error audit — the PORTABLE quantile sketch:
+    where q_percentiles trusts percentile_approx's engine-private KLL
+    registers (tolerance-flag oracle only), here the sketch CONTENT is
+    the salted-Knuth bottom-K sample — a pure function of the row SET,
+    mergeable by union-truncate, order-independent — so the estimates
+    themselves are hash-exact across engines, and the audit flags pin
+    the accuracy: the estimate's exact CDF bracket [lt/n, le/n] must
+    intersect [q − 15%, q + 15%] (DKW at K=256: failure ≤ 2e^-11.5).
+    Every hashed column is int64 (cents; counts; the flag inequalities
+    are pure integer products, safe while n·100 < 2^63).
+
+    Plan shape: ONE exchange on event_type feeds the bottom-K window
+    (rank ≤ K compiles to WindowGroupLimit — executors keep a K-row
+    heap per group, never materializing the full per-group sort), the
+    in-sample value ranking, AND the estimate aggregate (same
+    partitioning, no second shuffle); the audit is the second corpus
+    scan — a broadcast join against the ≤|event_types|-row estimates
+    with a map-side-combined count — the verification-harness cost,
+    exactly q_approx_distinct's exact-twin discipline. At 100 TB only
+    the sketch pass survives; per-group state is K ints however many
+    events a type has. The bounded |event_types| key domain is the
+    documented degenerate-skew trade (the q_embedding_int8_quant
+    note); a high-cardinality grouping would hash-partition cleanly.
+
+    Reference anchor: the reference has no aggregation at all (SURVEY
+    §2.B); this is the mergeable-quantile member of the sketch family
+    (q_hll_partial_merge, q_countmin_portable, q_theta_sketch_sets),
+    and the batch twin of the streaming reservoir's union-truncate
+    algebra (streaming/stateful.py:1401)."""
+    from pyspark.sql import Window
+
+    from .splits import _FOLD_KNUTH, _FOLD_MOD32, _MOD31
+
+    hv = (
+        ((F.col("event_id") + F.lit(QSK_SALT)) % F.lit(_MOD31))
+        * F.lit(_FOLD_KNUTH)
+    ) % F.lit(_FOLD_MOD32)
+    h = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+            hv.cast("long").alias("hv"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("hv", "event_id")
+    s = h.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") <= QSK_K
+    )
+    wv = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wk = Window.partitionBy("event_type")
+    o = s.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wv).alias("vrnk"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    est = o.groupBy("event_type").agg(
+        F.max("k").cast("long").alias("samp_k"),
+        *[
+            F.max(
+                F.when(
+                    F.col("vrnk") == F.expr(f"({q} * k + 99) div 100"),
+                    F.col("cents"),
+                )
+            ).alias(f"est_p{q}")
+            for q in QSK_QS
+        ],
+    )
+    # est is referenced ONCE: its per-group constants ride through the
+    # audit aggregate (max of a constant) instead of a second join —
+    # a re-join would re-inline the whole sketch subtree, turning two
+    # corpus scans into three (plan-test pinned)
+    aud = (
+        h.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("samp_k").cast("long").alias("samp_k"),
+            *[F.max(f"est_p{q}").alias(f"est_p{q}") for q in QSK_QS],
+            *[
+                c
+                for q in QSK_QS
+                for c in (
+                    F.sum(
+                        F.when(F.col("cents") < F.col(f"est_p{q}"), 1)
+                        .otherwise(0)
+                    )
+                    .cast("long")
+                    .alias(f"lt_p{q}"),
+                    F.sum(
+                        F.when(F.col("cents") <= F.col(f"est_p{q}"), 1)
+                        .otherwise(0)
+                    )
+                    .cast("long")
+                    .alias(f"le_p{q}"),
+                )
+            ],
+        )
+    )
+    return (
+        aud.select(
+            "event_type",
+            "n",
+            "samp_k",
+            *[F.col(f"est_p{q}") for q in QSK_QS],
+            *[
+                (
+                    (
+                        F.col(f"le_p{q}") * 100
+                        >= F.lit(q) * F.col("n")
+                        - F.lit(QSK_EPS_PCT) * F.col("n")
+                    )
+                    & (
+                        F.col(f"lt_p{q}") * 100
+                        <= F.lit(q) * F.col("n")
+                        + F.lit(QSK_EPS_PCT) * F.col("n")
+                    )
+                ).alias(f"p{q}_ok")
+                for q in QSK_QS
+            ],
+        )
+        .orderBy("event_type")
+    )

@@ -102,6 +102,72 @@ _QUERY_MODULES = [
 # double-proven r01/r02 queries last). Rotate this list each round to
 # move the remaining unchecked tail through the window.
 _PRIORITY = [
+    # ---- round-16 window ----
+    # Window arithmetic (r15 verdict items 1-2): the driver cuts at 50
+    # rows. 2 new r16 registrations + the 4 below-cut r15 tail
+    # (q_stream_tws_reservoir + q_pca_project had NO driver row ever;
+    # q_lang_id + q_drift_psi were the r15 ADVICE touches proven by
+    # proxy) + the 40 queries whose newest row is r10 + the 4 oldest
+    # r11 rows (alphabetical) = exactly 50. After this window NO
+    # driver row in the registry is older than r11 and no query is
+    # driver-unseen — the evidence ledger's minimum possible state.
+    # New r16 registrations first (changed/new code proves earliest):
+    "q_pca_deflate",  # second principal direction via exact-int rank-1 deflation
+    "q_quantile_sketch",  # portable bottom-k quantile sketch + exact rank audit
+    # The four below-cut r15 queries (judge-verified MATCH last
+    # session; zero driver rows for the first two):
+    "q_stream_tws_reservoir",
+    "q_pca_project",
+    "q_lang_id",
+    "q_drift_psi",
+    # Evidence-freshness rotation: the 40 queries whose newest driver
+    # row is r10 (alphabetical):
+    "q_agg_pushdown_scan",
+    "q_audio_pcm_stats",
+    "q_bpe_tokenize",
+    "q_bucket_pruned_lookup",
+    "q_compaction",
+    "q_compaction_zorder",
+    "q_countmin_heavy_hitters",
+    "q_dynamic_partition_pruning",
+    "q_group_reservoir",
+    "q_histogram_prices",
+    "q_image_resize",
+    "q_ivf_cell_stats",
+    "q_kfold_assign",
+    "q_knn_join",
+    "q_left_interval_join",
+    "q_partition_pruned_scan",
+    "q_pq_codes",
+    "q_profile_columns",
+    "q_python_datasource_stream_part",
+    "q_sample_stratified",
+    "q_sql_collation",
+    "q_sql_parameterized",
+    "q_sql_recursive_cte",
+    "q_sql_scripting",
+    "q_sql_udf",
+    "q_state_change_feed",
+    "q_state_join_read",
+    "q_state_metadata",
+    "q_state_store_read",
+    "q_state_time_travel",
+    "q_state_tws_read",
+    "q_stream_available_now",
+    "q_stream_group_timeout",
+    "q_stream_incremental_rollup",
+    "q_stream_tumbling_rocksdb",
+    "q_theta_sketch_sets",
+    "q_udtf_polymorphic_ngrams",
+    "q_video_frame_decode",
+    "q_xml_extract",
+    "q_zorder_pruned_scan",
+    # ...and the 4 oldest r11 rows fill the window to exactly 50:
+    "q_agg_stats",
+    "q_asof_join",
+    "q_classify",
+    "q_conditional_pack",
+
     # ---- round-15 window ----
     # Window arithmetic (r14 verdict items 1-2): the driver cuts at 50
     # rows. 1 new r15 registration + 1 r15-ADVICE-changed query + the
@@ -177,15 +243,9 @@ _PRIORITY = [
     "q_sample_deterministic",
     "q_shard_assign",
     "q_weighted_sample",
-    # Positions 51-54: the r15 wave-2 additions (pytest- and
-    # three-scale-sweep-proven this round, the r14 precedent) plus the
-    # two below-cut r15 ADVICE touches (proven by proxy — see the
-    # arithmetic comment above); all four lead the r16 window. r16
-    # debt: these 4 + the 40 r10 rows = 44, fits with slots spare.
-    "q_stream_tws_reservoir",  # bounded per-key bottom-k reservoir in transformWithState
-    "q_pca_project",  # per-vector projection onto the power-iteration eigenvector
-    "q_lang_id",
-    "q_drift_psi",
+    # (The four r15 below-cut entries that used to sit here — the
+    # wave-2/3 additions and the two ADVICE touches — moved into the
+    # r16 window above, as planned.)
     # ---- round-14 window ----
     # Window arithmetic (r13 verdict items 1-2): the driver cuts at 50
     # rows. 2 new r14 registrations + the 4 never-driver-checked r13
@@ -344,10 +404,6 @@ _PRIORITY = [
     # (alphabetical; the remaining 12, q_text_quality/q_token_count/
     # q_topk_global onward, rotate through in round 12 — the four
     # extra r11 registrations took their slots):
-    "q_agg_stats",
-    "q_asof_join",
-    "q_classify",
-    "q_conditional_pack",
     "q_cube",
     "q_date_pack",
     "q_dedup_exact_digest",
@@ -396,11 +452,6 @@ _PRIORITY = [
     # ---- round-9 window ----
     # New registrations this round:
     # (q_stream_tws_event_timers moved to the round-10 window above)
-    "q_state_join_read",  # joinSide statestore read: retained join state hash-pinned to the watermark rule
-    "q_state_change_feed",  # readChangeFeed: per-batch state PUTs == SQL replay of the ntile batch schedule
-    "q_state_tws_read",  # stateVarName reads of a TWS checkpoint: MapState+ValueState rejoined, hash == aggregate
-    "q_state_time_travel",  # batchId state read: buffers AS OF batch 1 == prefix (ntile<=2) rollup
-    "q_stream_group_timeout",  # old-API event-time timeout: hasTimedOut is the only emitter
     # Queries whose implementation or oracle changed this round (the
     # r08-advice fixes) — re-prove through the driver:
     # (q_stream_tws_map_spill moved to the round-10 window above)
@@ -411,53 +462,18 @@ _PRIORITY = [
     # (q_stream_tws_timers moved to the round-10 window above)
     # (q_stream_tws_map_spill moved to the round-9 window above)
     # (q_stream_tws_initial_state moved to the round-10 window above)
-    "q_compaction_zorder",  # clustering-preserving compaction, disjoint-range flags
-    "q_state_store_read",   # checkpoint state read back as a batch DF, hash == batch rollup
-    "q_state_metadata",     # state-metadata catalog: operator + shard layout pinned
     # Queries whose implementation or oracle changed this round (the
     # r07-advice fixes) — re-prove through the driver:
-    "q_theta_sketch_sets",        # union-scaled tolerance floor
-    "q_sample_stratified",        # fractions from the table's own langs
-    "q_python_datasource_stream_part",  # side-effect-free latestOffset
     # Publish-path dependents of the quarantine-rename _publish_atomic:
-    "q_zorder_pruned_scan",
-    "q_dynamic_partition_pruning",
-    "q_partition_pruned_scan",
-    "q_stream_incremental_rollup",
     # ---- round-7 window ----
     # The 7 queries with zero driver rows after six rounds (VERDICT r06
     # item 1) — the final rotation: with these, all registered queries
     # have driver evidence:
-    "q_bucket_pruned_lookup",
-    "q_group_reservoir",
-    "q_histogram_prices",
-    "q_knn_join",
-    "q_left_interval_join",
-    "q_profile_columns",
-    "q_stream_available_now",
-    "q_countmin_heavy_hitters",
     # New round-7 operators:
-    "q_video_frame_decode",  # real SGVC container + per-frame BMP decode, closed-form oracle
-    "q_sql_recursive_cte",   # Spark 4 WITH RECURSIVE (UnionLoop), DuckDB-replayed recursion
-    "q_udtf_polymorphic_ngrams",  # analyze()-derived dynamic UDTF schema
-    "q_sql_collation",       # UTF8_LCASE collated grouping, lower()-replayed oracle
-    "q_sql_scripting",       # BEGIN/END variables + IF, scalar-subquery-replayed oracle
-    "q_audio_pcm_stats",     # real RIFF/WAVE PCM16 codec round trip, closed-form oracle
-    "q_image_resize",        # decode -> nearest-neighbor resize -> stats, index-map oracle
-    "q_compaction",          # small-files rewrite, pinned file counts + row conservation
-    "q_agg_pushdown_scan",   # min/max/count from parquet footer stats (PushedAggregation)
-    "q_stream_tumbling_rocksdb",  # RocksDB state-store provider, same oracle as default store
-    "q_xml_extract",         # from_xml round trip, source-column-replayed oracle
-    "q_bpe_tokenize",        # real BPE (bounded fit + broadcast apply), invariant flags
-    "q_sql_udf",             # CREATE FUNCTION scalar + TABLE UDF, inlined into codegen
-    "q_sql_parameterized",   # named parameter markers, server-side literal binding
     # rows-only -> pinned-invariant oracle upgrades (r07):
-    "q_ivf_cell_stats",
-    "q_pq_codes",
     # Queries whose implementation or oracle changed this round (the
     # r06-advice mod-2^31 oracle alignment + side-effect-free bucket
     # lookup + atomic tier-dim write) — re-prove through the driver:
-    "q_kfold_assign",
     # ---- round-6 window (proven r06; follows for re-proof in leftover
     # slots) ----
     # The 7 queries with zero driver rows after five rounds (VERDICT r05

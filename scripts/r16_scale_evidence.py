@@ -1,0 +1,75 @@
+"""Scale evidence for the round-16 additions (SCALE_EVIDENCE.md
+generator, same protocol as drift_scale_evidence.py): per-query wall
+seconds and total shuffle-write RECORDS at sf0.01 and sf0.1 (10x the
+rows), measured from the AppStatusStore REST API.
+
+Expected shape, from the plan arguments in the docstrings:
+- q_pca_deflate: the ONLY data-sized stage is the shared Gram partial
+  fold (one corpus scan; partitions x ~2080 triangle rows — constant
+  once the partition count saturates); the deflation and BOTH
+  unrolled iterations run over <= 64^2-row LocalRelations, so their
+  shuffle contribution is near-zero at any corpus size.
+- q_quantile_sketch: the sketch pass shuffles the corpus once on
+  event_type (the bottom-K window's keyed exchange; WindowGroupLimit
+  keeps per-group state at K rows), and the audit pass is a broadcast
+  join + map-side-combined count whose exchange is |event_types|-
+  bounded — so shuffle RECORDS grow linearly with rows (the keyed
+  feed) while output rows and per-group state stay constant.
+
+Usage: python scripts/r16_scale_evidence.py
+Prints the markdown table for SCALE_EVIDENCE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from facebook_ad_library_data_pipeline_spark.registry import load_all
+from facebook_ad_library_data_pipeline_spark.session import get_spark
+
+QUERIES = ("q_pca_deflate", "q_quantile_sketch")
+SF_DIRS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+
+def shuffle_write_records(spark) -> int:
+    # Whole-application sum: the before/after delta attributes any
+    # concurrent or retried stage to the measured query (r15 ADVICE).
+    # Acceptable here because the script runs queries strictly
+    # sequentially on an otherwise-idle session; a busier harness
+    # should filter stages by jobGroup/submissionTime instead.
+    app = spark.sparkContext.applicationId
+    url = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{app}/stages"
+    stages = json.load(urllib.request.urlopen(url, timeout=30))
+    return sum(s.get("shuffleWriteRecords", 0) for s in stages)
+
+
+def main() -> None:
+    os.environ["SPARK_GRAFT_UI"] = "true"
+    spark = get_spark("r16_scale_evidence")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    reg = load_all()
+    rows = []
+    for name in QUERIES:
+        cells = [name]
+        for sf_dir in SF_DIRS:
+            before_rec = shuffle_write_records(spark)
+            t0 = time.monotonic()
+            n = reg[name].fn(spark, sf_dir).count()
+            wall = time.monotonic() - t0
+            rec = shuffle_write_records(spark) - before_rec
+            cells.append(f"{wall:.2f} s / {rec:,} rec / {n} rows")
+        rows.append(cells)
+    print("| query | sf0.01 (wall / shuffle records / out rows) | sf0.1 (10x rows) |")
+    print("|---|---|---|")
+    for cells in rows:
+        print(f"| {cells[0]} | {cells[1]} | {cells[2]} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -660,3 +660,137 @@ def test_pca_project_empty_corpus_parity(spark, tmp_path):
         f"read_parquet('{d}/embeddings.parquet')"
     )
     assert_matches_oracle(df, q.oracle, con)
+
+
+def test_pca_deflate_matches_numpy_second_component(spark, tmp_path):
+    """Against a TWO-direction gapped fixture (strong direction b1,
+    weaker orthogonal direction b2, tiny noise floor: λ1 ≫ λ2 ≫ λ3),
+    the deflated iterate must align with numpy's SECOND eigenvector of
+    the same quantized Gram, λ2/λ1 must land within 5% (the deflation
+    scale A keeps 10 bits, so ~2e-3 relative error enters G2), the
+    v1·v2 dot must be near-orthogonal, and the output must hash-match
+    the unrolled deflation oracle."""
+    import duckdb
+    import numpy as np
+
+    from facebook_ad_library_data_pipeline_spark.functions.embedstats import (
+        EMBED_DIM,
+        QUANT_SCALE,
+    )
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    from .oracle_harness import assert_matches_oracle
+
+    b1 = np.array(
+        [(((j * 29 + 5) % 53) - 26) / 53.0 for j in range(EMBED_DIM)]
+    )
+    b2 = np.array(
+        [(((j * 17 + 9) % 47) - 23) / 47.0 for j in range(EMBED_DIM)]
+    )
+    b2 -= (b2 @ b1) / (b1 @ b1) * b1  # orthogonalize
+    vecs = []
+    for vid in range(5):
+        vecs.append((vid, [float(x) * (0.9 + 0.05 * vid) for x in b1]))
+    for vid in range(5, 9):
+        vecs.append((vid, [float(x) * 0.5 for x in b2]))
+    for vid in range(9, 15):  # noise floor
+        vals = [
+            0.03 * ((((vid * 13 + j * 7 + 3) % 41) - 20) / 41.0)
+            for j in range(EMBED_DIM)
+        ]
+        vecs.append((vid, vals))
+    d = str(tmp_path)
+    _write_embeddings(d, vecs)
+    q = load_all()["q_pca_deflate"]
+    df = q.fn(spark, d)
+    rows = df.collect()
+    assert len(rows) == EMBED_DIM
+    srt = sorted(rows, key=lambda r: r.dim)
+    v1 = np.array([r.v1_q for r in srt], float)
+    v2 = np.array([r.v2_q for r in srt], float)
+    x = np.stack(
+        [np.array(vals, np.float32) for _, vals in vecs]
+    )
+    qm = np.floor(x.astype(np.float64) * QUANT_SCALE)
+    gram = qm.T @ qm
+    evals, evecs = np.linalg.eigh(gram)
+    assert evals[-2] / evals[-1] < 0.5  # gapped 1-2
+    assert evals[-3] / evals[-2] < 0.2  # gapped 2-3
+    cos1 = abs(v1 @ evecs[:, -1]) / (
+        np.linalg.norm(v1) * np.linalg.norm(evecs[:, -1])
+    )
+    cos2 = abs(v2 @ evecs[:, -2]) / (
+        np.linalg.norm(v2) * np.linalg.norm(evecs[:, -2])
+    )
+    assert cos1 > 0.999, cos1
+    assert cos2 > 0.99, cos2
+    # near-orthogonality of the two iterates
+    orth = abs(rows[0].dot12) / (np.linalg.norm(v1) * np.linalg.norm(v2))
+    assert orth < 0.05, orth
+    ratio = rows[0].lambda21_ratio
+    true_ratio = evals[-2] / evals[-1]
+    assert abs(ratio - true_ratio) / true_ratio < 0.05, (ratio, true_ratio)
+    # explained-variance split: ev ≈ λ/trace
+    tr = np.trace(gram)
+    assert abs(rows[0].ev1 - evals[-1] / tr) / (evals[-1] / tr) < 0.05
+    assert abs(rows[0].ev2 - evals[-2] / tr) / (evals[-2] / tr) < 0.10
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    assert_matches_oracle(df, q.oracle, con)
+
+
+def test_pca_deflate_rank1_annihilates(spark, tmp_path):
+    """On a rank-1 corpus the deflation must remove (numerically) all
+    the energy there is: λ2/λ1 collapses to ≈0 and ev2 ≈ 0, while
+    chain 1 still recovers the base direction."""
+    import numpy as np
+
+    from facebook_ad_library_data_pipeline_spark.functions.embedstats import (
+        EMBED_DIM,
+    )
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    rng = [((i * 37 + 11) % 97 - 48) / 97.0 for i in range(EMBED_DIM)]
+    vecs = [
+        (0, [x * 0.5 for x in rng]),
+        (1, [x * -1.0 for x in rng]),
+        (2, [x * 0.25 for x in rng]),
+    ]
+    d = str(tmp_path)
+    _write_embeddings(d, vecs)
+    rows = load_all()["q_pca_deflate"].fn(spark, d).collect()
+    assert len(rows) == EMBED_DIM
+    r0 = rows[0]
+    assert r0.lambda21_ratio is not None and r0.lambda21_ratio < 0.01, r0
+    assert r0.ev2 is not None and r0.ev2 < 0.01 * r0.ev1, r0
+    v1 = np.array(
+        [r.v1_q for r in sorted(rows, key=lambda r: r.dim)], float
+    )
+    b = np.array(rng)
+    cos = abs(v1 @ b) / (np.linalg.norm(v1) * np.linalg.norm(b))
+    assert cos > 0.999, cos
+
+
+def test_pca_deflate_empty_corpus_parity(spark, tmp_path):
+    """Empty embeddings → empty output in BOTH engines (every chain
+    starves; the scale CTEs degrade to 0 via the coalesce pins)."""
+    import duckdb
+
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    from .oracle_harness import assert_matches_oracle
+
+    d = str(tmp_path)
+    _write_embeddings(d, [])
+    q = load_all()["q_pca_deflate"]
+    df = q.fn(spark, d)
+    assert df.count() == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    assert_matches_oracle(df, q.oracle, con)

@@ -100,3 +100,111 @@ def test_countmin_portable_sound_and_tight(spark, sf_dir):
         # w=256 x 4 depths over <=1500 keys: collisions add at most a
         # few key-loads; a 3x blowup would mean the hash family broke
         assert r.cms_n <= r.exact_n * 3
+
+
+# ------------------------- portable bottom-k quantile sketch
+
+
+def _write_qsk_events(d, rows):
+    """rows: (event_id, event_type, value) — minimal events table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa_tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(pa_tbl, str(d) + "/events.parquet")
+
+
+def test_quantile_sketch_exact_on_small_groups(spark, tmp_path):
+    """With fewer than K rows per group the bottom-k sample is the
+    whole group, so every estimate must be the EXACT order statistic
+    value at position ceil(q·n/100) of the sorted cents, flags must be
+    true, and the output must hash-match the oracle — including a
+    tie-heavy group where the CDF jumps across several quantiles."""
+    import math
+
+    import duckdb
+
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    from .oracle_harness import assert_matches_oracle
+
+    rows = []
+    # group a: distinct values 0.01..0.40
+    for i in range(40):
+        rows.append((i + 1, "a", (i + 1) / 100.0))
+    # group b: heavy ties — 30 copies of 0.05, 10 of 0.99
+    for i in range(30):
+        rows.append((100 + i, "b", 0.05))
+    for i in range(10):
+        rows.append((200 + i, "b", 0.99))
+    # a NULL-value row must be excluded everywhere
+    rows.append((999, "a", None))
+    _write_qsk_events(tmp_path, rows)
+    q = load_all()["q_quantile_sketch"]
+    df = q.fn(spark, str(tmp_path))
+    out = {r.event_type: r for r in df.collect()}
+    a, b = out["a"], out["b"]
+    assert a.n == 40 and a.samp_k == 40
+    for qq in (25, 50, 75, 90):
+        pos = math.ceil(qq * 40 / 100)
+        assert getattr(a, f"est_p{qq}") == pos, (qq, getattr(a, f"est_p{qq}"))
+        assert getattr(a, f"p{qq}_ok"), qq
+    assert b.n == 40
+    assert b.est_p25 == 5 and b.est_p50 == 5 and b.est_p75 == 5
+    assert b.est_p90 == 99
+    for qq in (25, 50, 75, 90):
+        assert getattr(b, f"p{qq}_ok"), qq
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    assert_matches_oracle(df, q.oracle, con)
+
+
+def test_quantile_sketch_partition_invariant(spark, tmp_path):
+    """The bottom-k sample is a pure function of the row SET (the
+    union-truncate mergeability that makes it a sketch): the same rows
+    written as ONE file vs sprayed across partitions via a repartition
+    round-trip must produce identical output."""
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    rows = [
+        (i, "t" + str(i % 3), ((i * 7919) % 1000) / 100.0)
+        for i in range(1, 1200)
+    ]
+    _write_qsk_events(tmp_path, rows)
+    q = load_all()["q_quantile_sketch"]
+    base = sorted(map(tuple, q.fn(spark, str(tmp_path)).collect()))
+    # same rows, different physical layout
+    import pyarrow.parquet as pq_
+
+    sub = tmp_path / "shuffled"
+    sub.mkdir()
+    tbl = pq_.read_table(str(tmp_path) + "/events.parquet")
+    perm = tbl.take(list(reversed(range(tbl.num_rows))))
+    pq_.write_table(perm, str(sub) + "/events.parquet")
+    again = sorted(map(tuple, q.fn(spark, str(sub)).collect()))
+    assert base == again
+
+
+def test_quantile_sketch_accuracy_at_scale(spark, sf_dir):
+    """On the real testdata every rank-error flag must be TRUE — the
+    sketch is an estimator, not just replayable arithmetic (DKW at
+    K=256 bounds the failure probability at 2e^-11.5 per flag)."""
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    rows = load_all()["q_quantile_sketch"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for qq in (25, 50, 75, 90):
+            assert getattr(r, f"p{qq}_ok"), r

@@ -945,3 +945,36 @@ def test_stream_reservoir_single_keyed_exchange_hash_jvm_side(spark, sf_dir):
     # processor only merges pre-computed values
     below = plan.split("Exchange hashpartitioning", 1)[1]
     assert "2654435761" in below and "FLOOR" in below, below[:800]
+
+
+def test_pca_deflate_returned_plan_is_corpus_free(spark, sf_dir):
+    # the corpus is scanned exactly ONCE — inside power_grid's
+    # Gram-fold collect — and the RETURNED plan (final assembly over
+    # the materialized iterates + the trace re-derivation) contains
+    # zero parquet scans, so neither the deflation nor chain 2 can
+    # ever re-scan the corpus, at any scale
+    import re
+
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["q_pca_deflate"].fn(spark, sf_dir)
+    plan = formatted_plan(df).lower()
+    assert len(re.findall(r"\(\d+\) scan parquet", plan)) == 0, "corpus leaked into the deflation plan"
+
+
+def test_quantile_sketch_two_scans_window_group_limit(spark, sf_dir):
+    # contract: the sketch pass + the exact-rank audit pass are TWO
+    # corpus scans (est's per-group constants ride through the audit
+    # aggregate — a re-join would re-inline the sketch subtree into a
+    # third scan), the rank ≤ K filter compiles to WindowGroupLimit
+    # (per-group K-row heaps, no full per-group sort), and the only
+    # keyed exchanges are the two event_type hash partitionings.
+    import re
+
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["q_quantile_sketch"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, "sketch + audit"
+    assert "WindowGroupLimit" in plan
+    assert plan.lower().count("hashpartitioning(event_type") == 2
