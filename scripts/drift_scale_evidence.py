@@ -20,11 +20,9 @@ Prints the markdown table for SCALE_EVIDENCE.md.
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -41,11 +39,7 @@ QUERIES = (
 SF_DIRS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
 
-def shuffle_write_records(spark) -> int:
-    app = spark.sparkContext.applicationId
-    url = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{app}/stages"
-    stages = json.load(urllib.request.urlopen(url))
-    return sum(s.get("shuffleWriteRecords", 0) for s in stages)
+from _evidence_lib import shuffle_write_records  # noqa: E402
 
 
 def main() -> None:

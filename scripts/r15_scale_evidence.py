@@ -22,11 +22,9 @@ Prints the markdown table for SCALE_EVIDENCE.md.
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -37,16 +35,7 @@ QUERIES = ("q_gram_power_iter", "q_stream_tws_reservoir")
 SF_DIRS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
 
-def shuffle_write_records(spark) -> int:
-    # Whole-application sum: the before/after delta attributes any
-    # concurrent or retried stage to the measured query (r15 ADVICE).
-    # Acceptable here because the script runs queries strictly
-    # sequentially on an otherwise-idle session; a busier harness
-    # should filter stages by jobGroup/submissionTime instead.
-    app = spark.sparkContext.applicationId
-    url = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{app}/stages"
-    stages = json.load(urllib.request.urlopen(url, timeout=30))
-    return sum(s.get("shuffleWriteRecords", 0) for s in stages)
+from _evidence_lib import shuffle_write_records  # noqa: E402
 
 
 def main() -> None:

@@ -41,16 +41,7 @@ REP = 10
 REP_OFFSET = 10_000_000
 
 
-def shuffle_write_records(spark) -> int:
-    """Cumulative shuffle-write records across all stages, via the UI
-    REST API (the same numbers the Spark UI shows)."""
-    import json
-    import urllib.request
-
-    app = spark.sparkContext.applicationId
-    url = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{app}/stages"
-    stages = json.load(urllib.request.urlopen(url))
-    return sum(s.get("shuffleWriteRecords", 0) for s in stages)
+from _evidence_lib import shuffle_write_records  # noqa: E402
 
 
 def replicate_corpus(spark, sf_dir: str) -> str:

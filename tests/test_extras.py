@@ -174,8 +174,10 @@ def test_quantile_sketch_exact_on_small_groups(spark, tmp_path):
 def test_quantile_sketch_partition_invariant(spark, tmp_path):
     """The bottom-k sample is a pure function of the row SET (the
     union-truncate mergeability that makes it a sketch): the same rows
-    written as ONE file vs sprayed across partitions via a repartition
-    round-trip must produce identical output."""
+    in reversed order, split across many row groups and read under a
+    tiny maxPartitionBytes so the scan REALLY fans out over multiple
+    input partitions, must produce identical output (r16 review: a
+    single-split re-read only proves row-ORDER invariance)."""
     from facebook_ad_library_data_pipeline_spark.registry import load_all
 
     rows = [
@@ -185,15 +187,24 @@ def test_quantile_sketch_partition_invariant(spark, tmp_path):
     _write_qsk_events(tmp_path, rows)
     q = load_all()["q_quantile_sketch"]
     base = sorted(map(tuple, q.fn(spark, str(tmp_path)).collect()))
-    # same rows, different physical layout
+    # same rows: reversed order, 12 row groups, forced multi-split scan
     import pyarrow.parquet as pq_
 
     sub = tmp_path / "shuffled"
     sub.mkdir()
     tbl = pq_.read_table(str(tmp_path) + "/events.parquet")
     perm = tbl.take(list(reversed(range(tbl.num_rows))))
-    pq_.write_table(perm, str(sub) + "/events.parquet")
-    again = sorted(map(tuple, q.fn(spark, str(sub)).collect()))
+    pq_.write_table(perm, str(sub) + "/events.parquet", row_group_size=100)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        from facebook_ad_library_data_pipeline_spark.catalog import load_table
+
+        n_splits = load_table(spark, str(sub), "events").rdd.getNumPartitions()
+        assert n_splits > 1, "layout did not fan out; test is vacuous"
+        again = sorted(map(tuple, q.fn(spark, str(sub)).collect()))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
     assert base == again
 
 
