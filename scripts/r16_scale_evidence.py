@@ -9,12 +9,14 @@ Expected shape, from the plan arguments in the docstrings:
   once the partition count saturates); the deflation and BOTH
   unrolled iterations run over <= 64^2-row LocalRelations, so their
   shuffle contribution is near-zero at any corpus size.
-- q_quantile_sketch: the sketch pass shuffles the corpus once on
-  event_type (the bottom-K window's keyed exchange; WindowGroupLimit
-  keeps per-group state at K rows), and the audit pass is a broadcast
-  join + map-side-combined count whose exchange is |event_types|-
-  bounded — so shuffle RECORDS grow linearly with rows (the keyed
-  feed) while output rows and per-group state stay constant.
+- q_quantile_sketch: MEASURED CONSTANT shuffle (1,286 records at both
+  scales) — better than the naive keyed-feed expectation, because
+  Spark inserts a PARTIAL WindowGroupLimit before the exchange: each
+  map task keeps only its local bottom-K per group (exactly the
+  union-truncate mergeability of the sketch), so the exchange carries
+  at most partitions x groups x K rows whatever the corpus size; the
+  audit pass is a broadcast join + map-side-combined count whose
+  exchange is partition-partial-bounded too.
 
 Usage: python scripts/r16_scale_evidence.py
 Prints the markdown table for SCALE_EVIDENCE.md.
