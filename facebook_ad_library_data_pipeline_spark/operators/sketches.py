@@ -604,3 +604,170 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable KMV (k-minimum-values) cardinality sketch — completes the
+# portable-sketch trio: frequencies (q_countmin_portable), quantiles
+# (q_quantile_sketch), and now cardinalities, all on the engine's ONE
+# salted-Knuth hash family with hash-exact replay + a tolerance audit.
+# Where q_hll_partial_merge / q_approx_distinct trust engine-private
+# HLL registers (tolerance flag only), the KMV sketch CONTENT — the K
+# smallest distinct hashes and their threshold — is exactly
+# SQL-replayable and mergeable by union-truncate (Beyer et al.'s
+# classic distinct-value sketch; the bottom-k algebra shared with
+# q_quantile_sketch and the streaming reservoir).
+# ---------------------------------------------------------------------------
+
+KMV_K = 256  # rsd ≈ 1/sqrt(K-2) ≈ 6.3%; audit flag at 4σ = 25%
+KMV_SALT = 179424673  # decorrelated from every other salt in the family
+KMV_DAY0 = "1970-01-01"
+
+
+def _kmv_oracle() -> str:
+    from .splits import _FOLD_KNUTH, _FOLD_MOD32, _MOD31
+
+    key = (
+        "user_id * 100000"
+        f" + date_diff('day', DATE '{KMV_DAY0}', CAST(ts AS DATE))"
+    )
+    return f"""
+WITH h AS (
+    SELECT DISTINCT event_type,
+           {key} AS key,
+           (((({key}) + {KMV_SALT}) % {_MOD31}) * {_FOLD_KNUTH})
+               % {_FOLD_MOD32} AS hv
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY hv, key) AS rnk
+    FROM h
+),
+a AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS d_exact,
+           CAST(sum(CASE WHEN rnk <= {KMV_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS kmv_k,
+           CAST(max(CASE WHEN rnk <= {KMV_K} THEN hv END)
+                AS BIGINT) AS kmv_threshold
+    FROM r GROUP BY 1
+),
+e AS (
+    SELECT *,
+           CASE WHEN kmv_k < {KMV_K} THEN CAST(kmv_k AS DOUBLE)
+                ELSE CAST({KMV_K - 1} AS DOUBLE) * {float(1 << 32)}
+                     / CAST(kmv_threshold AS DOUBLE) END AS est_distinct
+    FROM a
+)
+SELECT event_type, d_exact, kmv_k, kmv_threshold, est_distinct,
+       (kmv_k < {KMV_K}
+        OR abs(est_distinct - CAST(d_exact AS DOUBLE))
+           <= 0.25 * CAST(d_exact AS DOUBLE)) AS kmv_ok
+FROM e
+ORDER BY event_type
+"""
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=_kmv_oracle(),
+    tags=("sketch", "agg", "approx", "sampling"),
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-active-user cardinality per event_type via a KMV
+    (k-minimum-values) sketch over distinct (user, day) keys, with the
+    exact count as the in-query verification twin — the portable
+    cardinality estimator: the K smallest distinct salted-Knuth hashes
+    form the sketch, its threshold τ (the K-th smallest, hash-exact
+    int64 in the output) yields the classic estimator
+    (K−1)·2³²/τ, and the audit flag pins |est − exact| ≤ 25% (4σ at
+    K=256, rsd ≈ 1/√(K−2)); when a group has fewer than K distinct
+    keys the sketch IS the key set and the estimate is exact (the
+    fallback branch — exercised at sf0.001, while sf0.01/sf0.1 drive
+    the estimator branch). Mergeable by union-truncate over distinct
+    hashes — the standard distributed/daily-partial distinct sketch.
+
+    Plan shape: ONE corpus scan → map-side-combined distinct on
+    (event_type, key) → one event_type exchange feeding the rank
+    window AND the final aggregate (the q_quantile_sketch
+    partitioning-reuse pattern). The window here ranks ALL distinct
+    keys because the exact twin rides in the same pass — the
+    AUDIT-scale shape; the production path keeps only the rank ≤ K
+    filter, which compiles to the same map-side partial
+    WindowGroupLimit measured constant-shuffle in
+    scripts/r16_scale_evidence.py, and drops the exact count (that
+    being the point of the sketch at 100 TB).
+
+    Exactness/portability notes: the composite key user_id·10⁵ + day
+    is injective while user_id < 9.2·10¹³ (int64) and day < 10⁵
+    (until year 2243); the hash family's (key + salt) mod 2³¹ ring is
+    injective at the test domains — at production key ranges the ring
+    folds keys and caps estimator precision, where the shape-preserving
+    fix is a 64-bit hash (xxhash64), exactly the documented int64 →
+    DECIMAL(38) promotion pattern of the Gram family. τ and every
+    hashed column are exact int64; est_distinct is ONE correctly-
+    rounded IEEE division of pinned values, identical in both engines.
+
+    Reference anchor: no aggregation in the reference (SURVEY §2.B);
+    with q_countmin_portable (frequencies) and q_quantile_sketch
+    (quantiles) this completes the portable-sketch trio."""
+    from pyspark.sql import Window
+
+    from .splits import _FOLD_KNUTH, _FOLD_MOD32, _MOD31
+
+    day = F.datediff(F.col("ts").cast("date"), F.lit(KMV_DAY0).cast("date"))
+    key = (F.col("user_id") * F.lit(100000) + day.cast("long")).alias("key")
+    h = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_type", key)
+        .select(
+            "event_type",
+            "key",
+            (
+                (((F.col("key") + F.lit(KMV_SALT)) % F.lit(_MOD31))
+                 * F.lit(_FOLD_KNUTH))
+                % F.lit(_FOLD_MOD32)
+            ).cast("long").alias("hv"),
+        )
+        .dropDuplicates(["event_type", "key"])
+    )
+    wr = Window.partitionBy("event_type").orderBy("hv", "key")
+    r = h.withColumn("rnk", F.row_number().over(wr))
+    a = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("d_exact"),
+        F.sum(F.when(F.col("rnk") <= KMV_K, 1).otherwise(0))
+        .cast("long")
+        .alias("kmv_k"),
+        F.max(F.when(F.col("rnk") <= KMV_K, F.col("hv")))
+        .cast("long")
+        .alias("kmv_threshold"),
+    )
+    e = a.withColumn(
+        "est_distinct",
+        F.when(
+            F.col("kmv_k") < KMV_K, F.col("kmv_k").cast("double")
+        ).otherwise(
+            F.lit(float(KMV_K - 1))
+            * F.lit(float(1 << 32))
+            / F.col("kmv_threshold").cast("double")
+        ),
+    )
+    return e.select(
+        "event_type",
+        "d_exact",
+        "kmv_k",
+        "kmv_threshold",
+        "est_distinct",
+        (
+            (F.col("kmv_k") < KMV_K)
+            | (
+                F.abs(
+                    F.col("est_distinct") - F.col("d_exact").cast("double")
+                )
+                <= 0.25 * F.col("d_exact").cast("double")
+            )
+        ).alias("kmv_ok"),
+    ).orderBy("event_type")

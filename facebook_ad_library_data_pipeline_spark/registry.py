@@ -104,16 +104,19 @@ _QUERY_MODULES = [
 _PRIORITY = [
     # ---- round-16 window ----
     # Window arithmetic (r15 verdict items 1-2): the driver cuts at 50
-    # rows. 2 new r16 registrations + the 4 below-cut r15 tail
+    # rows. 3 new r16 registrations + the 4 below-cut r15 tail
     # (q_stream_tws_reservoir + q_pca_project had NO driver row ever;
     # q_lang_id + q_drift_psi were the r15 ADVICE touches proven by
-    # proxy) + the 40 queries whose newest row is r10 + the 4 oldest
-    # r11 rows (alphabetical) = exactly 50. After this window NO
+    # proxy) + the 40 queries whose newest row is r10 + the oldest
+    # r11 rows filling to the cut (the last listed r11 name sits at
+    # position 51, first in line for r17) = exactly 50. After this
+    # window NO
     # driver row in the registry is older than r11 and no query is
     # driver-unseen — the evidence ledger's minimum possible state.
     # New r16 registrations first (changed/new code proves earliest):
     "q_pca_deflate",  # second principal direction via exact-int rank-1 deflation
     "q_quantile_sketch",  # portable bottom-k quantile sketch + exact rank audit
+    "q_kmv_distinct",  # portable KMV cardinality sketch + tolerance audit
     # The four below-cut r15 queries (judge-verified MATCH last
     # session; zero driver rows for the first two):
     "q_stream_tws_reservoir",
@@ -162,7 +165,8 @@ _PRIORITY = [
     "q_video_frame_decode",
     "q_xml_extract",
     "q_zorder_pruned_scan",
-    # ...and the 4 oldest r11 rows fill the window to exactly 50:
+    # ...and the oldest r11 rows fill the window (the driver cuts at
+    # 50, so the last name lands just below it and leads r17):
     "q_agg_stats",
     "q_asof_join",
     "q_classify",

@@ -17,6 +17,13 @@ Expected shape, from the plan arguments in the docstrings:
   at most partitions x groups x K rows whatever the corpus size; the
   audit pass is a broadcast join + map-side-combined count whose
   exchange is partition-partial-bounded too.
+- q_kmv_distinct: the distinct pre-aggregation is map-side combined,
+  so the (event_type, key) exchange carries distinct keys per
+  partition (sub-linear under duplication); the event_type exchange
+  then carries the global distinct keys — the audit-time cost of the
+  in-query exact twin (the production path filters rank <= K before
+  the exchange and gets the same partial WindowGroupLimit bound as
+  the quantile sketch).
 
 Usage: python scripts/r16_scale_evidence.py
 Prints the markdown table for SCALE_EVIDENCE.md.
@@ -33,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from facebook_ad_library_data_pipeline_spark.registry import load_all
 from facebook_ad_library_data_pipeline_spark.session import get_spark
 
-QUERIES = ("q_pca_deflate", "q_quantile_sketch")
+QUERIES = ("q_pca_deflate", "q_quantile_sketch", "q_kmv_distinct")
 SF_DIRS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
 

@@ -219,3 +219,98 @@ def test_quantile_sketch_accuracy_at_scale(spark, sf_dir):
     for r in rows:
         for qq in (25, 50, 75, 90):
             assert getattr(r, f"p{qq}_ok"), r
+
+
+# ------------------------- portable KMV cardinality sketch
+
+
+def test_kmv_distinct_both_branches_and_oracle(spark, tmp_path):
+    """A small group (< K distinct user-days → the sketch IS the key
+    set, estimate exact) next to a large group (> K → real estimator
+    within the 25% audit band), duplicate events collapsing to one
+    key, and NULL user_id/ts rows excluded — all hash-matched to the
+    oracle."""
+    import duckdb
+
+    from facebook_ad_library_data_pipeline_spark.operators.sketches import (
+        KMV_K,
+    )
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    from .oracle_harness import assert_matches_oracle
+
+    rows = []
+    eid = 0
+    # group small: 7 users x 2 days, each visited twice (duplicates)
+    for u in range(7):
+        for day in (10, 11):
+            for _ in range(2):
+                eid += 1
+                rows.append((eid, day, u, "small", 1.0))
+    # group big: 600 distinct user-days, one event each
+    for u in range(200):
+        for day in (20, 21, 22):
+            eid += 1
+            rows.append((eid, day, u, "big", 1.0))
+    # excluded rows
+    rows.append((99001, 10, None, "small", 1.0))
+    rows.append((99002, None, 3, "big", 1.0))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [
+                        None if r[1] is None else r[1] * 86_400_000_000
+                        for r in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path) + "/events.parquet",
+    )
+    q = load_all()["q_kmv_distinct"]
+    df = q.fn(spark, str(tmp_path))
+    out = {r.event_type: r for r in df.collect()}
+    small, big = out["small"], out["big"]
+    assert small.d_exact == 14  # duplicates collapsed, NULL excluded
+    assert small.kmv_k == 14 and small.est_distinct == 14.0
+    assert small.kmv_ok
+    assert big.d_exact == 600 and big.kmv_k == KMV_K
+    assert big.kmv_ok  # estimator within the 25% band
+    assert abs(big.est_distinct - 600) <= 0.25 * 600
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    assert_matches_oracle(df, q.oracle, con)
+
+
+def test_kmv_distinct_partition_invariant(spark, sf_dir):
+    """The KMV sketch is a pure function of the distinct-key SET
+    (union-truncate mergeability): the same table read under a tiny
+    maxPartitionBytes so the scan fans out over multiple splits must
+    produce identical output."""
+    from facebook_ad_library_data_pipeline_spark.catalog import load_table
+    from facebook_ad_library_data_pipeline_spark.registry import load_all
+
+    q = load_all()["q_kmv_distinct"]
+    base = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        n_splits = load_table(spark, sf_dir, "events").rdd.getNumPartitions()
+        assert n_splits > 1, "scan did not fan out; test is vacuous"
+        again = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert base == again

@@ -978,3 +978,20 @@ def test_quantile_sketch_two_scans_window_group_limit(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, "sketch + audit"
     assert "WindowGroupLimit" in plan
     assert plan.lower().count("hashpartitioning(event_type") == 2
+
+
+def test_kmv_distinct_one_scan_shared_partitioning(spark, sf_dir):
+    # contract: one corpus scan → map-side-combined distinct on
+    # (event_type, key) → ONE event_type exchange feeding BOTH the
+    # rank window and the final aggregate (partitioning reuse — no
+    # third keyed exchange); the only other exchange is the bounded
+    # |event_types|-row orderBy.
+    import re
+
+    from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["q_kmv_distinct"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.lower().count("hashpartitioning(event_type") == 2, "distinct + window feed only"
+    assert plan.lower().count("rangepartitioning") == 1, "bounded final sort only"
