@@ -21,5 +21,6 @@ def shuffle_write_records(spark) -> int:
     """
     app = spark.sparkContext.applicationId
     url = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{app}/stages"
-    stages = json.load(urllib.request.urlopen(url, timeout=30))
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        stages = json.load(resp)
     return sum(s.get("shuffleWriteRecords", 0) for s in stages)
