@@ -24,7 +24,7 @@ second-moment statistic they all precondition on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load_table
@@ -259,13 +259,40 @@ def _pow_step_sql(div: str, one: str) -> str:
     return _POW_STEP.replace("{DIV}", div).replace("{ONE}", one)
 
 
-def power_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reduced symmetric Gram grid (i, j, g, s): Gram fold →
-    collect the triangle → symmetry mirror (pure duplication, NO
-    driver arithmetic — every arithmetic step is a Spark expression
-    with a DuckDB twin) → LocalRelation → in-plan bit-shift reduce to
-    |g| < 2^31. The ONE corpus scan of the whole spectral family
-    happens inside this collect."""
+def _tdiv(a: int, b: int) -> int:
+    """Truncation-toward-zero integer division — the Python mirror of
+    Spark SQL `div` and DuckDB `//` (Python's // floors, which differs
+    on negative dividends: -7//2 = -4 but -7 div 2 = -3). Same mirror
+    as operators/kmeans.py; b > 0 at every call site here."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _bitlen1(m: int) -> int:
+    """Python mirror of ``length(bin(m))`` for m >= 0 (bin(0) = '0',
+    length 1 — NOT bit_length's 0)."""
+    return 1 if m == 0 else int(m).bit_length()
+
+
+def power_grid(spark: SparkSession, sf_dir: str):
+    """The reduced symmetric Gram grid as DRIVER-side exact ints:
+    Gram fold (the ONE corpus scan of the whole spectral family) →
+    collect the d·(d+1)/2 triangle → symmetry mirror → bit-shift
+    reduce to |g| < 2^31 with the same trunc-div/bin-length rule as
+    the SQL twin (_power_ctes' `red`/`g` CTEs). Returns (G, s): a
+    d×d nested list (0-based) and the shift.
+
+    Why driver-side (r16 optimization round): the grid is 64×64 ints
+    whatever the corpus size — the bounded-model class of kmeans.py's
+    centroid handoff and MLlib's own PCA (which collects the d×d Gram
+    and runs the eigensolve on the driver). Running the reduce + the
+    unrolled iterations as Spark plans over 64-row LocalRelations cost
+    162 Exchange nodes in q_pca_project's plan and ~6 s of pure
+    planning/scheduling across the family at sf0.1, with zero
+    distributed work to show for it. Cross-engine exactness now rests
+    on the Python mirror (_tdiv/_bitlen1 — unit-tested against SQL
+    `div`/`bin` semantics incl. negatives) plus the unchanged DuckDB
+    oracles, numpy fixtures, and both-scale sweeps."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     tri = (
         gram_partials(emb)
@@ -273,68 +300,53 @@ def power_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("partial").cast("long").alias("g"))
         .collect()
     )
-    full = []
+    if not tri:
+        return None, 0
+    G = [[0] * EMBED_DIM for _ in range(EMBED_DIM)]
     for r in tri:
-        full.append((int(r["i"]), int(r["j"]), int(r["g"])))
-        if r["i"] != r["j"]:
-            full.append((int(r["j"]), int(r["i"]), int(r["g"])))
-    grid0 = spark.createDataFrame(full, "i int, j int, g long")
-    wall = Window.partitionBy()
-    return grid0.select(
-        "i",
-        "j",
-        F.greatest(
-            F.length(F.bin(F.max(F.abs("g")).over(wall))) - F.lit(31),
-            F.lit(0),
-        )
-        .cast("int")
-        .alias("s"),
-        F.col("g").alias("graw"),
-    ).select(
-        "i",
-        "j",
-        F.expr("graw div (cast(1 as bigint) << s)").alias("g"),
-        "s",
-    )
+        i, j, g = int(r["i"]) - 1, int(r["j"]) - 1, int(r["g"])
+        G[i][j] = g
+        G[j][i] = g
+    mx = max(abs(g) for row in G for g in row)
+    s = max(_bitlen1(mx) - 31, 0)
+    if s:
+        G = [[_tdiv(g, 1 << s) for g in row] for row in G]
+    return G, s
 
 
-def power_iterate(spark: SparkSession, grid: DataFrame) -> DataFrame:
-    """POW_ITERS unrolled matvec/renormalize rounds over a reduced
-    (i, j, g, s) grid, all-ones start — the ONE Spark iteration body,
-    shared by the chain-1 (q_gram_power_iter) and the deflated chain-2
-    (q_pca_deflate) so the two chains can never desynchronize."""
-    wall = Window.partitionBy()
-    vt = spark.createDataFrame(
-        [(d, POW_VSCALE) for d in range(1, EMBED_DIM + 1)], "dim int, v long"
-    )
-    step = _pow_step_sql("div", "cast(1 as bigint)")
+def power_iterate(G: list[list[int]], s: int) -> list[tuple[int, int, int, int]]:
+    """POW_ITERS matvec/renormalize rounds over a reduced d×d integer
+    grid, all-ones start — the ONE driver-side iteration body, shared
+    by chain 1 (q_gram_power_iter) and the deflated chain 2
+    (q_pca_deflate) so the two chains can never desynchronize. Each
+    round mirrors _POW_STEP exactly: w = G·v; m = max|w|;
+    t = max(len(bin(m)) − 42, 0); v' = ((w div 2^t)·VSCALE) div
+    max(m div 2^t, 1) — all trunc-division, |v| ≤ 2^20 invariant.
+    Returns [(dim, s, m, v)] 1-based rows (the v{POW_ITERS} CTE)."""
+    v = [POW_VSCALE] * EMBED_DIM
+    m = 0
     for _ in range(POW_ITERS):
-        w = (
-            grid.join(vt.select("dim", "v"), grid["j"] == F.col("dim"))
-            .groupBy(grid["i"], grid["s"])
-            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("w"))
-            .select(F.col("i").alias("dim"), "s", "w")
-        )
-        n = w.select(
-            "dim",
-            "s",
-            "w",
-            F.max(F.abs("w")).over(wall).cast("long").alias("m"),
-        )
-        vt = n.select(
-            "dim", "s", "m", F.expr(step).cast("long").alias("v")
-        )
-    return vt
+        w = [sum(G[i][j] * v[j] for j in range(EMBED_DIM)) for i in range(EMBED_DIM)]
+        m = max(abs(x) for x in w)
+        t = max(_bitlen1(m) - 42, 0)
+        md = max(_tdiv(m, 1 << t), 1)
+        v = [_tdiv(_tdiv(x, 1 << t) * POW_VSCALE, md) for x in w]
+    return [(d + 1, s, m, v[d]) for d in range(EMBED_DIM)]
+
+
+_VT_SCHEMA = "dim int, s int, m long, v long"
 
 
 def power_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ONE Spark definition of the eigenvector chain (the SQL twin
-    is _power_ctes): Gram fold → collect the triangle → symmetric
-    LocalRelation grid → in-plan reduce + POW_ITERS unrolled
-    matvec/renormalize rounds. Returns the final iterate as
-    (dim, s, m, v) — 64 rows on a corpus-free plan. Shared by
+    """The final power-iteration iterate as a 64-row LocalRelation
+    (dim, s, m, v) — Gram fold (one corpus scan) → driver-side reduce
+    + POW_ITERS exact-int rounds (power_grid/power_iterate; SQL twin
+    _power_ctes). Empty corpus → empty frame (the oracle's grid join
+    starves every iteration the same way). Shared by
     q_gram_power_iter, q_pca_project, and q_pca_deflate."""
-    return power_iterate(spark, power_grid(spark, sf_dir))
+    G, s = power_grid(spark, sf_dir)
+    rows = power_iterate(G, s) if G is not None else []
+    return spark.createDataFrame(rows, _VT_SCHEMA)
 
 
 def _power_ctes() -> str:
@@ -409,10 +421,15 @@ def q_gram_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_embedding_gram pipeline unchanged (mapInPandas partials, d²-key
     shuffle independent of N); the d·(d+1)/2 triangle is then collected
     — the bounded-model discipline of kmeans.py/ivf.py, ~2 KB whatever
-    the corpus size — mirrored by symmetry into a d² LOCAL grid, and
-    the entire iteration unrolls IN ONE PLAN over that LocalRelation
-    (the q_pagerank_neardup unrolling; no per-round driver handoff, no
-    corpus re-scan — the corpus is read exactly once).
+    the corpus size — mirrored by symmetry into a d² DRIVER-side grid,
+    and the iteration runs as exact Python-int arithmetic on the driver
+    (the MLlib PCA pattern: collect the d×d moment, eigensolve
+    locally; no corpus re-scan — the corpus is read exactly once).
+    Until r16 the iteration unrolled as a 170-node Spark plan over
+    64-row LocalRelations; the optimization round moved it driver-side
+    (same integers, _tdiv/_bitlen1 mirror SQL `div`/`bin` exactly)
+    because the plan bought no distributed work and cost ~1.3 s of
+    planning/scheduling per invocation.
 
     Exactness contract: the grid pre-scales by g div 2^s with
     s = max(bitlen(max|g|) - 31, 0) — an eigenvector is invariant
@@ -436,9 +453,8 @@ def q_gram_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB posture: the ONLY data-sized stage is the Gram partial fold
     (one corpus scan, partitions × d² shuffle rows); everything after
-    runs on ≤ 4096-row local frames — the single-partition windows the
-    plan contains operate on d or d² rows by construction, never on
-    corpus-sized input.
+    is driver-side arithmetic over the ≤ 4096-entry reduced grid —
+    never corpus-sized input.
 
     Reference anchor: the reference has no vector analytics (SURVEY
     §2.B north-star extension); this is the spectral statistic the
@@ -581,16 +597,6 @@ DEFL_ABITS = 10  # deflation scale A keeps the top 10 bits of p
 DEFL_KCAP = 32  # defensive cap on the term-2 up-shift (see proof below)
 
 
-def localize(spark: SparkSession, df: DataFrame, schema: str) -> DataFrame:
-    """collect → LocalRelation for a BOUNDED all-integer frame — pure
-    row duplication, never driver arithmetic. Each cut stops every
-    downstream reference from re-inlining (and re-executing) the
-    upstream subtree — the same discipline as the Gram-triangle
-    collect, applied at each bounded stage boundary."""
-    cols = [f.split()[0] for f in schema.split(",")]
-    return spark.createDataFrame(
-        [tuple(int(r[c]) for c in cols) for r in df.collect()], schema
-    )
 
 
 def _defl_ctes() -> str:
@@ -712,10 +718,12 @@ CROSS JOIN d12 CROSS JOIN scal s CROSS JOIN rd2 r CROSS JOIN tr t
     )
 
 
-def deflate_grid(spark: SparkSession, grid: DataFrame, vt: DataFrame):
+def deflate_grid(G: list[list[int]], vrows: list[tuple[int, int, int, int]]):
     """Rank-1 deflation of the reduced Gram grid against the chain-1
-    iterate, in the shared quantized-int discipline (SQL twin:
-    _defl_ctes). Uses the EXACT-annihilation PSD form
+    iterate, driver-side exact ints in the shared quantized-int
+    discipline (SQL twin: _defl_ctes — every step below mirrors its
+    CTE of the same name with _tdiv/_bitlen1 standing in for `//` and
+    `length(bin(...))`). Uses the EXACT-annihilation PSD form
 
         G2 = (vᵀw)·G − w·wᵀ,   w = G·v
 
@@ -744,94 +752,32 @@ def deflate_grid(spark: SparkSession, grid: DataFrame, vt: DataFrame):
     that affects CONVERGENCE only — both engines run the identical
     integer arithmetic, so cross-engine parity is unconditional.
 
-    Every intermediate is bounded (64 rows, 1 row, 64² rows), so each
-    stage is MATERIALIZED (collect → LocalRelation — pure row
-    duplication, never driver arithmetic): without the cuts, each
-    downstream reference re-inlines and re-executes the upstream
-    subtree (scal alone would re-run wf→u→pr, and every unrolled
-    chain-2 round would re-plan the whole deflation), measured at
-    ~3× the wall of the materialized form.
-
-    Returns (gg, scal) — the deflated reduced grid (LocalRelation)
-    and the 1-row (p, h2, a_scale, kk) scale frame."""
-    one = "cast(1 as bigint)"
-
-    def _local(df, schema):
-        return localize(spark, df, schema)
-
-    wf = _local(
-        grid.join(vt.select("dim", "v"), grid["j"] == F.col("dim"))
-        .groupBy(grid["i"])
-        .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("w"))
-        .select(F.col("i").alias("dim"), "w"),
-        "dim int, w long",
-    )
-    h2r = wf.agg(
-        F.greatest(
-            F.length(F.bin(F.coalesce(F.max(F.abs("w")), F.lit(0))))
-            - F.lit(15),
-            F.lit(0),
-        ).alias("h2")
-    )
-    u = wf.crossJoin(F.broadcast(h2r)).select(
-        "dim", F.expr(f"w div ({one} << h2)").alias("u")
-    )
-    pr = u.join(vt.select("dim", "v"), "dim").agg(
-        F.coalesce(F.sum(F.col("u") * F.col("v")), F.lit(0))
-        .cast("long")
-        .alias("p")
-    )
-    scal = _local(
-        pr.crossJoin(F.broadcast(h2r)).select(
-            "p",
-            "h2",
-            F.expr(
-                f"p div ({one} << greatest(length(bin(abs(p)))"
-                f" - {DEFL_ABITS}, 0))"
-            ).alias("a_scale"),
-            F.expr(
-                f"least(h2 - greatest(length(bin(abs(p))) - {DEFL_ABITS},"
-                f" 0), {DEFL_KCAP})"
-            ).alias("kk"),
-        ),
-        "p long, h2 int, a_scale long, kk int",
-    )
-    ua = u.select(F.col("dim").alias("i"), F.col("u").alias("ua"))
-    ub = u.select(F.col("dim").alias("j"), F.col("u").alias("ub"))
-    d = _local(
-        grid.join(ua, "i")
-        .join(ub, "j")
-        .crossJoin(F.broadcast(scal))
-        .select(
-            "i",
-            "j",
-            F.expr(
-                f"a_scale * g - CASE WHEN kk >= 0"
-                f" THEN (ua * ub) * ({one} << kk)"
-                f" ELSE (ua * ub) div ({one} << (-kk)) END"
-            ).alias("d"),
-        ),
-        "i int, j int, d long",
-    )
-    rd2 = d.agg(
-        F.greatest(
-            F.coalesce(F.length(F.bin(F.max(F.abs("d")))), F.lit(1))
-            - F.lit(31),
-            F.lit(0),
-        )
-        .cast("int")
-        .alias("s2")
-    )
-    gg = _local(
-        d.crossJoin(F.broadcast(rd2)).select(
-            "i",
-            "j",
-            F.expr(f"d div ({one} << s2)").alias("g"),
-            F.col("s2").alias("s"),
-        ),
-        "i int, j int, g long, s int",
-    )
-    return gg, scal
+    Returns (G2, s2, a_scale) — the deflated reduced d×d grid, its
+    shift, and the deflation scale A."""
+    D = EMBED_DIM
+    v = [0] * D
+    for dim, _s, _m, vv in vrows:
+        v[dim - 1] = vv
+    w = [sum(G[i][j] * v[j] for j in range(D)) for i in range(D)]
+    h2 = max(_bitlen1(max(abs(x) for x in w)) - 15, 0)
+    u = [_tdiv(x, 1 << h2) for x in w]
+    p = sum(u[i] * v[i] for i in range(D))
+    pshift = max(_bitlen1(abs(p)) - DEFL_ABITS, 0)
+    a_scale = _tdiv(p, 1 << pshift)
+    kk = min(h2 - pshift, DEFL_KCAP)
+    if kk >= 0:
+        d = [
+            [a_scale * G[i][j] - (u[i] * u[j]) * (1 << kk) for j in range(D)]
+            for i in range(D)
+        ]
+    else:
+        d = [
+            [a_scale * G[i][j] - _tdiv(u[i] * u[j], 1 << (-kk)) for j in range(D)]
+            for i in range(D)
+        ]
+    s2 = max(_bitlen1(max(abs(x) for row in d for x in row)) - 31, 0)
+    G2 = [[_tdiv(x, 1 << s2) for x in row] for row in d]
+    return G2, s2, a_scale
 
 
 @query(
@@ -845,13 +791,13 @@ def q_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     split between the two components — exact int64 end-to-end on the
     hashed columns. Chain 1 is the SHARED power_grid/power_iterate
     definition (so q_gram_power_iter and this query can never disagree
-    about v1); its 64-row iterate is then MATERIALIZED (collect →
-    LocalRelation, pure duplication with no driver arithmetic — the
-    same move as the Gram-triangle collect) so the deflation + chain-2
-    plan does not re-nest chain 1's 170 unrolled nodes four times over.
-    deflate_grid builds G2 = (vᵀw)·G − w·wᵀ in the pinned two-shift
-    integer scaling (exactness proof in its docstring), and the SAME
-    power_iterate runs POW_ITERS rounds over the deflated grid.
+    about v1); deflate_grid builds G2 = (vᵀw)·G − w·wᵀ in the pinned
+    two-shift integer scaling (exactness proof in its docstring), and
+    the SAME power_iterate runs POW_ITERS rounds over the deflated
+    grid — all driver-side exact Python ints since r16 (the MLlib
+    collect-the-moment pattern; the previous in-plan form spent ~7 s
+    per invocation planning two 170-node chains + four bounded
+    materialization jobs, with zero distributed work in any of them).
 
     Emitted audit columns: dot12 = Σ v1·v2 (exact — near-orthogonality
     follows from G2·v1 ≈ 0 up to the documented 2^-15 truncation
@@ -866,53 +812,54 @@ def q_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape / 100 TB posture: corpus is scanned exactly ONCE
     (inside power_grid's Gram-fold collect — the bounded-model
     discipline, ~2 KB whatever the corpus size); the deflation and
-    BOTH iterations run over ≤ 64²-row LocalRelations with zero
-    parquet scans in the returned plan (plan-test pinned, the
-    q_gram_power_iter contract).
+    BOTH iterations are driver-side arithmetic over the ≤ 64²-entry
+    reduced grid, and the returned plan is a 64-row LocalRelation
+    with zero parquet scans (plan-test pinned, the q_gram_power_iter
+    contract).
 
     Reference anchor: no vector analytics in the reference (SURVEY
     §2.B north-star); r15 closed the PCA triad, this closes the
     SPECTRAL family — moment → direction → transform → second
     direction + variance split."""
-    grid = power_grid(spark, sf_dir)
-    # materialize both 64-row iterates (localize: pure duplication) —
-    # chain 1 would otherwise re-inline its 170 unrolled nodes once
-    # per downstream reference, and chain 2 would execute twice (the
-    # d12 audit + the main join both reference it)
-    vt1l = localize(
-        spark, power_iterate(spark, grid), "dim int, s int, m long, v long"
-    )
-    gg, scal = deflate_grid(spark, grid, vt1l)
-    vt2 = localize(
-        spark, power_iterate(spark, gg), "dim int, s int, m long, v long"
-    )
-    tr = grid.filter(F.col("i") == F.col("j")).agg(
-        F.coalesce(F.sum("g"), F.lit(0)).cast("long").alias("tr")
-    )
-    a = vt1l.select(
-        "dim", F.col("v").alias("v1_q"), F.col("m").alias("m1")
-    )
-    b = vt2.select(
-        "dim",
-        F.col("v").alias("v2_q"),
-        F.col("m").alias("m2"),
-        F.col("s").alias("s2"),
-    )
-    d12 = (
-        a.join(b, "dim")
-        .agg(
-            F.coalesce(F.sum(F.col("v1_q") * F.col("v2_q")), F.lit(0))
-            .cast("long")
-            .alias("dot12")
+    G, s = power_grid(spark, sf_dir)
+    if G is None:
+        # empty corpus: the oracle's grid join starves every chain —
+        # emit the empty frame through the same final select so the
+        # schema (names, types, nullability) is identical either way
+        base = spark.createDataFrame(
+            [],
+            "dim int, v1_q long, v2_q long, dot12 long, m1 long,"
+            " m2 long, a_scale long, s2 long, tr long",
         )
-    )
+    else:
+        vrows1 = power_iterate(G, s)
+        G2, s2, a_scale = deflate_grid(G, vrows1)
+        vrows2 = power_iterate(G2, s2)
+        tr = sum(G[i][i] for i in range(EMBED_DIM))
+        v1 = {dim: (m, v) for dim, _s, m, v in vrows1}
+        v2 = {dim: (m, v) for dim, _s, m, v in vrows2}
+        dot12 = sum(v1[d][1] * v2[d][1] for d in v1)
+        base = spark.createDataFrame(
+            [
+                (
+                    d,
+                    v1[d][1],
+                    v2[d][1],
+                    dot12,
+                    v1[d][0],
+                    v2[d][0],
+                    a_scale,
+                    s2,
+                    tr,
+                )
+                for d in sorted(v1)
+            ],
+            "dim int, v1_q long, v2_q long, dot12 long, m1 long,"
+            " m2 long, a_scale long, s2 long, tr long",
+        )
     one = "cast(1 as bigint)"
     return (
-        a.join(b, "dim")
-        .crossJoin(F.broadcast(d12))
-        .crossJoin(F.broadcast(scal.select("a_scale")))
-        .crossJoin(F.broadcast(tr))
-        .select(
+        base.select(
             "dim",
             "v1_q",
             "v2_q",

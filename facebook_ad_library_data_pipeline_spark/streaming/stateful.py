@@ -352,6 +352,16 @@ class UserEngagementProcessor(StatefulProcessor):
 
         (user_id,) = key
         n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+        # ONE iterator() round-trip reads the whole per-key map; the
+        # per-type fold then runs on a local dict and writes back only
+        # the types this batch touched. Every typed-state call is a
+        # socket round-trip to the JVM state server (the
+        # WindowCloseProcessor lesson), and the previous
+        # containsKey/getValue/updateValue per present type plus a
+        # containsKey/getValue per EVENT_TYPE at emit cost ~3·T + 10
+        # round-trips per key-batch; this shape costs 1 + changed-T.
+        by_type = {et: int(c) for (et,), (c,) in self._by_type.iterator()}
+        touched = set()
         for pdf in rows:
             if not len(pdf):
                 continue
@@ -361,21 +371,12 @@ class UserEngagementProcessor(StatefulProcessor):
             # reasoning, Python-side)
             cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
             for etype, cnt in pdf["event_type"].value_counts().items():
-                prev = (
-                    self._by_type.getValue((etype,))[0]
-                    if self._by_type.containsKey((etype,))
-                    else 0
-                )
-                self._by_type.updateValue((etype,), (prev + int(cnt),))
+                by_type[etype] = by_type.get(etype, 0) + int(cnt)
+                touched.add(etype)
+        for etype in touched:
+            self._by_type.updateValue((etype,), (by_type[etype],))
         self._totals.update((n, cents))
-        counts = {
-            f"n_{t}": [
-                self._by_type.getValue((t,))[0]
-                if self._by_type.containsKey((t,))
-                else 0
-            ]
-            for t in EVENT_TYPES
-        }
+        counts = {f"n_{t}": [by_type.get(t, 0)] for t in EVENT_TYPES}
         yield pd.DataFrame(
             {
                 "user_id": [user_id],

@@ -794,3 +794,91 @@ def test_pca_deflate_empty_corpus_parity(spark, tmp_path):
         f"read_parquet('{d}/embeddings.parquet')"
     )
     assert_matches_oracle(df, q.oracle, con)
+
+
+def test_embedstats_driver_mirrors_match_sql(spark):
+    """r16 optimization: the power/deflation chains moved from
+    unrolled Spark plans to driver-side Python ints. The two
+    primitives the mirror rests on must equal their SQL twins on
+    every sign/magnitude class the chains can produce:
+    _tdiv == Spark `div` (trunc toward zero, negative dividends
+    included) and _bitlen1 == length(bin(m)) for m >= 0 (bin(0) is
+    the 1-char string '0', NOT bit_length's 0 — the m=0 edge decides
+    the shift in every renormalization step)."""
+    from facebook_ad_library_data_pipeline_spark.functions.embedstats import (
+        _bitlen1,
+        _tdiv,
+    )
+
+    cases = [
+        (7, 2), (-7, 2), (0, 5), (-1, 3), (1, 4),
+        (-(2**45) - 3, 1 << 10), (2**45 + 3, 1 << 10), (-5, 1),
+    ]
+    vals = ", ".join(
+        f"({a}, CAST({b} AS BIGINT), {_tdiv(a, b)})" for a, b in cases
+    )
+    rows = spark.sql(
+        f"SELECT a div b = e FROM VALUES {vals} t(a, b, e)"
+    ).collect()
+    assert all(r[0] for r in rows), rows
+
+    ms = [0, 1, 2, 3, 2**20, 2**42 - 1, 2**42, 2**61]
+    mvals = ", ".join(f"(CAST({m} AS BIGINT), {_bitlen1(m)})" for m in ms)
+    rows = spark.sql(
+        f"SELECT length(bin(m)) = e FROM VALUES {mvals} t(m, e)"
+    ).collect()
+    assert all(r[0] for r in rows), rows
+
+
+def test_power_iterate_driver_matches_unrolled_sql_chain(spark):
+    """The driver-side power_iterate must replay the oracle's unrolled
+    renormalization chain bit-for-bit on an adversarial small grid
+    (mixed-sign entries, magnitudes that force a nonzero m-shift in
+    the step). Runs the SAME reduced grid through DuckDB's w/n/v CTE
+    round and compares every iterate column."""
+    import duckdb
+
+    from facebook_ad_library_data_pipeline_spark.functions.embedstats import (
+        EMBED_DIM,
+        POW_ITERS,
+        POW_VSCALE,
+        _pow_step_sql,
+        power_iterate,
+    )
+
+    # symmetric mixed-sign grid with entries near the 2^31 reduce bound
+    G = [
+        [((i * 31 + j * 17 + i * j) % (1 << 31)) - (1 << 30) for j in range(EMBED_DIM)]
+        for i in range(EMBED_DIM)
+    ]
+    for i in range(EMBED_DIM):
+        for j in range(i):
+            G[i][j] = G[j][i]
+    rows = power_iterate(G, 0)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE g AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i + 1}, {j + 1}, CAST({G[i][j]} AS BIGINT), 0)"
+            for i in range(EMBED_DIM)
+            for j in range(EMBED_DIM)
+        )
+        + ") t(i, j, g, s)"
+    )
+    one = "CAST(1 AS BIGINT)"
+    step = _pow_step_sql("//", one)
+    ctes = [
+        f"v0 AS (SELECT CAST(dim AS INT) AS dim, CAST({POW_VSCALE} AS BIGINT) AS v "
+        f"FROM range(1, {EMBED_DIM + 1}) r(dim))"
+    ]
+    for t in range(1, POW_ITERS + 1):
+        ctes.append(
+            f"w{t} AS (SELECT g.i AS dim, g.s AS s, CAST(sum(g.g * v.v) AS BIGINT) AS w "
+            f"FROM g JOIN v{t - 1} v ON g.j = v.dim GROUP BY 1, 2),\n"
+            f"n{t} AS (SELECT dim, s, w, max(abs(w)) OVER () AS m FROM w{t}),\n"
+            f"v{t} AS (SELECT dim, s, m, CAST({step} AS BIGINT) AS v FROM n{t})"
+        )
+    sql_rows = con.execute(
+        "WITH " + ",\n".join(ctes) + f" SELECT dim, s, m, v FROM v{POW_ITERS} ORDER BY dim"
+    ).fetchall()
+    assert [tuple(r) for r in sql_rows] == sorted(rows), (sql_rows[:3], rows[:3])

@@ -841,10 +841,13 @@ def test_event_paths_bounded_agg_and_topk_heap(spark, sf_dir):
 
 def test_power_iter_returned_plan_is_corpus_free(spark, sf_dir):
     # the corpus is scanned exactly ONCE — inside the query's single
-    # Gram-fold collect — and the RETURNED plan (all 8 unrolled
-    # matvec/renormalize iterations) runs entirely over the collected
-    # d^2 LocalRelation: zero parquet scans in the plan, so no
-    # iteration can ever re-scan the corpus, at any scale
+    # Gram-fold collect — and the RETURNED plan is just the 64-row
+    # driver-computed iterate (one local source, zero parquet scans,
+    # zero joins/exchanges): no iteration can ever re-scan the corpus,
+    # at any scale. (Until r16 the iteration unrolled in-plan as
+    # POW_ITERS joins over LocalRelations — moved driver-side in the
+    # optimization round; this pin also guards against the unrolled
+    # plan creeping back.)
     import re
 
     from facebook_ad_library_data_pipeline_spark.plans.explain import formatted_plan
@@ -852,17 +855,11 @@ def test_power_iter_returned_plan_is_corpus_free(spark, sf_dir):
     df = REGISTRY["q_gram_power_iter"].fn(spark, sf_dir)
     plan = formatted_plan(df).lower()
     assert len(re.findall(r"\(\d+\) scan parquet", plan)) == 0, "corpus leaked into the iteration plan"
-    # the only sources are the collected grid / v0 local frames
-    # (createDataFrame compiles to Scan ExistingRDD): grid once per
-    # iteration + v0 = POW_ITERS + 1
-    from facebook_ad_library_data_pipeline_spark.functions.embedstats import POW_ITERS
-
-    assert len(re.findall(r"\(\d+\) scan existingrdd", plan)) == POW_ITERS + 1
-    # one matvec join per unrolled iteration, never more (static plan
-    # shows sortmergejoin; AQE converts to broadcast at runtime on the
-    # 64-row side — either name counts)
+    # the only source is the driver-computed 64-row iterate
+    assert len(re.findall(r"\(\d+\) scan existingrdd", plan)) == 1
     n_joins = len(re.findall(r"\(\d+\) (?:sortmergejoin|broadcasthashjoin|shuffledhashjoin)", plan))
-    assert n_joins == POW_ITERS, n_joins
+    assert n_joins == 0, n_joins
+    assert "exchange" not in plan, "the returned plan should be exchange-free"
 
 
 def test_pca_project_partial_agg_before_the_only_corpus_exchange(spark, sf_dir):
@@ -960,6 +957,10 @@ def test_pca_deflate_returned_plan_is_corpus_free(spark, sf_dir):
     df = REGISTRY["q_pca_deflate"].fn(spark, sf_dir)
     plan = formatted_plan(df).lower()
     assert len(re.findall(r"\(\d+\) scan parquet", plan)) == 0, "corpus leaked into the deflation plan"
+    # r16: the deflation + both chains are driver-side; the returned
+    # plan is one projected LocalRelation — exchange- and join-free
+    assert "exchange" not in plan, "the returned plan should be exchange-free"
+    assert len(re.findall(r"\(\d+\) scan existingrdd", plan)) == 1
 
 
 def test_quantile_sketch_two_scans_window_group_limit(spark, sf_dir):

@@ -281,6 +281,11 @@ def test_tws_processor_fold_is_batch_split_invariant():
         def updateValue(self, k, v):
             self._m[tuple(k)] = tuple(v)
 
+        def iterator(self):
+            # the live MapState.iterator() yields (key_tuple,
+            # value_tuple) pairs — the r16 round-trip-reduction path
+            return iter(list(self._m.items()))
+
     class FakeHandle:
         def getValueState(self, name, schema, ttlDurationMs=None):
             return FakeValueState()
