@@ -13,8 +13,18 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
-import pandas as pd
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame, SparkSession
+
+if TYPE_CHECKING:  # runtime bodies import pandas locally: the module
+    # is unpickled inside EVERY tws worker (the driver pre-init runner
+    # and each executor state worker), and a module-level pandas import
+    # adds ~0.8 s to each of those interpreter starts (guide §4.5 —
+    # heavyweight init belongs where it's amortized, and the
+    # annotations are strings under `from __future__ import
+    # annotations`, so pandas is not needed at import time)
+    import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -81,6 +91,7 @@ def _update_user_state(
     and a plain SQL oracle can reproduce it exactly (same reasoning as
     functions/money.py, restated Python-side)."""
     import numpy as np
+    import pandas as pd
 
     (user_id,) = key
     n, total_cents, last_ts, last_type = (
@@ -191,6 +202,7 @@ def _timeout_finalize(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     import numpy as np
+    import pandas as pd
 
     (user_id,) = key
     if state.hasTimedOut:
@@ -351,7 +363,11 @@ class UserEngagementProcessor(StatefulProcessor):
         import pandas as pd
 
         (user_id,) = key
-        n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+        # get() returns None when the key has no value (verified against
+        # the live state server), so the exists() probe is a redundant
+        # second round-trip — one call covers both.
+        totals = self._totals.get()
+        n, cents = totals if totals is not None else (0, 0)
         # ONE iterator() round-trip reads the whole per-key map; the
         # per-type fold then runs on a local dict and writes back only
         # the types this batch touched. Every typed-state call is a
@@ -732,7 +748,8 @@ class TimerFinalizeProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timer_values):
         import numpy as np
 
-        n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+        totals = self._totals.get()  # None ⇒ no value: one round-trip
+        n, cents = totals if totals is not None else (0, 0)
         for pdf in rows:
             if len(pdf):
                 n += len(pdf)
@@ -755,7 +772,8 @@ class TimerFinalizeProcessor(StatefulProcessor):
         import pandas as pd
 
         (user_id,) = key
-        n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+        totals = self._totals.get()
+        n, cents = totals if totals is not None else (0, 0)
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
@@ -882,8 +900,9 @@ class WindowCloseProcessor(StatefulProcessor):
         )
 
     def _load(self):
-        if self._wins.exists():
-            ws, ns, cs, pending = self._wins.get()
+        got = self._wins.get()  # None ⇒ no value: one round-trip
+        if got is not None:
+            ws, ns, cs, pending = got
             return dict(zip(ws, zip(ns, cs))), pending
         return {}, -1
 
@@ -1081,9 +1100,8 @@ class WarmStartProcessor(StatefulProcessor):
         import pandas as pd
 
         (user_id,) = key
-        n, cents, seeded = (
-            self._totals.get() if self._totals.exists() else (0, 0, 0)
-        )
+        totals = self._totals.get()  # None ⇒ no value: one round-trip
+        n, cents, seeded = totals if totals is not None else (0, 0, 0)
         for pdf in rows:
             if len(pdf):
                 n += len(pdf)
@@ -1210,8 +1228,25 @@ class SpillMapProcessor(StatefulProcessor):
         import pandas as pd
 
         (user_id,) = key
-        (overflow,) = self._overflow.get() if self._overflow.exists() else (0,)
-        (n_events,) = self._n_events.get() if self._n_events.exists() else (0,)
+        # Every typed-state call is a socket round-trip to the JVM state
+        # server (the UserEngagementProcessor lesson): read the whole
+        # per-key map state ONCE via iterator()/keys(), fold on local
+        # dicts, then write back only what this batch changed. The
+        # previous per-type containsKey/getValue/updateValue (both maps)
+        # plus values()/keys() at emit cost ~4·T + 4 round-trips per
+        # key-batch; this shape is 4 reads + changed-entry writes. The
+        # protocol surface exercised is unchanged — updateValue,
+        # removeKey, iterator and keys all still run against the live
+        # store every batch.
+        got = self._overflow.get()  # None ⇒ no value: one round-trip
+        (overflow,) = got if got is not None else (0,)
+        got = self._n_events.get()
+        (n_events,) = got if got is not None else (0,)
+        live = {et: int(c) for (et,), (c,) in self._live.iterator()}
+        stored_live = set(live)
+        seen = {et for (et,) in self._seen.keys()}
+        new_seen: list[str] = []
+        touched: set[str] = set()
         for pdf in rows:
             if not len(pdf):
                 continue
@@ -1221,24 +1256,30 @@ class SpillMapProcessor(StatefulProcessor):
                 index=pdf.index,
             )
             for etype, csum in cents.groupby(pdf["event_type"]).sum().items():
-                if not self._seen.containsKey((etype,)):
-                    self._seen.updateValue((etype,), (1,))
-                cur = (
-                    self._live.getValue((etype,))[0]
-                    if self._live.containsKey((etype,))
-                    else 0
-                ) + int(csum)
+                if etype not in seen:
+                    seen.add(etype)
+                    new_seen.append(etype)
+                touched.add(etype)
+                cur = live.pop(etype, 0) + int(csum)
                 if cur >= SPILL_CAP_CENTS:
                     overflow += cur
-                    if self._live.containsKey((etype,)):
-                        self._live.removeKey((etype,))
                 else:
-                    self._live.updateValue((etype,), (cur,))
+                    live[etype] = cur
+        for etype in new_seen:
+            self._seen.updateValue((etype,), (1,))
+        # store-write diff, touched entries only: a folded value that
+        # lives on is updated; an entry spilled out of an existing store
+        # row is removed (removeKey only where the store holds one)
+        for etype in touched:
+            if etype in live:
+                self._live.updateValue((etype,), (live[etype],))
+            elif etype in stored_live:
+                self._live.removeKey((etype,))
         self._overflow.update((overflow,))
         self._n_events.update((n_events,))
-        live_vals = [v[0] for v in self._live.values()]
+        live_vals = list(live.values())
         total = overflow + sum(live_vals)
-        n_seen = sum(1 for _ in self._seen.keys())
+        n_seen = len(seen)
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
@@ -1363,7 +1404,8 @@ class BoundedReservoirProcessor(StatefulProcessor):
         import pandas as pd
 
         (user_id,) = key
-        n = self._seen.get()[0] if self._seen.exists() else 0
+        seen = self._seen.get()  # None ⇒ no value: one round-trip
+        n = seen[0] if seen is not None else 0
         fresh: list[tuple[int, int, int]] = []
         for pdf in rows:
             if not len(pdf):

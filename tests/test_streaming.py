@@ -625,6 +625,9 @@ def test_tws_spill_map_processor_conserves_total():
         def values(self):
             return iter(list(self._m.values()))
 
+        def iterator(self):
+            return iter(list(self._m.items()))
+
         def removeKey(self, k):
             del self._m[tuple(k)]
             self._removed.append(tuple(k))
