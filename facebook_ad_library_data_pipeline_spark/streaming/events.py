@@ -498,6 +498,13 @@ def q_stream_tumbling_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    # the changelog mode the docstring describes (and the tws family
+    # measured ~10x cheaper per-commit, scripts/tws_commit_metrics.py):
+    # commits append a changelog; snapshot upload is maintenance work
+    scoped.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
     events = load_events_stream(scoped, sf_dir).withWatermark("ts", "1 hour")
     agg = tumbling_counts(events)
     run_stream_to_memory(agg, "stream_tumbling_rocksdb_out")

@@ -389,6 +389,17 @@ def tws_checkpoint(spark: SparkSession, sf_dir: str) -> str:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # commits append changelogs instead of uploading full snapshots
+        # (~10x less per-commit work, scripts/tws_commit_metrics.py);
+        # the statestore/state-metadata readers replay changelogs from
+        # the empty store, including the batchId=1 time-travel read
+        # q_state_reshard does — same mechanics changelog_checkpoint
+        # (below) has always exercised.
+        scoped.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
         src = split_events_dir_ntile(scoped, sf_dir)
         schema = scoped.read.parquet(src).schema
         ev = (

@@ -11,6 +11,7 @@ tests/test_streaming.py).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable
 
 from typing import TYPE_CHECKING
@@ -497,6 +498,21 @@ def _tws_scoped_session(spark: SparkSession) -> SparkSession:
         scoped.conf.set(
             "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
             "false",
+        )
+        # Changelog checkpointing: commit = append a small changelog
+        # instead of flush+checkpoint+upload a full RocksDB snapshot
+        # (snapshots move to the background maintenance task). Measured
+        # per-batch with scripts/tws_commit_metrics.py at sf0.1: warm
+        # batches drop from ckptLat 300-2000ms / flushLat 100-700ms /
+        # syncMs 4-30s (summed over 16 partition commits) to ckptLat 0 /
+        # flushLat 0 / syncMs 0.8-2s — ~10x less commit work per batch
+        # on every tws query probed. This is also the production
+        # posture for state-heavy streams (snapshot upload off the
+        # per-batch critical path). Env override for A/B re-measure.
+        scoped.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            os.environ.get("SPARK_GRAFT_TWS_CHANGELOG", "true"),
         )
         _TWS_SESSION_CACHE[key] = scoped
     else:
