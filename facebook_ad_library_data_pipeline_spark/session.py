@@ -87,6 +87,14 @@ def get_spark(app_name: str = "facebook_ad_library_data_pipeline_spark") -> Spar
         # driver-built sessions keep the default and rely on
         # snapshot_checkpoint's longer deadline instead.
         .config("spark.sql.streaming.stateStore.maintenanceInterval", "2s")
+        # Unix-domain sockets for every JVM<->Python channel (Spark 4.1):
+        # workers, Arrow batches, the tws state server. Same-host IPC
+        # without loopback-TCP handshake/port churn — measured A/B in
+        # OPTIMIZATION_r16.md. Env-gated for re-measure.
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            os.environ.get("SPARK_GRAFT_PY_UDS", "true"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
