@@ -27,9 +27,22 @@ from facebook_ad_library_data_pipeline_spark.registry import load_all
 from facebook_ad_library_data_pipeline_spark.session import get_spark
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat line 1, or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    jiffies0 = _cpu_jiffies()
     spark = get_spark("bench")
     registry = load_all()
 
@@ -94,6 +107,21 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # ADDITIVE observability (same one-line contract, extra keys):
+    # hypervisor steal over the whole run — r16's driver bench ran
+    # inside a 15-36% steal window and the numbers were uninterpretable
+    # without this — plus the boot id so cross-boot maps aren't
+    # silently compared.
+    jiffies1 = _cpu_jiffies()
+    if jiffies0 and jiffies1 and jiffies1[1] > jiffies0[1]:
+        payload["steal_pct"] = round(
+            100.0 * (jiffies1[0] - jiffies0[0]) / (jiffies1[1] - jiffies0[1]), 2
+        )
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            payload["boot_id"] = f.read().strip()
+    except OSError:
+        pass
     print(json.dumps(payload))
     # The driver's recorded copy truncates the head of the per-query map
     # (alphabetically-early queries were invisible in BENCH_r01/r02);

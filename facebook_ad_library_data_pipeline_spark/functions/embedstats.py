@@ -525,11 +525,12 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree about v.
 
     Plan shape: the eigenvector costs one corpus scan (inside
-    power_vector's Gram-fold collect; everything after runs on 64-row
-    local frames), and the projection is the second, final corpus
-    pass: posexplode to (vec_id, dim, qv) joined against the
-    BROADCAST 64-row iterate (bounded by d, never by the corpus — a
-    safe hint), then ONE map-side-combined groupBy(vec_id). Two scans
+    power_grid's Gram-fold collect; the iteration is driver-side exact
+    ints), and the projection is the second, final corpus pass: a
+    SINGLE codegen'd map stage folding Σqv·v and Σqv² per row over the
+    zipped (embedding, iterate-literal) arrays — no posexplode, no
+    join, no groupBy, ZERO exchanges (r17; the r16 shape still paid
+    one vec_id exchange of the map-side-combined partials). Two scans
     total is the honest PCA cost: the sufficient statistic, then the
     transform. Output is N rows — the per-row feature a curation
     pipeline writes back next to the embedding.
@@ -539,48 +540,62 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_gram_power_iter (the direction), and this projection (the
     transform), the engine covers the PCA triad the compression family
     preconditions on."""
-    vt = power_vector(spark, sf_dir)
-    vsel = vt.select("dim", "v")
-    vn = vt.agg(F.sum(F.expr("v * v")).cast("long").alias("v_norm2"))
-    # no fan_out here (unlike the Gram fold, whose numpy matmul is
-    # CPU-heavy): the projection is trivial per-row arithmetic, and a
-    # round-robin repartition would add a corpus-sized exchange for
-    # nothing — the q_embedding_int8_quant posexplode discipline
-    e = (
+    # r17 optimization (guide §2.4 — remove the shuffle outright): the
+    # iterate v is ALREADY driver-side exact ints (power_grid +
+    # power_iterate, the r16 bounded-model move), so the projection
+    # needs no posexplode→broadcast-join→groupBy(vec_id) reassembly —
+    # Σ_d qv_d·v_d and Σ_d qv_d² fold per ROW over the zipped arrays in
+    # one codegen'd map pass. The corpus never shuffles (the old plan
+    # exchanged one row per (vec_id, partition) after map-side
+    # combine; this plan has ZERO exchanges on the corpus path), and
+    # the arithmetic is the identical exact int64 per element
+    # (floor(x·10⁶) quantize, products and sums all < 2^53), so the
+    # rows are bit-identical — pinned by the unchanged shared-chain
+    # oracle and tests/test_drift_kmeans.py.
+    G, s = power_grid(spark, sf_dir)
+    vrows = power_iterate(G, s) if G is not None else []
+    if not vrows:
+        # empty corpus: the oracle's CTE chain starves the same way
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, proj_q bigint, q_norm2 bigint, "
+            "v_norm2 bigint, explained double",
+        )
+    v = [r[3] for r in vrows]  # iterate components, dim order 1..d
+    v_norm2 = sum(x * x for x in v)  # exact int, ≤ 2^46
+    v_arr = "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in v) + ")"
+    # one fold computes BOTH sums; qv is quantized once per element
+    pn = F.expr(
+        "aggregate("
+        f"zip_with(embedding, {v_arr}, (x, vv) -> struct("
+        f"CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT) AS q, "
+        "vv AS v)), "
+        "struct(CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS n), "
+        "(acc, t) -> struct(acc.p + t.q * t.v AS p, acc.n + t.q * t.q AS n))"
+    )
+    return (
         load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        # same row-set contract as the posexplode form (and the
+        # oracle's unnest): a NULL/empty embedding contributes no row
+        .filter(F.expr("embedding IS NOT NULL AND size(embedding) > 0"))
+        .select("vec_id", pn.alias("pn"))
         .select(
             "vec_id",
-            (F.col("pos") + 1).cast("int").alias("dim"),
-            F.floor(F.col("x").cast("double") * QUANT_SCALE)
-            .cast("long")
-            .alias("qv"),
-        )
-    )
-    p = (
-        e.join(F.broadcast(vsel), "dim")
-        .groupBy("vec_id")
-        .agg(
-            F.sum(F.col("qv") * F.col("v")).cast("long").alias("proj_q"),
-            F.sum(F.col("qv") * F.col("qv")).cast("long").alias("q_norm2"),
-        )
-    )
-    return p.crossJoin(F.broadcast(vn)).select(
-        "vec_id",
-        "proj_q",
-        "q_norm2",
-        "v_norm2",
-        F.when(
-            (F.col("q_norm2") == 0) | (F.col("v_norm2") == 0), F.lit(None)
-        )
-        .otherwise(
-            (F.col("proj_q").cast("double") * F.col("proj_q").cast("double"))
-            / (
-                F.col("q_norm2").cast("double")
-                * F.col("v_norm2").cast("double")
+            F.col("pn.p").alias("proj_q"),
+            F.col("pn.n").alias("q_norm2"),
+            F.lit(v_norm2).cast("long").alias("v_norm2"),
+            F.when(
+                (F.col("pn.n") == 0) | (F.lit(v_norm2) == 0), F.lit(None)
             )
+            .otherwise(
+                (F.col("pn.p").cast("double") * F.col("pn.p").cast("double"))
+                / (
+                    F.col("pn.n").cast("double")
+                    * F.lit(v_norm2).cast("long").cast("double")
+                )
+            )
+            .alias("explained"),
         )
-        .alias("explained"),
     )
 
 

@@ -128,7 +128,18 @@ def _fit_centroids(emb: DataFrame, k: int, cache_key: str | None) -> list[list[f
 
 
 def _centroid_lit(centroids: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in centroids])
+    """The K×dim centroid grid as ONE parsed SQL literal. The nested
+    ``F.array(F.lit(...))`` form issued K·dim (~1040) py4j round-trips
+    of pure client-side plan construction per assign_cells call
+    (guide §4 — the q_kmeans_lloyd plan-build lesson); ``repr`` of a
+    Python float round-trips exactly and Spark's ``D`` suffix parses
+    with Double.parseDouble, so the literal doubles are bit-identical
+    to ``F.lit``'s and the argmin is unchanged."""
+    rows = ", ".join(
+        "array(" + ", ".join(f"{float(v)!r}D" for v in row) + ")"
+        for row in centroids
+    )
+    return F.expr(f"array({rows})")
 
 
 def assign_cells(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:

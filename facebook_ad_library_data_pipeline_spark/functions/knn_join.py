@@ -108,7 +108,7 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only within them. The probe table (9·|Q| rows) broadcasts; the
     corpus is pruned by bucket before any cosine is computed. Recall
     floor vs the exact join asserted in tests."""
-    emb = _emb_double(spark, sf_dir).withColumn("bucket", bucket_col(F.col("emb")))
+    emb = _emb_double(spark, sf_dir).withColumn("bucket", bucket_col("emb"))
     q = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("qe"),

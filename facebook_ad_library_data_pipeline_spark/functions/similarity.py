@@ -164,21 +164,34 @@ def _bucket_sql(emb_expr: str) -> str:
     return "(" + " + ".join(dots) + ")"
 
 
-def bucket_col(emb: Column, n_planes: int = N_PLANES) -> Column:
-    """LSH bucket id: sign bits of dot(v, plane_p) packed into an int."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        dot = F.aggregate(
-            F.zip_with(
-                emb,
-                F.array(*[F.lit(_plane_component(p, d)) for d in range(64)]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0))
-    return bucket
+def _plane_dot_spark_sql(emb_expr: str, p: int) -> str:
+    """One plane's dot product as Spark SQL text: the same
+    zip_with/aggregate fold the Column form built, but parsed from ONE
+    string. The Column form issued ~65 py4j round-trips per plane (64
+    ``F.lit`` + the array/lambda bridges) of pure client-side plan
+    construction — ~0.5 s per bucket_col/band_col call at 8 planes,
+    before a single row ran (the q_kmeans_lloyd lesson, guide §4:
+    the boundary cost shows up at plan-BUILD time too). ``repr`` of a
+    Python float round-trips exactly and Spark's ``D`` suffix parses
+    it with Double.parseDouble, so the literal doubles — hence the
+    IEEE fold, hence the sign bit — are bit-identical to ``F.lit``'s."""
+    arr = ", ".join(f"{_plane_component(p, d)!r}D" for d in range(64))
+    return (
+        f"aggregate(zip_with({emb_expr}, array({arr}), (x, y) -> x * y), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def bucket_col(emb: str = "emb", n_planes: int = N_PLANES) -> Column:
+    """LSH bucket id: sign bits of dot(v, plane_p) packed into an int.
+    `emb` is the embedding column's SQL text (an array<double> column
+    name or expression) — string, not Column, so the whole bucket
+    expression parses from one F.expr (see _plane_dot_spark_sql)."""
+    cases = " + ".join(
+        f"(CASE WHEN {_plane_dot_spark_sql(emb, p)} >= 0 THEN {2**p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return F.expr(f"({cases})")
 
 
 def _lsh_topk_oracle() -> str:
@@ -212,7 +225,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests. At 100 TB: 9/256 ≈ 3.5% of the corpus touched per query
     batch, and the probe set is a 9-row broadcast — the corpus side
     never shuffles."""
-    emb = _emb_double(spark, sf_dir).withColumn("bucket", bucket_col(F.col("emb")))
+    emb = _emb_double(spark, sf_dir).withColumn("bucket", bucket_col("emb"))
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("emb").alias("q_emb"), F.col("bucket").alias("q_bucket")
     )
@@ -257,7 +270,7 @@ def q_ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines compute the identical sign bits (the r02
     cross-engine float lesson — parity comes from identical
     float OPERATIONS, not from avoiding floats)."""
-    emb = _emb_double(spark, sf_dir).withColumn("bucket", bucket_col(F.col("emb")))
+    emb = _emb_double(spark, sf_dir).withColumn("bucket", bucket_col("emb"))
     return emb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
 
 
@@ -269,23 +282,18 @@ NEARDUP_BANDS = 2  # bands of 8 sign-bits each; planes 0..7 and 8..15
 NEARDUP_COS = 0.40
 
 
-def band_col(emb: Column, band: int) -> Column:
+def band_col(emb: str, band: int) -> Column:
     """8-bit hyperplane signature for one band: sign bits of planes
     band*8 .. band*8+7 (same LCG plane family as bucket_col, which is
-    exactly band 0)."""
-    sig = F.lit(0)
-    for p in range(8):
-        dot = F.aggregate(
-            F.zip_with(
-                emb,
-                F.array(*[F.lit(_plane_component(band * 8 + p, d)) for d in range(64)]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0))
-    return sig
+    exactly band 0). `emb` is the embedding column's SQL text (one
+    F.expr parse instead of ~520 py4j calls — see
+    _plane_dot_spark_sql)."""
+    cases = " + ".join(
+        f"(CASE WHEN {_plane_dot_spark_sql(emb, band * 8 + p)} >= 0 "
+        f"THEN {2**p} ELSE 0 END)"
+        for p in range(8)
+    )
+    return F.expr(f"({cases})")
 
 
 def _band_sql(emb_expr: str, band: int) -> str:
@@ -350,7 +358,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        band_col(F.col("emb"), b).alias("band_val"),
+                        band_col("emb", b).alias("band_val"),
                     )
                     for b in range(NEARDUP_BANDS)
                 ]

@@ -93,7 +93,7 @@ def get_spark(app_name: str = "facebook_ad_library_data_pipeline_spark") -> Spar
         # OPTIMIZATION_r16.md. Env-gated for re-measure.
         .config(
             "spark.python.unix.domain.socket.enabled",
-            os.environ.get("SPARK_GRAFT_PY_UDS", "true"),
+            os.environ.get("SPARK_GRAFT_PY_UDS") or "true",
         )
     )
     spark = builder.getOrCreate()

@@ -853,7 +853,12 @@ class ListTimerProcessor(StatefulProcessor):
         self._hist.appendValue((cents,))
         self._n.update((n,))
         self._handle.registerTimer(FAR_TIMER_MS)
-        yield pd.DataFrame({"user_id": [u], "n": [n]})
+        em = getattr(self, "_em", None)
+        if em is None:
+            from .stateful import _RowEmitter
+
+            em = self._em = _RowEmitter(user_id="int64", n="int64")
+        yield em.emit(user_id=u, n=n)
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         return iter(())  # deadline is past every in-run watermark

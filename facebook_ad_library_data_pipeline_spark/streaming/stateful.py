@@ -42,6 +42,60 @@ from ..registry import query
 from .events import load_events_stream, run_stream_to_memory
 
 
+class _RowEmitter:
+    """One-row emit template for per-key stateful emits (guide §4).
+
+    Every handleInputRows/handleExpiredTimer invocation emits ONE fixed-
+    shape row, and the runtime turns EACH yielded pandas DataFrame into
+    its own Arrow RecordBatch — so at ~1500 keys/batch the per-emit
+    `pd.DataFrame({...})` construction (~420 µs: block consolidation,
+    index, dtype inference) dominates our share of the emit path.
+    Mutating one preallocated template's column buffers in place is
+    ~2.6 µs (measured, 160×) and yields the SAME frame object.
+
+    Safety: the tws serializer converts and WRITES each yielded frame
+    to the Arrow stream before the next key's processor call runs
+    (TransformWithStateInPandasSerializer.dump_stream flattens per
+    yield into ArrowStreamPandasUDFSerializer, which creates the batch
+    and writes it per pull; the next pull is what resumes the per-key
+    generator chain) — so in-place mutation can never retroactively
+    change an already-written row even though the Arrow conversion is
+    zero-copy for numeric columns. Pinned by
+    tests/test_streaming.py::test_row_emitter_write_before_mutate and
+    end-to-end by every tws oracle (1500 distinct users per run — any
+    buffer aliasing across emits would collapse rows to one user's
+    values and flip the hash).
+
+    NOT safe for applyInPandasWithState processors: that API's
+    serializer BUFFERS yielded frames across keys and concats them
+    into one merged batch later — a reused template would alias every
+    buffered row to the last key's values. Those sites construct
+    plain frames (see _update_user_state).
+    """
+
+    __slots__ = ("df", "_bufs")
+
+    def __init__(self, **cols: str) -> None:
+        """cols: name -> numpy dtype string ('int64', 'float64',
+        'bool', or 'object' for strings/None)."""
+        import numpy as np
+        import pandas as pd
+
+        self.df = pd.DataFrame(
+            {n: np.zeros(1, dtype=d) for n, d in cols.items()}, copy=False
+        )
+        # the constructor consolidates same-dtype columns into shared
+        # blocks (copying); re-resolve per-column views INTO the frame
+        # so writes land in what the Arrow conversion reads
+        self._bufs = {n: self.df[n].to_numpy() for n in cols}
+
+    def emit(self, **vals):
+        bufs = self._bufs
+        for n, v in vals.items():
+            bufs[n][0] = v
+        return self.df
+
+
 def keep_latest_per_user(latest: DataFrame) -> DataFrame:
     """Update-mode memory sinks append one row per (batch, user); keep
     each user's FINAL snapshot. n_events is strictly increasing across
@@ -110,6 +164,11 @@ def _update_user_state(
             if batch_ts > last_ts:
                 last_ts, last_type = batch_ts, str(pdf["event_type"].loc[i])
     state.update((n, total_cents, last_ts, last_type))
+    # NOTE: no _RowEmitter template here — the applyInPandasWithState
+    # serializer BUFFERS yielded frames across keys before one merged
+    # concat (unlike the tws serializer, which converts each yield
+    # immediately), so a reused template would alias every buffered
+    # row to the last key's values.
     yield pd.DataFrame(
         {
             "user_id": [user_id],
@@ -213,6 +272,7 @@ def _timeout_finalize(
         # makes re-emission under a replayed batch deduplicable.
         n, cents, last_ts = state.get
         state.remove()
+        # plain frame, not a _RowEmitter template: see _update_user_state
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
@@ -393,14 +453,21 @@ class UserEngagementProcessor(StatefulProcessor):
         for etype in touched:
             self._by_type.updateValue((etype,), (by_type[etype],))
         self._totals.update((n, cents))
-        counts = {f"n_{t}": [by_type.get(t, 0)] for t in EVENT_TYPES}
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "n_events": [n],
-                "total_value": [cents / 100.0],
-                **counts,
-            }
+        # lazily-built one-row template (NOT in init(): the driver
+        # pre-init worker also calls init() and must stay pandas-free)
+        em = getattr(self, "_em", None)
+        if em is None:
+            em = self._em = _RowEmitter(
+                user_id="int64",
+                n_events="int64",
+                total_value="float64",
+                **{f"n_{t}": "int64" for t in EVENT_TYPES},
+            )
+        yield em.emit(
+            user_id=user_id,
+            n_events=n,
+            total_value=cents / 100.0,
+            **{f"n_{t}": by_type.get(t, 0) for t in EVENT_TYPES},
         )
 
     def close(self) -> None:
@@ -512,7 +579,7 @@ def _tws_scoped_session(spark: SparkSession) -> SparkSession:
         scoped.conf.set(
             "spark.sql.streaming.stateStore.rocksdb."
             "changelogCheckpointing.enabled",
-            os.environ.get("SPARK_GRAFT_TWS_CHANGELOG", "true"),
+            os.environ.get("SPARK_GRAFT_TWS_CHANGELOG") or "true",
         )
         _TWS_SESSION_CACHE[key] = scoped
     else:
@@ -633,17 +700,18 @@ class ValueHistoryProcessor(StatefulProcessor):
         self._cents.appendList(fresh)
         cents = sorted(c for (c,) in self._cents.get())
         n = len(cents)
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "n_events": [n],
-                "total_value": [sum(cents) / 100.0],
-                # lower median: element (n-1)//2 of the sorted history —
-                # an actual list element (no interpolation), so the SQL
-                # oracle can name the same element by 1-based position
-                "median_cents": [cents[(n - 1) // 2]],
-                "spread_cents": [cents[-1] - cents[0]],
-            }
+        em = getattr(self, "_em", None)
+        if em is None:
+            em = self._em = _RowEmitter(user_id="int64", n_events="int64", total_value="float64", median_cents="int64", spread_cents="int64")
+        yield em.emit(
+            user_id=user_id,
+            n_events=n,
+            total_value=sum(cents) / 100.0,
+            # lower median: element (n-1)//2 of the sorted history —
+            # an actual list element (no interpolation), so the SQL
+            # oracle can name the same element by 1-based position
+            median_cents=cents[(n - 1) // 2],
+            spread_cents=cents[-1] - cents[0],
         )
 
     def close(self) -> None:
@@ -790,13 +858,10 @@ class TimerFinalizeProcessor(StatefulProcessor):
         (user_id,) = key
         totals = self._totals.get()
         n, cents = totals if totals is not None else (0, 0)
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "n_events": [n],
-                "total_value": [cents / 100.0],
-            }
-        )
+        em = getattr(self, "_em", None)
+        if em is None:
+            em = self._em = _RowEmitter(user_id="int64", n_events="int64", total_value="float64")
+        yield em.emit(user_id=user_id, n_events=n, total_value=cents / 100.0)
 
     def close(self) -> None:
         pass
@@ -1125,13 +1190,14 @@ class WarmStartProcessor(StatefulProcessor):
                     np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum()
                 )
         self._totals.update((n, cents, seeded))
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "n_events": [n],
-                "total_value": [cents / 100.0],
-                "n_seeded": [seeded],
-            }
+        em = getattr(self, "_em", None)
+        if em is None:
+            em = self._em = _RowEmitter(user_id="int64", n_events="int64", total_value="float64", n_seeded="int64")
+        yield em.emit(
+            user_id=user_id,
+            n_events=n,
+            total_value=cents / 100.0,
+            n_seeded=seeded,
         )
 
     def close(self) -> None:
@@ -1296,18 +1362,19 @@ class SpillMapProcessor(StatefulProcessor):
         live_vals = list(live.values())
         total = overflow + sum(live_vals)
         n_seen = len(seen)
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "total_value": [total / 100.0],
-                "n_types_seen": [n_seen],
-                "live_under_cap": [all(v < SPILL_CAP_CENTS for v in live_vals)],
-                # strictly increasing across emits (every batch that
-                # reaches handleInputRows carries ≥1 row) — the ORDER BY
-                # key for final-snapshot selection; total_value can TIE
-                # when a batch's cents round to 0
-                "n_events": [n_events],
-            }
+        em = getattr(self, "_em", None)
+        if em is None:
+            em = self._em = _RowEmitter(user_id="int64", total_value="float64", n_types_seen="int64", live_under_cap="bool", n_events="int64")
+        yield em.emit(
+            user_id=user_id,
+            total_value=total / 100.0,
+            n_types_seen=n_seen,
+            live_under_cap=all(v < SPILL_CAP_CENTS for v in live_vals),
+            # strictly increasing across emits (every batch that
+            # reaches handleInputRows carries ≥1 row) — the ORDER BY
+            # key for final-snapshot selection; total_value can TIE
+            # when a batch's cents round to 0
+            n_events=n_events,
         )
 
     def close(self) -> None:
@@ -1442,15 +1509,16 @@ class BoundedReservoirProcessor(StatefulProcessor):
         digest = hashlib.md5(
             ",".join(str(e) for _, e, _c in merged).encode()
         ).hexdigest()
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "n_events": [n],
-                "res_k": [len(merged)],
-                "res_sum_cents": [sum(c for _, _e, c in merged)],
-                "res_threshold_hv": [merged[-1][0]],
-                "res_digest": [digest],
-            }
+        em = getattr(self, "_em", None)
+        if em is None:
+            em = self._em = _RowEmitter(user_id="int64", n_events="int64", res_k="int64", res_sum_cents="int64", res_threshold_hv="int64", res_digest="object")
+        yield em.emit(
+            user_id=user_id,
+            n_events=n,
+            res_k=len(merged),
+            res_sum_cents=sum(c for _, _e, c in merged),
+            res_threshold_hv=merged[-1][0],
+            res_digest=digest,
         )
 
     def close(self) -> None:

@@ -61,7 +61,10 @@ def main() -> None:
         finally:
             StreamingQuery.stop = real_stop
 
-    mode = os.environ.get("SPARK_GRAFT_TWS_CHANGELOG", "false")
+    # default must match stateful.py's effective default ("true"), or a
+    # run without the env var prints changelog=false while the knob is
+    # actually on (ADVICE r16)
+    mode = os.environ.get("SPARK_GRAFT_TWS_CHANGELOG") or "true"
     for name in names:
         q = registry[name]
         for run in range(2):

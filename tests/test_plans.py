@@ -862,33 +862,27 @@ def test_power_iter_returned_plan_is_corpus_free(spark, sf_dir):
     assert "exchange" not in plan, "the returned plan should be exchange-free"
 
 
-def test_pca_project_partial_agg_before_the_only_corpus_exchange(spark, sf_dir):
-    # contract from the r15 review (the fan_out drop, 65a7281): the
-    # projection stage scans the corpus exactly ONCE, and on that
-    # scan's data path the groupBy's PARTIAL HashAggregate comes
-    # BEFORE the single vec_id exchange (map-side combine shuffles
-    # one row per (vec_id, partition), never the posexploded N*d
-    # rows). A refactor that reintroduces the corpus-sized
-    # repartition fails here, not at the bench.
+def test_pca_project_single_map_pass_no_exchange(spark, sf_dir):
+    # r17 contract (supersedes the r15 partial-agg-before-exchange
+    # pin): the projection folds Σqv·v and Σqv² per ROW over the
+    # zipped (embedding, iterate-literal) arrays, so the returned plan
+    # is ONE corpus scan feeding a codegen'd Project — zero exchanges,
+    # zero joins, zero aggregates. A refactor that reintroduces the
+    # posexplode→groupBy reassembly (a corpus-sized shuffle at 100 TB)
+    # fails here, not at the bench.
     import re
 
     from facebook_ad_library_data_pipeline_spark.plans.explain import (
         formatted_plan,
-        scan_ancestors,
     )
 
     df = REGISTRY["q_pca_project"].fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, "one corpus scan"
-    assert plan.lower().count("hashpartitioning(vec_id") == 1
-    chain = scan_ancestors(plan, "Scan parquet")
-    exchanges = [i for i, n in enumerate(chain) if n.startswith("Exchange")]
-    aggs = [i for i, n in enumerate(chain) if n.startswith("HashAggregate")]
-    assert len(exchanges) == 1, chain
-    assert aggs and aggs[0] < exchanges[0], chain
-    # the eigenvector side reaches the corpus path as a broadcast,
-    # bounded by d — never a shuffle of the corpus against it
-    assert any(n.startswith("BroadcastHashJoin") for n in chain), chain
+    low = plan.lower()
+    assert "exchange" not in low, "projection must not shuffle the corpus"
+    assert not re.search(r"sortmergejoin|broadcasthashjoin|shuffledhashjoin", low)
+    assert "hashaggregate" not in low and "sortaggregate" not in low
 
 
 def test_stream_reservoir_single_keyed_exchange_hash_jvm_side(spark, sf_dir):

@@ -94,16 +94,16 @@ def test_embedding_neardup_planted_dups(spark):
     )
 
     bands = df.select(
-        "vec_id", band_col(F.col("emb"), 0).alias("b0"), band_col(F.col("emb"), 1).alias("b1")
+        "vec_id", band_col("emb", 0).alias("b0"), band_col("emb", 1).alias("b1")
     ).collect()
     by_id = {r["vec_id"]: (r["b0"], r["b1"]) for r in bands}
     assert by_id[0] == by_id[1] == by_id[2]
 
     # The pair query shape on the fixture: banded self-join + cosine.
     left = df.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"),
-                     band_col(F.col("emb"), 0).alias("band_val"))
+                     band_col("emb", 0).alias("band_val"))
     right = df.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
-                      band_col(F.col("emb"), 0).alias("band_val"))
+                      band_col("emb", 0).alias("band_val"))
     pairs = (
         left.join(right, "band_val")
         .filter(F.col("v1") < F.col("v2"))

@@ -34,7 +34,7 @@ def test_ann_finds_planted_duplicate(spark):
             (2, [float(-v) for v in base], 1)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label")
-    e = e.withColumn("bucket", bucket_col(F.col("emb")))
+    e = e.withColumn("bucket", bucket_col("emb"))
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("emb").alias("q_emb"), F.col("bucket").alias("q_bucket")
     )

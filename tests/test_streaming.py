@@ -1212,7 +1212,10 @@ def test_group_timeout_fold_protocol():
         t0 + 3_600_000 + 3_000 + TIMEOUT_GAP_MS,
     ]
     st.hasTimedOut = True
-    fired = pd.concat(list(_timeout_finalize((9,), iter([]), st)))
+    # .copy() is defensive snapshotting of a frame held across later
+    # emits — load-bearing only for _RowEmitter-templated processors
+    # (the tws API family), harmless here
+    fired = pd.concat(list(_timeout_finalize((9,), iter([]), st))).copy()
     both = pd.concat([b1, b2])
     cents = int(np.floor(both["value"].to_numpy() * 100 + 0.5).sum())
     assert fired.iloc[0]["n_events"] == 10
@@ -1229,7 +1232,7 @@ def test_group_timeout_fold_protocol():
     b3 = batch(3, t0 + 7_200_000)
     assert list(_timeout_finalize((9,), iter([b3]), st)) == []
     st.hasTimedOut = True
-    fired2 = pd.concat(list(_timeout_finalize((9,), iter([]), st)))
+    fired2 = pd.concat(list(_timeout_finalize((9,), iter([]), st))).copy()
     assert fired2.iloc[0]["n_events"] == 3
     assert (
         fired.iloc[0]["session_cents"] + fired2.iloc[0]["session_cents"]
@@ -1639,3 +1642,59 @@ def test_tws_reservoir_processor_bounded_and_split_invariant():
     empty = pdf_of(order[:0])
     assert list(proc.handleInputRows((9,), iter([empty]), None)) == []
     assert handle.lists[0].max_len == 0
+
+
+def test_row_emitter_write_before_mutate():
+    """Pins the _RowEmitter safety contract: the Arrow conversion of a
+    yielded template frame is zero-copy for numeric columns, so an
+    already-SERIALIZED batch must be immune to the next key's in-place
+    mutation — which holds exactly because the runtime writes each
+    batch to the stream before pulling the next emit (the dump_stream
+    create→write→pull order). This test replays that order: convert +
+    serialize key A's emit, mutate for key B, and assert the bytes
+    already written for A still decode to A's values (while an
+    UN-serialized batch would alias — demonstrating why the write-
+    before-pull order is load-bearing)."""
+    import io
+
+    import pyarrow as pa
+
+    from facebook_ad_library_data_pipeline_spark.streaming.stateful import (
+        _RowEmitter,
+    )
+
+    em = _RowEmitter(user_id="int64", n="int64", v="float64", tag="object")
+    # key A: emit -> convert -> WRITE (the runtime's order)
+    a = em.emit(user_id=1, n=10, v=1.5, tag="a")
+    batch_a = pa.RecordBatch.from_pandas(a, preserve_index=False)
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, batch_a.schema) as w:
+        w.write_batch(batch_a)
+    # key B mutates the SAME template afterwards
+    b = em.emit(user_id=2, n=20, v=2.5, tag="b")
+    assert b is a  # one template object, by design
+    # the serialized bytes for A are immutable history
+    back = pa.ipc.open_stream(sink.getvalue()).read_all().to_pydict()
+    assert back["user_id"] == [1] and back["n"] == [10]
+    assert back["v"] == [1.5] and back["tag"] == ["a"]
+    # and the IN-MEMORY batch for A does alias the template buffers
+    # (zero-copy int columns) — the reason the write must come first
+    assert batch_a.to_pydict()["user_id"] == [2]
+
+
+def test_row_emitter_dtypes_roundtrip():
+    """Template columns keep their declared dtypes across emits (an
+    int written into the float buffer stays float64, bools stay bool,
+    None round-trips through object columns) — the properties the
+    runtime's arrow_cast relies on when matching the declared output
+    schema."""
+    from facebook_ad_library_data_pipeline_spark.streaming.stateful import (
+        _RowEmitter,
+    )
+
+    em = _RowEmitter(a="int64", b="float64", c="bool", d="object")
+    df = em.emit(a=7, b=3, c=True, d=None)
+    assert [str(t) for t in df.dtypes] == ["int64", "float64", "bool", "object"]
+    assert df["b"].iloc[0] == 3.0 and df["d"].iloc[0] is None
+    df2 = em.emit(a=8, b=4.5, c=False, d="x")
+    assert df2["a"].iloc[0] == 8 and df2["d"].iloc[0] == "x"
