@@ -616,6 +616,8 @@ def q_state_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
         scoped.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{src}/slice-0[34].parquet")
+        # guide §4/§2.3: WarmStart folds value only
+        .select("user_id", "value")
     )
     out = tail.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=WarmStartProcessor(),
@@ -909,6 +911,10 @@ def list_timer_checkpoint(spark: SparkSession, sf_dir: str) -> str:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
         .withWatermark("ts", "0 seconds")
+        # guide §4/§2.3: the processor folds value only; ts stays for
+        # the EventTime watermark, but event_id/event_type/props need
+        # not cross the exchange or the Python boundary
+        .select("user_id", "ts", "value")
     )
     out = ev.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=ListTimerProcessor(),

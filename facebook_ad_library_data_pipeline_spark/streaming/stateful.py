@@ -180,6 +180,13 @@ def _update_user_state(
 
 
 def user_state_stream(events: DataFrame) -> DataFrame:
+    # guide §4/§2.3: the operator is OPAQUE to Catalyst — without this
+    # explicit select every events column (event_id, props, and the
+    # timestamp unless the processor reads it) crosses the keyed
+    # exchange, the Arrow boundary, and pyspark's per-ROW group
+    # assembly for nothing. Project to exactly what the processor
+    # touches; results are unchanged (oracle-pinned).
+    events = events.select("user_id", "ts", "event_type", "value")
     return events.groupBy("user_id").applyInPandasWithState(
         _update_user_state,
         outputStructType=OUTPUT_SCHEMA,
@@ -297,6 +304,9 @@ def _timeout_finalize(
 
 
 def user_timeout_stream(events: DataFrame) -> DataFrame:
+    # projection discipline: see user_state_stream (ts feeds the
+    # event-time deadline fold; value the cents)
+    events = events.select("user_id", "ts", "value")
     return events.groupBy("user_id").applyInPandasWithState(
         _timeout_finalize,
         outputStructType=TIMEOUT_OUTPUT_SCHEMA,
@@ -475,6 +485,13 @@ class UserEngagementProcessor(StatefulProcessor):
 
 
 def user_engagement_tws(events: DataFrame) -> DataFrame:
+    # guide §4/§2.3: the operator is OPAQUE to Catalyst — without this
+    # explicit select every events column (event_id, props, and the
+    # timestamp unless the processor reads it) crosses the keyed
+    # exchange, the Arrow boundary, and pyspark's per-ROW group
+    # assembly for nothing. Project to exactly what the processor
+    # touches; results are unchanged (oracle-pinned).
+    events = events.select("user_id", "event_type", "value")
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserEngagementProcessor(),
         outputStructType=TWS_OUTPUT_SCHEMA,
@@ -719,6 +736,8 @@ class ValueHistoryProcessor(StatefulProcessor):
 
 
 def user_value_history_tws(events: DataFrame) -> DataFrame:
+    # projection discipline: see user_engagement_tws
+    events = events.select("user_id", "value")
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=ValueHistoryProcessor(),
         outputStructType=TWS_LIST_OUTPUT_SCHEMA,
@@ -868,6 +887,8 @@ class TimerFinalizeProcessor(StatefulProcessor):
 
 
 def user_timer_finalize_tws(events: DataFrame) -> DataFrame:
+    # projection discipline: see user_engagement_tws
+    events = events.select("user_id", "value")
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=TimerFinalizeProcessor(),
         outputStructType=TWS_TIMER_OUTPUT_SCHEMA,
@@ -1065,6 +1086,9 @@ class WindowCloseProcessor(StatefulProcessor):
 
 
 def user_window_close_tws(events_with_watermark: DataFrame) -> DataFrame:
+    # projection discipline: see user_engagement_tws (ts stays — the
+    # window fold and the watermark both need it)
+    events_with_watermark = events_with_watermark.select("user_id", "ts", "value")
     return events_with_watermark.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=WindowCloseProcessor(),
         outputStructType=TWS_EVENT_TIMER_OUTPUT_SCHEMA,
@@ -1250,6 +1274,9 @@ def q_stream_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
         .filter(F.col("event_id") % 2 == 1)
+        # projection discipline: see user_engagement_tws (the filter
+        # column is consumed JVM-side, the processor folds value only)
+        .select("user_id", "value")
     )
     out = events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=WarmStartProcessor(),
@@ -1382,6 +1409,8 @@ class SpillMapProcessor(StatefulProcessor):
 
 
 def user_spill_map_tws(events: DataFrame) -> DataFrame:
+    # projection discipline: see user_engagement_tws
+    events = events.select("user_id", "event_type", "value")
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=SpillMapProcessor(),
         outputStructType=TWS_SPILL_OUTPUT_SCHEMA,
